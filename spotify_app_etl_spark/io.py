@@ -1,0 +1,107 @@
+"""Readers and writers.
+
+Readers: typed Parquet loaders for the driver testdata (schema pinned,
+events nanosecond-timestamp normalization). Writers: Parquet/CSV/JSON
+and the JDBC snapshot-replace sink that mirrors the reference's load
+stage (spotify-etl.py:209-215, ``to_sql(..., if_exists='replace')``),
+plus the explicit ``stringify`` compatibility mode replacing the
+reference's ``df.astype(str)`` type erasure (spotify-etl.py:211;
+SURVEY.md §1.4).
+
+Scale notes: loads are plain ``spark.read.parquet`` scans — Catalyst
+handles predicate pushdown / column pruning / partition pruning, so at
+100 TB the same loader works as long as callers filter and select
+declaratively. The events conversion is a per-row projection (no
+shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark import schemas
+from spotify_app_etl_spark.session import configure_session
+
+TESTDATA_TABLES = tuple(schemas.TESTDATA)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table as a typed DataFrame.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS,false), which has
+    no Spark type; with ``spark.sql.legacy.parquet.nanosAsLong`` the scan
+    yields epoch-nanos longs that we convert to TimestampType (UTC) at
+    microsecond precision — the same truncation DuckDB applies, keeping
+    oracle comparisons exact.
+    """
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in (names or TESTDATA_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for the SQL API."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Writers
+# ---------------------------------------------------------------------------
+
+
+def stringify(df: DataFrame) -> DataFrame:
+    """Compatibility mode for the reference's all-text load.
+
+    The reference casts every column of every table to string before the
+    database write (spotify-etl.py:211 ``df.astype(str)``), mapping
+    ``None → 'None'``/``NaN → 'nan'`` and booleans to ``'True'/'False'``.
+    We reproduce the *stringly-typed table* intent without the null
+    corruption: Spark casts keep SQL NULL as NULL, and booleans render
+    lowercase; divergence documented per SURVEY.md §1.4 (bug, not ported).
+    """
+    return df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    stringify_compat: bool = False,
+    truncate: bool = False,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC snapshot sink — replace semantics like the reference's
+    ``to_sql(name, engine, if_exists='replace')`` (spotify-etl.py:211).
+
+    ``mode='overwrite'`` drops+recreates; ``truncate=True`` keeps the DDL
+    (softer variant). Typed columns map to proper SQL types via Spark's
+    JDBC dialect instead of all-text (§1.4); pass
+    ``stringify_compat=True`` for reference-shaped all-text output.
+    """
+    if stringify_compat:
+        df = stringify(df)
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if truncate:
+        writer = writer.option("truncate", "true")
+    for key, value in (properties or {}).items():
+        writer = writer.option(key, value)
+    writer.mode(mode).save()

@@ -1,0 +1,56 @@
+"""Shared helpers for oracle-exact query plans.
+
+Float-sum determinism (SURVEY.md §7 risk b): a double-precision SUM is
+order-dependent, and Spark's partial/final aggregation order differs
+from DuckDB's — so money aggregates are computed in DECIMAL (exact,
+order-independent) and cast to double at the very end. Both engines
+then produce bit-identical doubles, making the driver's value-hash
+comparison robust without rounding tricks.
+
+Precision choice: money inputs are 2-decimal doubles ≤ ~1e6.
+DECIMAL(12,2) holds them exactly; a product of two DECIMAL(12,2) and
+one DECIMAL(25,4) stays within 38 digits on both engines (Spark:
+p1+p2+1 = 38; DuckDB: p1+p2 = 37), so no engine-specific scale
+reduction (= rounding) ever kicks in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark.io import load_table
+
+MONEY = "decimal(12,2)"
+
+
+def dec(col: str | Column) -> Column:
+    """Exact 2-decimal fixed-point view of a money/ratio double column."""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast(MONEY)
+
+
+def dsum(expr: Column, alias: str) -> Column:
+    """Order-independent SUM: aggregate in decimal, emit double."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+def davg(expr: Column, alias: str) -> Column:
+    """Deterministic AVG: exact decimal sum, one double division."""
+    return (F.sum(expr).cast("double") / F.count(expr)).alias(alias)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# SQL-side equivalents (DuckDB oracle): keep these snippets in sync with
+# dec()/dsum()/davg() above.
+SQL_DEC = "CAST({col} AS DECIMAL(12,2))"
+
+
+def sql_dsum(inner: str, alias: str) -> str:
+    return f"CAST(SUM({inner}) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(inner: str, alias: str) -> str:
+    return f"CAST(SUM({inner}) AS DOUBLE) / COUNT({inner}) AS {alias}"
