@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set (lower is
+better). Each query is forced with a count() action so the full plan
+executes but no result ferries to the driver. A short warmup query
+absorbs JVM/codegen startup so per-query numbers measure the plans,
+not session bootstrap.
+
+Usage:
+    python bench.py                 # headline set at sf0.1
+    python bench.py --all           # every registered query
+    python bench.py --sf /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+#: Headline queries: one per major operator family (scan/filter/agg,
+#: join, window, set-op, scalar, event-time, dedup, similarity, text).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_agg_rollup",
+    "q_join_range_nonequi",
+    "q_topk_per_group",
+    "q_window_moving_avg",
+    "q_union_distinct",
+    "q_string_funcs",
+    "q_events_tumbling",
+    "q_events_session",
+    "ns_dedup_exact",
+    "ns_dedup_minhash_pairs",
+    "ns_sim_topk_bruteforce",
+    "ns_text_stats",
+    "ns_doc_fingerprint",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="scale-factor directory of parquet tables",
+    )
+    ap.add_argument("--all", action="store_true", help="run every registered query")
+    args = ap.parse_args()
+
+    from spotify_app_etl_spark.registry import load_all
+    from spotify_app_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    registry = load_all()
+    names = sorted(registry) if args.all else [n for n in HEADLINE if n in registry]
+
+    # Warmup: trigger JVM+Arrow+codegen paths once, untimed.
+    registry["q01_pricing_summary"].fn(spark, args.sf).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        registry[name].fn(spark, args.sf).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

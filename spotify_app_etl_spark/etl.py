@@ -1,0 +1,226 @@
+"""The reference's ETL dataflow, re-expressed Spark-first.
+
+Mirrors /root/reference/spotify-etl.py ``main()`` (:217-289) stage by
+stage — extract (paginated REST) → flatten (from_json + column
+expressions, replacing the dict comprehensions at :76-84, :100-106,
+:121-127, :179-185, :196-202) → union per-playlist results (:241-243)
+→ union+distinct track ids (:250-251) → batched audio-features lookup
+(:151-166) → ``ingest_date`` stamp (:264-266) → typed sinks
+(io.write_jdbc / write_parquet, replacing :209-215).
+
+Spark-first design decisions:
+
+- **Flattening is declarative.** Raw payload items enter Spark as JSON
+  strings; ``from_json`` with the explicit schemas in
+  :mod:`spotify_app_etl_spark.schemas` + ``select`` expressions do the
+  nested-field projection (A5), first-artist access (A6) and genres
+  collapse (A7) inside Catalyst — visible to column pruning and
+  whole-stage codegen, unlike the reference's Python loops.
+- **Fan-out is partitioned.** Per-playlist track fetches (the
+  reference's ``asyncio.gather`` at :240-241) run as ``mapInPandas``
+  over the playlist-id DataFrame — each executor fetches its
+  partition's playlists with a per-partition rate limiter
+  (sources.rest.TokenBucket), which is how a 1000-executor cluster
+  bounds global request rate with zero coordination.
+- **Enrichment joins, not loops.** Audio features fetched via
+  sources.rest.batched_lookup (≤100 ids/request, dedup-before-fetch
+  like :250) and joined back to tracks as a broadcast join.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark import schemas
+from spotify_app_etl_spark.sources import rest
+from spotify_app_etl_spark.sources.spotify_mock import (
+    MockSpotifyTransport,
+    audio_features_for_ids,
+)
+
+#: raw page items land as single-column JSON-string DataFrames
+_RAW = "payload string"
+
+
+def _json_df(spark: SparkSession, items: list[dict]) -> DataFrame:
+    return spark.createDataFrame(
+        [(json.dumps(item),) for item in items], schema=_RAW
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extract + flatten, one function per reference extract.
+# ---------------------------------------------------------------------------
+
+
+def extract_playlists(spark: SparkSession, transport) -> DataFrame:
+    """GET /me/playlists, cursor-paginated (A1) → flatten (:76-84)."""
+    items = rest.fetch_paginated(transport, "/me/playlists?offset=0")
+    parsed = _json_df(spark, items).select(
+        F.from_json("payload", schemas.PLAYLIST_JSON).alias("p")
+    )
+    return parsed.select(
+        F.col("p.id").alias("id"),
+        F.col("p.href").alias("href"),
+        F.col("p.name").alias("name"),
+        F.col("p.owner.display_name").alias("owner"),
+        F.col("p.public").alias("public"),
+        F.col("p.collaborative").alias("collaborative"),
+        F.col("p.tracks.total").alias("tracks"),
+    )
+
+
+def _flatten_track_items(parsed: DataFrame, *extra: str) -> DataFrame:
+    """Common track-item projection (:100-106, :121-127, :179-185):
+    nested track fields + first-artist-only + album name."""
+    return parsed.select(
+        *extra,
+        F.col("t.track.id").alias("id"),
+        F.col("t.track.name").alias("name"),
+        F.element_at(F.col("t.track.artists"), 1)["name"].alias("artist"),
+        F.col("t.track.album.name").alias("album"),
+        F.to_timestamp(F.col("t.added_at")).alias("added_at"),
+        F.to_timestamp(F.col("t.played_at")).alias("played_at"),
+    )
+
+
+def extract_playlist_tracks(
+    spark: SparkSession, playlists: DataFrame, transport, fanout_partitions: int = 8
+) -> DataFrame:
+    """Per-playlist paginated track fetch, distributed (A1 + A16).
+
+    The playlist-id DataFrame repartitions to ``fanout_partitions``;
+    each partition walks its playlists' page chains through one
+    TokenBucket (global rate = sum of per-partition rates — the §2.9
+    bug-1 fix at cluster scale). Null-track items are dropped
+    declaratively after the flatten (:106).
+    """
+
+    def fetch(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = rest.TokenBucket(rate=50.0, burst=5.0)
+        for pdf in parts:
+            for pid in pdf["id"]:
+                items = rest.fetch_paginated(
+                    transport, f"/playlists/{pid}/tracks?offset=0", bucket
+                )
+                if items:
+                    yield pd.DataFrame(
+                        {
+                            "playlist_id": pid,
+                            "payload": [json.dumps(item) for item in items],
+                        }
+                    )
+
+    raw = (
+        playlists.select("id")
+        .repartition(fanout_partitions)
+        .mapInPandas(fetch, schema="playlist_id string, payload string")
+    )
+    parsed = raw.select(
+        "playlist_id", F.from_json("payload", schemas.TRACK_ITEM_JSON).alias("t")
+    )
+    flat = _flatten_track_items(parsed, "playlist_id").select(
+        "id", "name", "artist", "album", "playlist_id"
+    )
+    return flat.filter(F.col("id").isNotNull())  # null-track guard (:106)
+
+
+def extract_saved_tracks(spark: SparkSession, transport) -> DataFrame:
+    """GET /me/tracks (A1) → flatten with added_at (:121-127)."""
+    items = rest.fetch_paginated(transport, "/me/tracks?offset=0")
+    parsed = _json_df(spark, items).select(
+        F.from_json("payload", schemas.TRACK_ITEM_JSON).alias("t")
+    )
+    return _flatten_track_items(parsed).select("id", "name", "artist", "album", "added_at")
+
+
+def extract_recent_tracks(spark: SparkSession, transport) -> DataFrame:
+    """GET /me/player/recently-played — single page ≤50 (A2, :177-185)."""
+    items = rest.fetch_paginated(
+        transport, "/me/player/recently-played", max_pages=1
+    )
+    parsed = _json_df(spark, items).select(
+        F.from_json("payload", schemas.TRACK_ITEM_JSON).alias("t")
+    )
+    return _flatten_track_items(parsed).select(
+        "id", "name", "artist", "album", "played_at"
+    )
+
+
+def extract_followed_artists(spark: SparkSession, transport) -> DataFrame:
+    """GET /me/following?type=artist → flatten (:196-202).
+
+    genres stays ``array<string>``; the reference's ', '-joined string
+    (:199, A7) is derived by the caller via ``concat_ws`` when needed.
+    Paginates fully — the reference's one-page truncation is §2.9 bug 4.
+    """
+    items = rest.fetch_paginated(transport, "/me/following?type=artist&offset=0")
+    parsed = _json_df(spark, items).select(
+        F.from_json("payload", schemas.ARTIST_JSON).alias("a")
+    )
+    return parsed.select(
+        F.col("a.id").alias("id"),
+        F.col("a.name").alias("name"),
+        F.col("a.genres").alias("genres"),
+        F.col("a.popularity").alias("popularity"),
+        F.col("a.followers.total").alias("followers"),
+    )
+
+
+def enrich_audio_features(
+    spark: SparkSession, playlist_tracks: DataFrame, saved_tracks: DataFrame
+) -> DataFrame:
+    """Union+distinct track ids (:250-251, A11) → batched lookup (A3)."""
+    ids = (
+        playlist_tracks.select("id")
+        .union(saved_tracks.select("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
+    return rest.batched_lookup(
+        ids,
+        audio_features_for_ids,
+        result_schema=schemas.AUDIO_FEATURES,
+        batch_size=100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Orchestration (reference main(), :217-289).
+# ---------------------------------------------------------------------------
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    transport=None,
+    ingest_date: bool = True,
+) -> dict[str, DataFrame]:
+    """Full ETL run → the six reference tables as typed DataFrames.
+
+    ``ingest_date=True`` stamps ``current_timestamp()`` like :264-266;
+    oracle-checked queries pass False for determinism.
+    """
+    transport = transport or MockSpotifyTransport(sf_dir)
+    playlists = extract_playlists(spark, transport)
+    playlist_tracks = extract_playlist_tracks(spark, playlists, transport)
+    saved = extract_saved_tracks(spark, transport)
+    tables: dict[str, DataFrame] = {
+        "playlists": playlists,
+        "playlists_tracks": playlist_tracks,
+        "saved_tracks": saved,
+        "recent_tracks": extract_recent_tracks(spark, transport),
+        "followed_artists": extract_followed_artists(spark, transport),
+        "audio_features": enrich_audio_features(spark, playlist_tracks, saved),
+    }
+    if ingest_date:
+        tables = {
+            name: df.withColumn("ingest_date", F.current_timestamp())
+            for name, df in tables.items()
+        }
+    return tables

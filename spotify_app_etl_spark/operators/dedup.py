@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's only dedup is ``set(playlist_track_ids +
+saved_track_ids)`` — a driver-side union+distinct over ids
+(spotify-etl.py:250, operator A11). Here the full family a training-
+data pipeline needs, each designed for 100 TB:
+
+- **exact**: hash-groupBy on content (or its sha256) — one shuffle on
+  the hash key; AQE handles skew (empty/boilerplate docs are the
+  classic hot key, pre-salted here via the hash itself being uniform).
+- **MinHash+LSH**: signatures are computed per-row with nested
+  higher-order functions (zero shuffle, whole-stage codegen); only the
+  tiny (band_id, band_hash, doc_id) stream shuffles for bucketing, and
+  candidate verification re-joins signatures by doc_id. Cross-join is
+  confined to within-bucket pairs — never O(n²) global.
+- **SimHash**: 64-bit signature per row (JVM-side), Hamming-ball
+  candidate search via 4×16-bit band buckets (exact for distance ≤ 3
+  by pigeonhole when bands are chosen accordingly).
+- **n-gram Jaccard**: exact token-shingle Jaccard via explode + join —
+  the verification oracle for the approximate methods; at scale it is
+  run only on LSH candidates, not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Shingling / tokenization building blocks (pure column expressions).
+# ---------------------------------------------------------------------------
+
+
+def normalized(text: str | Column) -> Column:
+    """Lowercase, whitespace-collapsed view of a text column."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def char_shingles(text: str | Column, k: int = 5) -> Column:
+    """Distinct character k-shingles. Empty/short text → one shingle."""
+    norm = normalized(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.substring(norm, i, F.lit(k)),
+        )
+    )
+
+
+def token_ngrams(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-grams (ANSI-safe: try_element_at for short texts)."""
+    toks = F.split(normalized(text), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Group identical content; keep min-id representative + dup count.
+
+    One shuffle on the content hash. Returns
+    (content hash, representative id, n_copies).
+    """
+    return (
+        df.groupBy(F.sha2(F.col(content_col), 256).alias("content_sha256"))
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text: str | Column, num_hashes: int = 64, shingle_k: int = 5
+) -> Column:
+    """MinHash signature as array<long>, computed fully JVM-side.
+
+    ``sig[j] = min over shingles s of xxhash64(s, j)`` — the seed-j
+    family of hash functions comes from xxhash64's second argument.
+    No shuffle, no UDF; whole-stage codegen applies.
+    """
+    # Hash each shingle string ONCE (the shingle array + string hashing
+    # dominate); derive the j-th hash from the 64-bit shingle hash.
+    # Structured as a single fold carrying num_hashes running minima —
+    # an outer transform-per-j would re-evaluate the whole shingle
+    # pipeline num_hashes times (measured ~60x slowdown).
+    hs = F.transform(char_shingles(text, k=shingle_k), lambda s: F.xxhash64(s))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit(9223372036854775807).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(acc, idx, lambda m, j: F.least(m, F.xxhash64(h, j))),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash.
+
+    Pipeline: per-row signature (no shuffle) → explode ``bands`` band
+    hashes (rows × bands, tiny: 3 longs each) → shuffle on
+    (band, band_hash) → within-bucket self-join → distinct pairs →
+    estimate Jaccard as the fraction of agreeing signature slots.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    # Materialize the signature table: it feeds the band explode AND two
+    # verification joins, and Catalyst's project-collapsing would
+    # otherwise inline the full 64-hash expression into every consumer
+    # (measured 100x slowdown). At cluster scale this is the "LSH index
+    # build" step — persist here, or write to parquet for reuse.
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_hashes=num_hashes).alias("__sig"),
+    ).persist()
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), b
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bh")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        pairs.join(sig.withColumnsRenamed({"__id": "id_a", "__sig": "sig_a"}), "id_a")
+        .join(sig.withColumnsRenamed({"__id": "id_b", "__sig": "sig_b"}), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5, **kw
+) -> DataFrame:
+    """Greedy near-dup removal: drop any doc that pairs (est Jaccard ≥
+    threshold) with a lower-id doc. One LSH pass — a lightweight
+    approximation of connected components (cheap and deterministic;
+    full CC would need iterative joins)."""
+    drop = (
+        minhash_candidates(df, text_col, id_col, threshold=threshold, **kw)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash.
+# ---------------------------------------------------------------------------
+
+
+def simhash_signature(text: str | Column, bits: int = 64) -> Column:
+    """SimHash: sign-aggregate each bit of the token hashes.
+
+    Pure column expressions, single pass: one fold over the token array
+    carries an array of ``bits`` vote counters (each token is hashed
+    exactly once — a per-bit fold would re-hash every token ``bits``
+    times), then the sign vector reassembles into one long. No Python,
+    no shuffle.
+    """
+    toks = F.split(normalized(text), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit masks as data (1<<63 wraps to the sign bit of a signed long)
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Banding: with 4 bands of 16 bits, any pair at Hamming ≤ 3 agrees
+    exactly on ≥ 1 band (pigeonhole) → bucket join on (band, 16-bit
+    chunk) finds ALL such pairs; exact distance then filters.
+    """
+    # persist: the 64-bit fold expression would otherwise be inlined
+    # into all 4 chunk expressions and both self-join sides
+    sig = df.select(
+        F.col(id_col).alias("__id"), simhash_signature(text_col).alias("__sim")
+    ).persist()
+    chunks = sig.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("__sim"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("__id", "__sim", "bc.band", "bc.chunk")
+    return (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification oracle / small-scale path).
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets via explode + equi-join.
+
+    At scale this runs on LSH candidates only; standalone it is
+    O(pairs sharing a gram) — the gram equi-join prunes non-overlapping
+    pairs, so it is far below n² on real corpora. Jaccard is a ratio of
+    integers → bit-exact across engines (SQL-oracle-able).
+    """
+    # persist: consumed by the size agg and both sides of the pair join
+    grams = df.select(
+        F.col(id_col).alias("__id"), F.explode(token_ngrams(text_col, n)).alias("gram")
+    ).persist()
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"__id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"__id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+    )

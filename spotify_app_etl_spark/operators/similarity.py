@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force top-k cosine as the exact baseline, and a random-
+hyperplane LSH-bucketed ANN as the scale path. All vector math is
+column expressions over arrays (zip_with / aggregate folds → whole-
+stage codegen); no Python in the hot path.
+
+Determinism: dot products are left-fold sums in array order — the same
+order DuckDB's list_reduce uses — so the exact variant is SQL-oracle-
+able bit-for-bit (after a defensive round).
+
+Scale (100 TB): brute force is O(|queries| × |corpus|); it is only the
+baseline and the within-bucket kernel. The ANN variant buckets corpus
+and queries by 16 sign-bits of deterministic random projections: the
+corpus shuffles once on bucket id, each query joins only its bucket
+(plus optional 1-bit multiprobe neighbors for recall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return arr.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product (order matches DuckDB list_reduce)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    The (small) query side is broadcast; the corpus streams through the
+    join without shuffling. The only shuffle is the final per-query
+    window, keyed on query_id (cardinality = |queries|) — at scale,
+    replace with a partial top-k per partition before the window (AQE
+    keeps it cheap at our sizes). Cosine is rounded to 8 digits to
+    absorb last-ulp libm differences; ties break on corpus id.
+    """
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 8))
+        .drop("__qv", "__cv")
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplane / sign LSH).
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_bucket(vec: Column, planes: int = 16, table: int = 0) -> Column:
+    """Deterministic sign-LSH bucket id (int) from ``planes`` pseudo-
+    random hyperplanes (one independent family per ``table``).
+
+    Plane p's weight for dimension d is ±1 derived from
+    xxhash64(table*1024+p, d) parity — reproducible across runs and
+    executors with no side data to broadcast.
+    bucket bit p = sign(Σ_d w_pd · v_d).
+    """
+    v = _as_double(vec)
+    def bit(p: int) -> Column:
+        seed = table * 1024 + p
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: F.when(
+                    F.xxhash64(F.lit(seed), d).bitwiseAND(F.lit(1)) == 1, x
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+    out = F.lit(0)
+    for p in range(planes):
+        out = out.bitwiseOR(bit(p))
+    return out
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching LSH buckets.
+
+    ``tables`` independent hash tables multiply recall (candidate set =
+    union over tables) at the cost of ``tables``× corpus index rows —
+    the standard LSH tradeoff; the corpus-side explode is the index
+    build, one shuffle on (table, bucket). With ``multiprobe`` each
+    query additionally probes the ``planes`` buckets at Hamming
+    distance 1 per table.
+
+    De-dup before scoring: a pair found in several tables is scored
+    once (distinct on (query, corpus)), keeping cost ∝ unique
+    candidates.
+    """
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec).alias("__cv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(F.col(vec), planes, table=t).alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(corpus_id, "__cv", "tb.tbl", "tb.bkt")
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec).alias("__qv"),
+        *[hyperplane_bucket(F.col(vec), planes, table=tb).alias(f"__b{tb}") for tb in range(tables)],
+    )
+    probe_structs = []
+    for tb in range(tables):
+        b0 = F.col(f"__b{tb}")
+        probe_structs.append(F.struct(F.lit(tb).alias("tbl"), b0.alias("bkt")))
+        if multiprobe:
+            for p in range(planes):
+                probe_structs.append(
+                    F.struct(
+                        F.lit(tb).alias("tbl"),
+                        b0.bitwiseXOR(F.lit(1 << p)).alias("bkt"),
+                    )
+                )
+    q = q.select(
+        query_id, "__qv", F.explode(F.array_distinct(F.array(*probe_structs))).alias("tb")
+    ).select(query_id, "__qv", "tb.tbl", "tb.bkt")
+    candidates = (
+        c.join(F.broadcast(q.drop("__qv")), ["tbl", "bkt"])
+        .select(query_id, corpus_id)
+        .distinct()
+    )
+    scored = (
+        candidates.join(F.broadcast(queries.select(F.col(query_id), F.col(vec).alias("__qv"))), query_id)
+        .join(corpus.select(F.col(corpus_id), F.col(vec).alias("__cv")), corpus_id)
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 8))
+        .drop("__qv", "__cv")
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,1 +1,186 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Event-time queries: tumbling / sliding / session windows + pivot.
+
+Batch-mode analogs of the Structured Streaming jobs in
+``spotify_app_etl_spark.streaming`` — same ``F.window`` /
+``F.session_window`` expressions, so the oracle checks here validate
+the streaming semantics too (a Spark streaming windowed agg and the
+batch windowed agg share the same logical operator).
+
+The reference's closest analog is the ``recent_tracks`` event log with
+``played_at`` event time (spotify-etl.py:179-185), which it snapshots
+instead of windowing (SURVEY.md §1.1) — these queries are the
+first-class treatment of that shape.
+
+Semantics pinned for oracle parity:
+- Spark tumbling windows are epoch-aligned → DuckDB ``time_bucket``.
+- A sliding window (size 1h, slide 30m) = union of two epoch-aligned
+  tumbling grids offset by 0 and 30 minutes.
+- Spark session windows merge events whose gap is STRICTLY less than
+  the timeout; session end = last event ts + gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark.plans.common import dec, dsum, t
+from spotify_app_etl_spark.registry import query
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_events_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "window-agg"),
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+@query(
+    "q_events_sliding",
+    note="1h windows sliding every 30m = two offset tumbling grids",
+    oracle="""
+SELECT window_start, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 1 HOUR, ts, INTERVAL 30 MINUTE) AS window_start, value
+  FROM events
+)
+GROUP BY window_start
+""",
+    tags=("events", "window-agg"),
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dec("value"), "value_sum"))
+        .select(F.col("w.start").alias("window_start"), "n", "value_sum")
+    )
+
+
+@query(
+    "q_events_session",
+    note="session windows, 10-minute gap, per user — gaps-and-islands "
+    "oracle; Spark merges on gap < timeout, session end = last ts + gap",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("events", "session-window"),
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_events_pivot",
+    note="pivot event counts per user into one column per event type",
+    oracle="""
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+""",
+    tags=("events", "pivot"),
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)  # explicit values: no extra scan
+        .count()
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in EVENT_TYPES],
+    )
+
+
+@query(
+    "q_events_gap_stats",
+    note="sessionization precursor: per-user inter-event gap statistics "
+    "via lag (streaming state analog)",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s
+FROM (
+  SELECT user_id,
+         date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+  FROM events
+)
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+""",
+    tags=("events", "window"),
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+    )

@@ -1,1 +1,286 @@
-"""Placeholder — queries registered in a later milestone."""
+"""North-star LLM-data-pipeline queries (BASELINE.json): dedup,
+similarity search, text analysis — over the ``documents`` and
+``embeddings`` testdata tables.
+
+Exact/deterministic operators carry full DuckDB oracles (including the
+n-gram Jaccard join and the brute-force cosine top-k — both bit-exact
+across engines). Hash-family operators (MinHash/SimHash/LSH) are
+engine-defined → rows-only here, with recall/self-consistency checks
+in tests/test_operators.py against the exact variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark.functions import text as TX
+from spotify_app_etl_spark.operators import dedup as DD
+from spotify_app_etl_spark.operators import similarity as SIM
+from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.registry import query
+
+#: SQL fragment: normalized token list (mirror of dedup.normalized + split)
+_TOKS = "str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+
+@query(
+    "ns_dedup_exact",
+    note="exact content dedup by sha256 hash-groupBy (scales: one "
+    "shuffle on a uniform key)",
+    oracle="""
+SELECT sha256(text) AS content_sha256,
+       MIN(doc_id)  AS representative_id,
+       COUNT(*)     AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+    tags=("northstar", "dedup"),
+)
+def ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "ns_dedup_ngram_jaccard",
+    note="exact word-3-gram Jaccard ≥ 0.5 near-dup pairs via explode + "
+    "gram equi-join (integer-ratio math → bit-exact oracle)",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks)-2, 1) + 1),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS gram
+  FROM norm
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5
+""",
+    tags=("northstar", "dedup"),
+)
+def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+@query(
+    "ns_dedup_minhash_pairs",
+    note="MinHash(64)+LSH(16 bands) candidate pairs, est. Jaccard ≥ 0.5 "
+    "— hash-defined → rows-only; recall vs exact Jaccard asserted in "
+    "tests/test_operators.py",
+    tags=("northstar", "dedup", "lsh"),
+)
+def ns_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_candidates(
+        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+@query(
+    "ns_dedup_minhash_apply",
+    note="end-to-end fuzzy dedup: corpus minus greedy near-dup closure",
+    tags=("northstar", "dedup", "lsh"),
+)
+def ns_dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = DD.minhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5)
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "ns_dedup_simhash_pairs",
+    note="SimHash-64 near-dup pairs at Hamming ≤ 3 via 4×16-bit band "
+    "buckets (pigeonhole-complete) — hash-defined → rows-only",
+    tags=("northstar", "dedup", "simhash"),
+)
+def ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_candidates(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "ns_sim_topk_bruteforce",
+    note="exact top-5 cosine neighbors for query vectors vec_id<20; "
+    "left-fold double math mirrors DuckDB list_reduce bit-for-bit",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, corpus_id,
+         round(
+           list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]), (a,b) -> a+b)
+           / (sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b) -> a+b))
+              * sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b))), 8) AS cos_sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, corpus_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, corpus_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    tags=("northstar", "similarity"),
+)
+def ns_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk_bruteforce(
+        emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        k=5,
+    )
+    return out.select("query_id", "corpus_id", "cos_sim", "rank")
+
+
+@query(
+    "ns_sim_topk_lsh",
+    note="ANN variant: sign-LSH, 8 tables × 8 planes + 1-bit multiprobe "
+    "— bucket-dependent → rows-only; recall vs brute force asserted in "
+    "tests/test_operators.py",
+    tags=("northstar", "similarity", "lsh"),
+)
+def ns_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        k=5,
+        planes=8,
+        tables=8,
+    )
+    return out.select("query_id", "corpus_id", "cos_sim", "rank")
+
+
+@query(
+    "ns_text_stats",
+    note="token counting, punctuation/digit profiling, language-ID "
+    "heuristic, quality score — all JVM-side column expressions",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), hits AS (
+  SELECT doc_id, text, toks,
+    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','for','with','a'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','los','por','una'], t))) AS h_es,
+    len(list_filter(toks, t -> list_contains(['der','die','und','das','nicht','von','ist','mit','den','ein'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une','dans','pour','que','sur'], t))) AS h_fr
+  FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS digit_ratio,
+       round(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a,b) -> a+b)
+             / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_tok_len,
+       h_en AS en_stopword_hits,
+       CASE WHEN h_en = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'en'
+            WHEN h_es = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'es'
+            WHEN h_de = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'de'
+            WHEN h_fr = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       round(greatest(least(
+           0.5 * least(len(toks) / 50.0, 1.0)
+         + 0.5 * least(h_en / 5.0, 1.0)
+         - length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE),
+         1.0), 0.0), 6) AS quality
+FROM hits
+""",
+    tags=("northstar", "text"),
+)
+def ns_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.punct_count("text").alias("n_punct"),
+        F.round(TX.digit_ratio("text"), 6).alias("digit_ratio"),
+        F.round(TX.mean_token_length("text"), 6).alias("mean_tok_len"),
+        TX.stopword_hits("text", "en").alias("en_stopword_hits"),
+        TX.language_id("text").alias("lang_guess"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "ns_text_language_profile",
+    note="corpus profile: docs + mean quality per detected language",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents
+), hits AS (
+  SELECT doc_id, text, toks,
+    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','for','with','a'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','los','por','una'], t))) AS h_es,
+    len(list_filter(toks, t -> list_contains(['der','die','und','das','nicht','von','ist','mit','den','ein'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une','dans','pour','que','sur'], t))) AS h_fr
+  FROM base
+), scored AS (
+  SELECT doc_id,
+       CASE WHEN h_en = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'en'
+            WHEN h_es = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'es'
+            WHEN h_de = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'de'
+            WHEN h_fr = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       round(greatest(least(
+           0.5 * least(len(toks) / 50.0, 1.0)
+         + 0.5 * least(h_en / 5.0, 1.0)
+         - length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE),
+         1.0), 0.0), 6) AS quality
+  FROM hits
+)
+SELECT lang_guess, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS mean_quality
+FROM scored GROUP BY lang_guess
+""",
+    tags=("northstar", "text", "agg"),
+)
+def ns_text_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = t(spark, sf_dir, "documents").select(
+        TX.language_id("text").alias("lang_guess"),
+        TX.quality_score("text").alias("quality"),
+    )
+    return scored.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+    )
+
+
+@query(
+    "ns_doc_fingerprint",
+    note="polynomial rolling-hash fingerprint (mod 2^31-1), left fold "
+    "over normalized characters — exact SQL mirror via list_reduce",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, greatest(length(nt), 1) + 1),
+                          i -> CAST(greatest(unicode(nt[i]), 0) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
+FROM norm
+""",
+    tags=("northstar", "text", "hash"),
+)
+def ns_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", TX.fingerprint("text").alias("fingerprint")
+    )

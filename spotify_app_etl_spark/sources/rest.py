@@ -1,0 +1,176 @@
+"""Generic REST-source machinery: pagination, batched-key lookup,
+rate limiting, bounded retry.
+
+Re-expresses the reference's connector patterns (operators A1-A4,
+SURVEY.md §2) with the bugs fixed (§2.9):
+
+- **Pagination** (A1): cursor-follow loop over ``page['next']``
+  (/root/reference/spotify-etl.py:71-75) — driver-side here, because a
+  page chain is inherently sequential; the *result* becomes a
+  DataFrame immediately, and independent endpoints fan out in Spark as
+  independent DataFrames.
+- **Batched-key lookup** (A3): the reference splits an id list into
+  ≤100-id chunks with duplicated divisible/remainder loops
+  (spotify-etl.py:151-166). Here: one expression — ids DataFrame →
+  ``floor(row_number/batch)`` → ``collect_list`` → ``mapInPandas``
+  fetch, distributed so 10⁹ keys fan out across executors.
+- **Rate limiting** (A4): the reference constructs its
+  ``asyncio.Semaphore(5)`` per call so the cap never binds
+  (spotify-etl.py:48, §2.9 bug 1). Fixed properly for a cluster: a
+  token bucket *per partition* with rate = global_rate /
+  num_partitions — a global cap with no cross-executor coordination;
+  ``repartition(k)`` on the batch table bounds global concurrency.
+- **Retry** (A4): the reference recurses unboundedly on HTTP 429
+  (spotify-etl.py:59, §2.9 bug 3). Here: bounded attempts honoring
+  ``Retry-After``, then raise (Spark's ``spark.task.maxFailures``
+  supplies the outer retry loop at cluster level).
+
+The transport is injected (any callable ``(url) -> dict``) so tests
+and the ETL-parity pipeline use deterministic in-process fakes; a
+production deployment would pass a real HTTP client. Transports must
+be picklable — executors call them inside ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+Transport = Callable[[str], dict]
+
+
+class RetryBudgetExceeded(RuntimeError):
+    """Raised when a request keeps returning 429 past max_attempts."""
+
+
+@dataclass
+class TokenBucket:
+    """Minimal token-bucket rate limiter (monotonic clock).
+
+    One instance per partition; callers size ``rate`` as
+    global_rate / num_partitions so the fleet-wide request rate is
+    bounded without any cross-executor coordination.
+    """
+
+    rate: float  # tokens per second
+    burst: float = 1.0
+    _tokens: float = field(default=0.0, init=False)
+    _last: float = field(default=0.0, init=False)
+
+    def acquire(self) -> None:
+        now = time.monotonic()
+        if self._last == 0.0:
+            self._last = now
+            self._tokens = self.burst
+        self._tokens = min(self.burst, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+        if self._tokens < 1.0:
+            wait = (1.0 - self._tokens) / self.rate
+            time.sleep(wait)
+            self._tokens = 1.0
+            self._last = time.monotonic()
+        self._tokens -= 1.0
+
+
+def request_with_retry(
+    transport: Transport,
+    url: str,
+    bucket: TokenBucket | None = None,
+    max_attempts: int = 5,
+) -> dict:
+    """GET with bounded 429 retry honoring Retry-After (fixes §2.9 bug 3).
+
+    A transport signals throttling by returning
+    ``{"status": 429, "retry_after": seconds}``; any other dict is the
+    payload.
+    """
+    for _ in range(max_attempts):
+        if bucket is not None:
+            bucket.acquire()
+        payload = transport(url)
+        if payload.get("status") == 429:
+            time.sleep(float(payload.get("retry_after", 1.0)))
+            continue
+        return payload
+    raise RetryBudgetExceeded(f"{max_attempts} attempts exhausted for {url}")
+
+
+def fetch_paginated(
+    transport: Transport,
+    url: str,
+    bucket: TokenBucket | None = None,
+    max_pages: int | None = None,
+) -> list[dict]:
+    """Cursor-follow pagination (A1): accumulate ``items`` until
+    ``next`` is null. ``max_pages=1`` gives the single-page variant
+    (A2) — but as an explicit cap, not the reference's silent
+    truncation (§2.9 bug 4)."""
+    items: list[dict] = []
+    pages = 0
+    while url:
+        payload = request_with_retry(transport, url, bucket)
+        items.extend(payload.get("items", []))
+        pages += 1
+        if max_pages is not None and pages >= max_pages:
+            break
+        url = payload.get("next")
+    return items
+
+
+def batched_lookup(
+    ids: DataFrame,
+    fetch_batch: Callable[[list[str]], list[dict]],
+    result_schema,
+    batch_size: int = 100,
+    max_concurrent_partitions: int | None = None,
+    global_rate: float | None = None,
+) -> DataFrame:
+    """Distributed batched-key REST lookup (A3, scaled out).
+
+    ``ids`` — single-column DataFrame of keys (dedupe upstream, mirroring
+    the reference's dedup-before-fetch at spotify-etl.py:250).
+    Plan: global row_number → ``floor(rn / batch_size)`` group →
+    ``collect_list`` (one row per batch) → optional ``repartition(k)``
+    to bound concurrency → ``mapInPandas`` calling ``fetch_batch`` per
+    batch with a per-partition token bucket.
+
+    The row_number window is a single-partition shuffle over *ids only*
+    (bytes per row: one key) — fine into the billions; beyond that,
+    swap for ``zipWithIndex``-style per-partition offsets.
+    """
+    id_col = ids.columns[0]
+    from pyspark.sql import Window as W
+
+    batches = (
+        ids.withColumn(
+            "__batch",
+            F.floor(
+                (F.row_number().over(W.orderBy(id_col)) - 1) / F.lit(batch_size)
+            ),
+        )
+        .groupBy("__batch")
+        .agg(F.collect_list(id_col).alias("__ids"))
+    )
+    if max_concurrent_partitions:
+        batches = batches.repartition(max_concurrent_partitions)
+
+    n_parts = max_concurrent_partitions or 8
+
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = (
+            TokenBucket(rate=global_rate / n_parts, burst=2.0) if global_rate else None
+        )
+        for pdf in parts:
+            for id_list in pdf["__ids"]:
+                if bucket is not None:
+                    bucket.acquire()
+                rows = fetch_batch(list(id_list))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return batches.mapInPandas(run, schema=result_schema)

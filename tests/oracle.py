@@ -43,6 +43,10 @@ def _canon_cell(v):
         return repr(int(v))
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, _dt.date):
+        # normalize DATE to midnight-timestamp form: pandas promotes
+        # duckdb DATE to datetime64 while Spark DateType stays date
+        return v.isoformat() + "T00:00:00.000000"
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):

@@ -1,0 +1,137 @@
+"""Self-consistency and recall checks for the hash-family operators
+(MinHash/SimHash/LSH) that have no SQL oracle, plus unit checks for
+the text-analysis functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_app_etl_spark.functions import text as TX
+from spotify_app_etl_spark.io import load_table
+from spotify_app_etl_spark.operators import dedup as DD
+from spotify_app_etl_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    """LSH candidates must recover ≥90% of true Jaccard≥0.8 pairs."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain near-duplicate documents"
+    mh = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    recall = len(exact & mh) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} true pairs"
+
+
+def test_minhash_dedup_drops_duplicates(spark, docs):
+    kept = DD.minhash_dedup(docs, "text", "doc_id", threshold=0.5)
+    n_all, n_kept = docs.count(), kept.count()
+    assert n_kept < n_all  # fixture has near-dups → something must drop
+    # representative (lower id) of each pair survives
+    pairs = DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5).collect()
+    kept_ids = {r.doc_id for r in kept.collect()}
+    for p in pairs:
+        assert p.id_b not in kept_ids
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different words about database engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select("doc_id", DD.simhash_signature("text").alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert bin(sigs[1] ^ sigs[3]).count("1") > 10
+    pairs = DD.simhash_candidates(df, "text", "doc_id", max_hamming=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
+    )
+    out = {r.representative_id: r.n_copies for r in DD.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_lsh_ann_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    bf = {(r.query_id, r.corpus_id) for r in SIM.cosine_topk_bruteforce(q, c, k=5).collect()}
+    lsh = {
+        (r.query_id, r.corpus_id)
+        for r in SIM.cosine_topk_lsh(q, c, k=5, planes=8, tables=8).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.5, f"ANN recall {recall}"
+    # self-match must always be found (query is its own bucket)
+    for qid in range(20):
+        assert (qid, qid) in lsh
+
+
+def test_bruteforce_self_similarity(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    top1 = (
+        SIM.cosine_topk_bruteforce(q, c, k=1)
+        .select("query_id", "corpus_id", "cos_sim")
+        .collect()
+    )
+    for r in top1:
+        assert r.query_id == r.corpus_id and abs(r.cos_sim - 1.0) < 1e-6
+
+
+def test_language_id_obvious_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are in the house of a king"),
+            (2, "el perro y el gato en la casa de los reyes por una noche"),
+            (3, "der hund und die katze sind nicht mit dem ein von das haus"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in df.select("doc_id", TX.language_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_token_and_quality(spark):
+    df = spark.createDataFrame([(1, "  the   quick  brown fox  ")], "id long, text string")
+    row = df.select(
+        TX.token_count("text").alias("n"),
+        TX.quality_score("text").alias("q"),
+        TX.fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert row.n == 4
+    assert 0.0 <= row.q <= 1.0
+    # fingerprint deterministic and whitespace-normalization-invariant
+    row2 = (
+        spark.createDataFrame([(1, "the quick brown fox")], "id long, text string")
+        .select(TX.fingerprint("text").alias("fp"))
+        .collect()[0]
+    )
+    assert row.fp == row2.fp
