@@ -6,10 +6,12 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall-clock over the headline set (lower is
-better). Each query is forced with a count() action so the full plan
-executes but no result ferries to the driver. A short warmup query
-absorbs JVM/codegen startup so per-query numbers measure the plans,
-not session bootstrap.
+better). Each query is forced with an xxhash64-over-all-columns
+aggregate: every output column is computed (a bare count() would let
+Catalyst prune projection-only queries down to a row count) while only
+one row ferries to the driver. A short warmup query absorbs
+JVM/codegen startup so per-query numbers measure the plans, not
+session bootstrap.
 
 Usage:
     python bench.py                 # headline set at sf0.1
@@ -69,13 +71,20 @@ def main() -> None:
     registry = load_all()
     names = sorted(registry) if args.all else [n for n in HEADLINE if n in registry]
 
+    from pyspark.sql import functions as F
+
+    def force(df) -> None:
+        """Evaluate the full plan: hash every column of every row
+        (bit_xor can't overflow under ANSI mode, unlike sum)."""
+        df.agg(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+
     # Warmup: trigger JVM+Arrow+codegen paths once, untimed.
-    registry["q01_pricing_summary"].fn(spark, args.sf).count()
+    force(registry["q01_pricing_summary"].fn(spark, args.sf))
 
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
-        registry[name].fn(spark, args.sf).count()
+        force(registry[name].fn(spark, args.sf))
         timings[name] = round(time.perf_counter() - start, 3)
 
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]

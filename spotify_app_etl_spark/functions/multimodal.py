@@ -1,0 +1,162 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+Pattern for a 100 TB training-data pipeline:
+
+- A multimodal table = (id, payload binary, meta struct<...>) — the
+  payload is NEVER interpreted by Catalyst; filters/joins/partitioning
+  run on the metadata columns, so predicate pushdown and column
+  pruning still apply (a metadata-only query never reads payload
+  bytes from parquet thanks to columnar storage).
+- Decode / feature-extraction crosses into Python exactly once, via
+  ``mapInPandas`` (Arrow batches, ``spark.sql.execution.arrow
+  .maxRecordsPerBatch`` bounds batch memory = batch_rows x payload
+  size). Partition count bounds decode parallelism.
+- The real decoders (PIL/libav/etc.) are not in this container —
+  :func:`decode_image` raises ``NotImplementedError`` unless a decoder
+  is importable, and the pipeline stages use
+  :func:`fake_decode_features`, a deterministic pure-Python stand-in
+  with the same signature/schema, so the plumbing (schemas, batch
+  shapes, explode of frame samples) is fully real and tested.
+
+The driver testdata has no binary table; :func:`documents_as_binary`
+derives one deterministically from ``documents`` (UTF-8 payload +
+metadata), which keeps every downstream stage oracle-able where the
+math is SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+#: metadata struct carried alongside every payload
+META_SCHEMA = (
+    "format string, n_bytes long, width int, height int, sample_rate int"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_mean double, byte_min int, byte_max int, "
+    "n_distinct_bytes int, head_hex string"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_hash string"
+
+
+def documents_as_binary(docs: DataFrame) -> DataFrame:
+    """documents → multimodal-shaped table: payload = UTF-8 bytes of
+    ``text``, metadata derived deterministically (fake width/height
+    from doc_id so partition-pruning-style predicates are testable)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake/rgb8").alias("format"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decoders: real (gated) and fake (deterministic).
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes):  # pragma: no cover - container lacks PIL
+    """Decode an image payload to a pixel array. STUB: the container
+    ships no image codec; a deployment with Pillow installed gets the
+    real path via the import-try."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires Pillow; use fake_decode_features for "
+            "plumbing tests"
+        ) from exc
+
+
+def fake_decode_features(payload: bytes) -> dict:
+    """Deterministic stand-in for decode + feature extraction: byte
+    statistics of the payload (pure Python/NumPy, reproducible)."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return {
+            "n_bytes": 0,
+            "byte_mean": 0.0,
+            "byte_min": 0,
+            "byte_max": 0,
+            "n_distinct_bytes": 0,
+            "head_hex": "",
+        }
+    return {
+        "n_bytes": int(arr.size),
+        "byte_mean": float(arr.sum()) / arr.size,
+        "byte_min": int(arr.min()),
+        "byte_max": int(arr.max()),
+        "n_distinct_bytes": int(np.unique(arr).size),
+        "head_hex": payload[:8].hex(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stages.
+# ---------------------------------------------------------------------------
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """Feature-extraction stage: one Python crossing, Arrow-batched.
+
+    Narrow (no shuffle): each partition decodes its own payloads; at
+    scale, repartition upstream to bound per-task decode memory.
+    """
+
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            feats = [fake_decode_features(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return mm.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(mm: DataFrame, frame_size: int = 256, every_k: int = 4) -> DataFrame:
+    """Frame-sampling stage for "video" payloads: split the payload
+    into fixed-size frames, keep every k-th, one output row per kept
+    frame (mapInPandas explode — row counts change, which a scalar
+    pandas_udf cannot do)."""
+    import hashlib
+
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[off : off + frame_size]
+                    for off in range(0, len(payload), frame_size)
+                ]
+                for idx in range(0, len(frames), every_k):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_bytes": len(frames[idx]),
+                            "frame_hash": hashlib.sha256(frames[idx]).hexdigest()[:16],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_hash"]
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -86,13 +86,21 @@ def quality_score(text: str | Column) -> Column:
     )
 
 
-def fingerprint(text: str | Column, mod: int = 2147483647) -> Column:
+def fingerprint(
+    text: str | Column, mod: int = 2147483647, *, assume_normalized: bool = False
+) -> Column:
     """Polynomial rolling hash over characters: acc = (acc*31 + code) % m.
 
     Left fold in character order — identical to DuckDB's list_reduce —
     and kept under 2^36 so ANSI-mode arithmetic never overflows.
+
+    PERF: the string is indexed per character inside the transform
+    lambda — pre-project the normalized text and pass
+    ``assume_normalized=True`` on hot paths (an inline normalization
+    would re-run its regexp once per character).
     """
-    norm = normalized(text)
+    col = F.col(text) if isinstance(text, str) else text
+    norm = col if assume_normalized else normalized(col)
     codes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
         lambda i: F.ascii(F.substring(norm, i, F.lit(1))),

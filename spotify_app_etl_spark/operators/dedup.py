@@ -36,9 +36,19 @@ def normalized(text: str | Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
-def char_shingles(text: str | Column, k: int = 5) -> Column:
-    """Distinct character k-shingles. Empty/short text → one shingle."""
-    norm = normalized(text)
+def char_shingles(
+    text: str | Column, k: int = 5, *, assume_normalized: bool = False
+) -> Column:
+    """Distinct character k-shingles. Empty/short text → one shingle.
+
+    PERF: the source string is referenced *per element* inside the
+    transform lambda. Pass a pre-projected plain column (and
+    ``assume_normalized=True``) — an inline ``normalized(...)``
+    expression would re-run the regexp once per shingle (measured 7x
+    slowdown end-to-end). Operators below project ``__norm`` first.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    norm = col if assume_normalized else normalized(col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
@@ -47,9 +57,17 @@ def char_shingles(text: str | Column, k: int = 5) -> Column:
     )
 
 
-def token_ngrams(text: str | Column, n: int = 3) -> Column:
-    """Distinct word n-grams (ANSI-safe: try_element_at for short texts)."""
-    toks = F.split(normalized(text), " ")
+def token_ngrams(
+    text: str | Column, n: int = 3, *, assume_tokens: bool = False
+) -> Column:
+    """Distinct word n-grams (ANSI-safe: try_element_at for short texts).
+
+    Same per-element-reference caveat as :func:`char_shingles`: the
+    token array is indexed 3x per gram — pass a pre-projected token
+    array (``assume_tokens=True``) on hot paths.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = col if assume_tokens else F.split(normalized(col), " ")
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
@@ -86,20 +104,27 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_signature(
-    text: str | Column, num_hashes: int = 64, shingle_k: int = 5
+    text: str | Column,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    *,
+    assume_normalized: bool = False,
 ) -> Column:
     """MinHash signature as array<long>, computed fully JVM-side.
 
-    ``sig[j] = min over shingles s of xxhash64(s, j)`` — the seed-j
+    ``sig[j] = min over shingles s of xxhash64(h(s), j)`` — the seed-j
     family of hash functions comes from xxhash64's second argument.
-    No shuffle, no UDF; whole-stage codegen applies.
+    No shuffle, no UDF.
     """
     # Hash each shingle string ONCE (the shingle array + string hashing
     # dominate); derive the j-th hash from the 64-bit shingle hash.
     # Structured as a single fold carrying num_hashes running minima —
     # an outer transform-per-j would re-evaluate the whole shingle
     # pipeline num_hashes times (measured ~60x slowdown).
-    hs = F.transform(char_shingles(text, k=shingle_k), lambda s: F.xxhash64(s))
+    hs = F.transform(
+        char_shingles(text, k=shingle_k, assume_normalized=assume_normalized),
+        lambda s: F.xxhash64(s),
+    )
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.aggregate(
         hs,
@@ -131,10 +156,19 @@ def minhash_candidates(
     # otherwise inline the full 64-hash expression into every consumer
     # (measured 100x slowdown). At cluster scale this is the "LSH index
     # build" step — persist here, or write to parquet for reuse.
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(text_col, num_hashes=num_hashes).alias("__sig"),
-    ).persist()
+    # __norm is projected first so the shingle lambda indexes a plain
+    # attribute instead of re-running the normalization regexp per
+    # shingle (another measured 7x).
+    sig = (
+        df.select(F.col(id_col).alias("__id"), normalized(text_col).alias("__norm"))
+        .select(
+            "__id",
+            minhash_signature(
+                "__norm", num_hashes=num_hashes, assume_normalized=True
+            ).alias("__sig"),
+        )
+        .persist()
+    )
     banded = sig.select(
         "__id",
         F.explode(
@@ -301,10 +335,19 @@ def ngram_jaccard_pairs(
     pairs, so it is far below n² on real corpora. Jaccard is a ratio of
     integers → bit-exact across engines (SQL-oracle-able).
     """
-    # persist: consumed by the size agg and both sides of the pair join
-    grams = df.select(
-        F.col(id_col).alias("__id"), F.explode(token_ngrams(text_col, n)).alias("gram")
-    ).persist()
+    # persist: consumed by the size agg and both sides of the pair join;
+    # token array projected first (per-element reference, see token_ngrams)
+    grams = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(normalized(text_col), " ").alias("__toks"),
+        )
+        .select(
+            "__id",
+            F.explode(token_ngrams("__toks", n, assume_tokens=True)).alias("gram"),
+        )
+        .persist()
+    )
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         grams.alias("a")

@@ -63,12 +63,26 @@ def cosine_topk_bruteforce(
     keeps it cheap at our sizes). Cosine is rounded to 8 digits to
     absorb last-ulp libm differences; ties break on corpus id.
     """
-    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
-    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+    # Pre-cast to double and precompute each side's L2 norm ONCE —
+    # inside the |q|x|c| join, cosine() would otherwise re-fold both
+    # norms per pair (3x the work in the quadratic hot loop).
+    q = queries.select(
+        F.col(query_id),
+        _as_double(F.col(vec)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(corpus_id),
+        _as_double(F.col(vec)).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = (
         c.join(F.broadcast(q))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 8))
-        .drop("__qv", "__cv")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 8
+            ),
+        )
+        .drop("__qv", "__cv", "__qn", "__cn")
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
     return (
@@ -82,7 +96,9 @@ def cosine_topk_bruteforce(
 # ---------------------------------------------------------------------------
 
 
-def hyperplane_bucket(vec: Column, planes: int = 16, table: int = 0) -> Column:
+def hyperplane_bucket(
+    vec: Column, planes: int = 16, table: int = 0, *, assume_double: bool = False
+) -> Column:
     """Deterministic sign-LSH bucket id (int) from ``planes`` pseudo-
     random hyperplanes (one independent family per ``table``).
 
@@ -90,8 +106,12 @@ def hyperplane_bucket(vec: Column, planes: int = 16, table: int = 0) -> Column:
     xxhash64(table*1024+p, d) parity — reproducible across runs and
     executors with no side data to broadcast.
     bucket bit p = sign(Σ_d w_pd · v_d).
+
+    PERF: ``vec`` is referenced once per plane — pass a pre-projected
+    (already-cast) column so each reference is an attribute read, not
+    a re-evaluated cast/expression.
     """
-    v = _as_double(vec)
+    v = vec if assume_double else _as_double(vec)
     def bit(p: int) -> Column:
         seed = table * 1024 + p
         proj = F.aggregate(
@@ -136,25 +156,36 @@ def cosine_topk_lsh(
     once (distinct on (query, corpus)), keeping cost ∝ unique
     candidates.
     """
-    c = corpus.select(
-        F.col(corpus_id),
-        F.col(vec).alias("__cv"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_bucket(F.col(vec), planes, table=t).alias("bkt"),
-                    )
-                    for t in range(tables)
-                ]
+    c = (
+        corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv"))
+        .select(
+            corpus_id,
+            "__cv",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            hyperplane_bucket(
+                                F.col("__cv"), planes, table=t, assume_double=True
+                            ).alias("bkt"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(corpus_id, "__cv", "tb.tbl", "tb.bkt")
+    )
+    q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv")).select(
+        query_id,
+        "__qv",
+        *[
+            hyperplane_bucket(F.col("__qv"), planes, table=tb, assume_double=True).alias(
+                f"__b{tb}"
             )
-        ).alias("tb"),
-    ).select(corpus_id, "__cv", "tb.tbl", "tb.bkt")
-    q = queries.select(
-        F.col(query_id),
-        F.col(vec).alias("__qv"),
-        *[hyperplane_bucket(F.col(vec), planes, table=tb).alias(f"__b{tb}") for tb in range(tables)],
+            for tb in range(tables)
+        ],
     )
     probe_structs = []
     for tb in range(tables):
@@ -176,11 +207,22 @@ def cosine_topk_lsh(
         .select(query_id, corpus_id)
         .distinct()
     )
+    qn = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv")).withColumn(
+        "__qn", l2_norm(F.col("__qv"))
+    )
+    cn = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")).withColumn(
+        "__cn", l2_norm(F.col("__cv"))
+    )
     scored = (
-        candidates.join(F.broadcast(queries.select(F.col(query_id), F.col(vec).alias("__qv"))), query_id)
-        .join(corpus.select(F.col(corpus_id), F.col(vec).alias("__cv")), corpus_id)
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 8))
-        .drop("__qv", "__cv")
+        candidates.join(F.broadcast(qn), query_id)
+        .join(cn, corpus_id)
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 8
+            ),
+        )
+        .drop("__qv", "__cv", "__qn", "__cn")
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

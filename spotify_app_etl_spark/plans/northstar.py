@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from spotify_app_etl_spark.functions import multimodal as MM
 from spotify_app_etl_spark.functions import text as TX
 from spotify_app_etl_spark.operators import dedup as DD
 from spotify_app_etl_spark.operators import similarity as SIM
@@ -262,6 +263,56 @@ def ns_text_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_mm_metadata",
+    note="multimodal table: opaque binary payload + typed metadata; "
+    "metadata-only queries never touch payload bytes (column pruning)",
+    oracle="""
+SELECT doc_id,
+       'fake/rgb8' AS format,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(doc_id % 640 + 1 AS INT) AS width,
+       CAST(doc_id % 480 + 1 AS INT) AS height,
+       sha256(text) AS payload_sha256
+FROM documents
+""",
+    tags=("northstar", "multimodal"),
+)
+def ns_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = MM.documents_as_binary(t(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+    )
+
+
+@query(
+    "ns_mm_features",
+    note="Arrow-batched mapInPandas decode/feature stage (deterministic "
+    "fake decoder — real codecs absent; plumbing is real) — rows-only; "
+    "byte-stat math asserted against a Python reference in tests",
+    tags=("northstar", "multimodal", "pandas-udf"),
+)
+def ns_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = MM.documents_as_binary(t(spark, sf_dir, "documents"))
+    return MM.extract_features(mm)
+
+
+@query(
+    "ns_mm_frame_sample",
+    note="frame sampling over 'video' payloads: mapInPandas explode "
+    "(row-count-changing) — rows-only; counts asserted in tests",
+    tags=("northstar", "multimodal", "pandas-udf"),
+)
+def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = MM.documents_as_binary(t(spark, sf_dir, "documents"))
+    return MM.sample_frames(mm)
+
+
+@query(
     "ns_doc_fingerprint",
     note="polynomial rolling-hash fingerprint (mod 2^31-1), left fold "
     "over normalized characters — exact SQL mirror via list_reduce",
@@ -281,6 +332,11 @@ FROM norm
     tags=("northstar", "text", "hash"),
 )
 def ns_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", TX.fingerprint("text").alias("fingerprint")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", DD.normalized("text").alias("__norm"))
+        .select(
+            "doc_id",
+            TX.fingerprint("__norm", assume_normalized=True).alias("fingerprint"),
+        )
     )

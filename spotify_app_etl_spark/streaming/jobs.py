@@ -1,0 +1,194 @@
+"""Structured Streaming jobs: windowed aggregation with watermarks,
+session windows, stateful sessionization, and a streaming JDBC/parquet
+sink via foreachBatch.
+
+The reference's closest shape is the ``recent_tracks`` event log
+(played_at event time, /root/reference/spotify-etl.py:179-185), which
+it re-snapshots on every run instead of processing incrementally
+(SURVEY.md §1.1). These jobs are the incremental treatment: the same
+``F.window`` / ``F.session_window`` expressions as the batch queries in
+plans/events.py — Spark uses one logical operator for both, so the
+batch DuckDB-oracle checks validate the streaming semantics, and the
+streaming tests only need to show batch/stream result equality.
+
+Scale notes:
+- Watermarks bound state: without one, a windowed agg keeps every
+  window open forever (OOM at 100 TB/day). ``delay`` trades lateness
+  tolerance for state size.
+- Session windows with skewed user_id produce hot state partitions;
+  ``spark.sql.shuffle.partitions`` sizes the state store spread, and
+  the watermark evicts closed sessions (SURVEY.md §7 risk e).
+- ``foreachBatch`` turns any batch sink (JDBC included) into a
+  streaming sink with exactly-once-per-epoch semantics keyed on
+  ``batch_id`` — the streaming upgrade of the reference's
+  snapshot-replace load (A15).
+- Watermark caveat (verified empirically, tests/test_streaming.py):
+  since Spark 3.4 the engine keeps TWO watermarks — late-event
+  filtering uses the *previous* micro-batch's value, state eviction
+  the current one. A very-late row arriving in the same batch that
+  first advances the watermark is NOT dropped; it lands in state and
+  is evicted-and-emitted. Guaranteed-drop therefore needs the
+  watermark to have advanced in an *earlier* batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark import schemas
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source event stream: parquet files arriving in a directory.
+
+    The driver testdata ``events`` table uses nanosecond timestamps
+    (stored as epoch-nanos longs under ``nanosAsLong``); the stream
+    applies the same conversion as io.load_table so batch and stream
+    rows are identical.
+    """
+    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-window, per-type counts+sums; late data beyond the watermark
+    is dropped (the fate the reference's snapshot model can't express)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+def session_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-merged), watermark-evicted state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def user_activity_tracker(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful operator: per-user running activity summary via
+    ``applyInPandasWithState`` — the escape hatch for stateful logic
+    that windowed aggregation can't express (here: cumulative count +
+    sum and the per-user max event time, emitted incrementally every
+    micro-batch).
+
+    State is one tuple per user (two longs, a double, a timestamp) —
+    bounded by |users| — so a 1000-executor run shards state by
+    user_id hash with no hot global state. ``idle_timeout_ms`` enables
+    processing-time eviction of idle users for long-running
+    deployments. Leave it None for drain-style runs: a registered
+    processing-time timeout keeps ``trigger(availableNow)`` scheduling
+    empty micro-batches until it fires, so the query never terminates
+    (observed empirically).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, value_sum double, last_ts timestamp"
+    state_schema = "n long, s double, last long"
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd  # re-import: runs on executors
+
+        if state.hasTimedOut:
+            state.remove()  # idle eviction: free state, emit nothing
+            return
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].max().value // 1000))  # epoch micros
+        state.update((n, s, last))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [s],
+                "last_ts": [pd.Timestamp(last, unit="us")],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, spark: SparkSession
+) -> DataFrame:
+    """Drain the whole stream with availableNow (process everything
+    currently in the source, then stop) into an in-memory table;
+    returns the result as a DataFrame. Test/dev harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def stream_to_batch_sink(
+    stream_df: DataFrame,
+    write_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    available_now: bool = False,
+):
+    """foreachBatch bridge: reuse any batch writer (io.write_jdbc,
+    io.write_parquet) as a streaming sink. ``write_batch(df, batch_id)``
+    can key idempotency on batch_id (exactly-once per epoch with the
+    checkpoint). ``available_now=True`` drains the current source
+    contents then stops. Returns the started StreamingQuery."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, batch_id: write_batch(df, batch_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

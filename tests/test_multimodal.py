@@ -1,0 +1,78 @@
+"""Multimodal plumbing: binary payload round-trip, mapInPandas feature
+batch shapes, frame-sampling row explosion, decode-stub gating."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_app_etl_spark.functions import multimodal as MM
+from spotify_app_etl_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def mm(spark):
+    return MM.documents_as_binary(load_table(spark, SF, "documents")).cache()
+
+
+def test_payload_roundtrip(spark, mm):
+    row = mm.filter(F.col("doc_id") == 0).select("payload", "meta").collect()[0]
+    text = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") == 0)
+        .select("text")
+        .collect()[0][0]
+    )
+    assert bytes(row.payload) == text.encode("utf-8")
+    assert row.meta.n_bytes == len(text.encode("utf-8"))
+    assert row.meta.format == "fake/rgb8"
+
+
+def test_features_match_python_reference(spark, mm):
+    feats = {r.doc_id: r for r in MM.extract_features(mm).collect()}
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    assert len(feats) == len(docs)
+    for d in docs[:50]:
+        ref = MM.fake_decode_features(d.text.encode("utf-8"))
+        got = feats[d.doc_id]
+        assert got.n_bytes == ref["n_bytes"]
+        assert abs(got.byte_mean - ref["byte_mean"]) < 1e-9
+        assert got.n_distinct_bytes == ref["n_distinct_bytes"]
+        assert got.head_hex == ref["head_hex"]
+
+
+def test_frame_sampling_counts(spark, mm):
+    frames = MM.sample_frames(mm, frame_size=256, every_k=4)
+    got = {
+        (r.doc_id, r.frame_idx): (r.frame_bytes, r.frame_hash) for r in frames.collect()
+    }
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    for d in docs[:50]:
+        payload = d.text.encode("utf-8")
+        chunks = [payload[o : o + 256] for o in range(0, len(payload), 256)]
+        expected_idx = list(range(0, len(chunks), 4))
+        rows = [(i, j) for (i, j) in got if i == d.doc_id]
+        assert sorted(j for _, j in rows) == expected_idx
+        for j in expected_idx:
+            fb, fh = got[(d.doc_id, j)]
+            assert fb == len(chunks[j])
+            assert fh == hashlib.sha256(chunks[j]).hexdigest()[:16]
+
+
+def test_metadata_query_prunes_payload(spark, mm, tmp_path):
+    """A metadata-only projection over the parquet-backed table must not
+    read the payload column (ReadSchema excludes it)."""
+    path = str(tmp_path / "mm.parquet")
+    mm.write.parquet(path)
+    meta_only = spark.read.parquet(path).select("doc_id", "meta.n_bytes")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan, plan
+
+
+def test_decode_stub_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG\r\n")

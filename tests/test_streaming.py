@@ -1,0 +1,174 @@
+"""Structured Streaming: batch/stream equality, watermark late-data
+drop, and the foreachBatch sink bridge.
+
+Strategy (SURVEY.md §5): the streaming jobs share their window
+expressions with the oracle-checked batch queries in plans/events.py,
+so correctness here only needs (a) stream result == batch result over
+the same input, (b) the streaming-only semantics (watermark eviction,
+incremental micro-batches) behave as documented.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_app_etl_spark.io import load_table
+from spotify_app_etl_spark.streaming import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """Stream-source dir holding the sf0.001 events parquet."""
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir, tmp_path):
+    stream = jobs.read_event_stream(spark, events_dir)
+    assert stream.isStreaming
+    result = jobs.run_to_memory_sink(
+        jobs.tumbling_counts(stream), "t_tumbling", spark
+    )
+
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_session_equals_batch(spark, events_dir):
+    stream = jobs.read_event_stream(spark, events_dir)
+    result = jobs.run_to_memory_sink(jobs.session_stats(stream), "t_session", spark)
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-row filtering uses the PREVIOUS micro-batch's watermark
+    (Spark keeps two watermarks since 3.4: one for late-event
+    filtering, one for state eviction). So: batch 0 seeds event time,
+    batch 1 advances the watermark, and batch 2's 10-day-late event
+    must be dropped (numRowsDroppedByWatermark) and its window absent
+    from append-mode output."""
+    src = tmp_path / "late_in"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / ("stage_" + name)))
+        part = next(
+            p for p in os.listdir(tmp_path / ("stage_" + name)) if p.endswith(".parquet")
+        )
+        shutil.copy(tmp_path / ("stage_" + name) / part, src / name)
+
+    base_ns = 1_700_000_000 * 1_000_000_000  # 2023-11-14T22:13:20Z
+    hour_ns = 3600 * 1_000_000_000
+    write_file("f1.parquet", [(1, base_ns, 1, "click", 1.0, "{}")])
+    time.sleep(0.05)
+    write_file("f2.parquet", [(2, base_ns + hour_ns, 1, "click", 1.0, "{}")])
+    time.sleep(0.05)
+    # 10 days earlier → far past the batch-1 watermark (base-1h)
+    write_file("f3.parquet", [(3, base_ns - 240 * hour_ns, 1, "click", 1.0, "{}")])
+
+    stream = jobs.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    agg = jobs.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped >= 1, "late row was not dropped by watermark"
+    starts = {r.window_start for r in spark.table("t_late").collect()}
+    late_window_present = any(s.year == 2023 and s.month == 11 and s.day == 4 for s in starts)
+    assert not late_window_present, f"late event leaked into {starts}"
+
+
+def test_stateful_user_tracker(spark, events_dir, tmp_path):
+    """applyInPandasWithState: final per-user totals must equal the
+    batch groupBy over the same input."""
+    ckpt = tmp_path / "ckpt_state"
+    stream = jobs.read_event_stream(spark, events_dir)
+    tracked = jobs.user_activity_tracker(stream)
+    q = (
+        tracked.writeStream.format("memory")
+        .queryName("t_tracker")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (user, batch); last row per user wins
+    got = {
+        r.user_id: (r.n_events, round(r.value_sum, 6))
+        for r in spark.table("t_tracker").orderBy("n_events").collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_foreachbatch_parquet_sink(spark, events_dir, tmp_path):
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt2"
+    stream = jobs.read_event_stream(spark, events_dir)
+    batches = []
+
+    def write(df, batch_id):
+        batches.append(batch_id)
+        df.write.mode("append").parquet(str(out))
+
+    q = jobs.stream_to_batch_sink(
+        stream.filter(F.col("event_type") == "click"),
+        write,
+        checkpoint_dir=str(ckpt),
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert batches, "no micro-batch was delivered"
+    n_sink = spark.read.parquet(str(out)).count()
+    n_src = load_table(spark, SF, "events").filter(F.col("event_type") == "click").count()
+    assert n_sink == n_src
