@@ -321,6 +321,49 @@ def simhash_candidates(
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs.
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact near-dup pairs by embedding cosine >= threshold.
+
+    All-pairs self-join with pre-computed norms (pairs scored by one
+    dot-product fold). Exact baseline — O(n^2/2); the scale path is the
+    sign-LSH bucketing in operators.similarity (compare within-bucket
+    only), with this kernel applied per bucket.
+    """
+    from spotify_app_etl_spark.operators.similarity import dot, l2_norm, _as_double
+
+    side = df.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    pairs = (
+        side.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+        )
+        .join(
+            side.select(
+                F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+            ),
+            F.col("id_a") < F.col("id_b"),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 8
+            ),
+        )
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (verification oracle / small-scale path).
 # ---------------------------------------------------------------------------
 

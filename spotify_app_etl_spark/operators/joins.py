@@ -1,0 +1,78 @@
+"""Join operators Spark lacks as one-liners: as-of join.
+
+The reference has no joins at all (its only join-like construct is the
+playlist_id lineage stamp, spotify-etl.py:105 — operator A13); these
+cover the SURVEY.md §2 Part B "range / as-of" row.
+
+As-of join = for each left row, the single most recent right row with
+``right.ts <= left.ts`` within the same key group. Implemented as a
+union + ordered window (``last(..., ignorenulls=True)``) — ONE shuffle
+on (key), no UDF, no per-row lookup:
+
+    tag left/right → unionByName → window partitionBy(key)
+    orderBy(ts, is_left) carrying last non-null right payload →
+    keep left rows.
+
+This beats the pandas ``merge_asof`` route (applyInPandas) at scale:
+the window is whole-stage-codegen'd JVM code and skew-handling is
+AQE's problem, not Python's. Right rows sort before left rows at equal
+ts, so a right row exactly at left.ts matches (<= semantics, same as
+DuckDB ASOF JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: latest right row with ``right.ts <= left.ts``
+    per ``key``. Left rows with no prior right row keep NULLs.
+
+    ``right_cols`` — right payload columns to carry (default: all
+    non-key/ts). Right duplicates on (key, ts) must be pre-aggregated
+    by the caller for deterministic results.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
+
+    l_tag = left.withColumn("__is_left", F.lit(1))
+    r_tag = right.select(
+        key, ts, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    ).withColumn("__is_left", F.lit(0))
+
+    carried = [f"{c}{suffix}" for c in right_cols]
+    unioned = l_tag.unionByName(
+        r_tag.select(
+            *[
+                F.lit(None).cast(l_tag.schema[c].dataType).alias(c)
+                if c not in r_tag.columns
+                else F.col(c)
+                for c in l_tag.columns
+            ],
+            *carried,
+        ),
+        allowMissingColumns=True,
+    )
+    # right rows first at equal ts → "<=" match semantics
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts), F.col("__is_left"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in carried]
+    )
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .drop("__is_left", *carried)
+        .select(
+            *left.columns, *[F.col(f"__f_{c}").alias(c) for c in carried]
+        )
+    )

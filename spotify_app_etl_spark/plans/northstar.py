@@ -263,6 +263,34 @@ def ns_text_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_dedup_embedding_cosine",
+    note="exact embedding-cosine near-dup pairs (>= 0.9), precomputed "
+    "norms + one dot fold per pair; LSH bucketing is the scale path",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+              (a,b) -> a+b)) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_reduce(list_transform(range(1, len(a.ev)+1),
+                                        i -> a.ev[i]*b.ev[i]), (x,y) -> x+y)
+             / (a.nrm * b.nrm), 8) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_reduce(list_transform(range(1, len(a.ev)+1),
+                                       i -> a.ev[i]*b.ev[i]), (x,y) -> x+y)
+            / (a.nrm * b.nrm), 8) >= 0.9
+""",
+    tags=("northstar", "dedup", "similarity"),
+)
+def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_cosine_pairs(
+        t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.9
+    )
+
+
+@query(
     "ns_mm_metadata",
     note="multimodal table: opaque binary payload + typed metadata; "
     "metadata-only queries never touch payload bytes (column pruning)",

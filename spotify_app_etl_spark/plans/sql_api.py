@@ -1,0 +1,160 @@
+"""SQL-API surface: ``spark.sql`` over registered views — including
+subquery forms (EXISTS / IN / scalar) — and CSV/JSON source
+round-trips.
+
+The engine is DataFrame-first, but the SQL front-end is part of the
+query surface a reference user would expect (SURVEY.md §2 Part B
+file-format scans row; the reference itself reads REST JSON only).
+Catalyst compiles both APIs to the same plans, so these also guard
+against view-registration drift.
+
+Round-trip queries write the parquet table to CSV/JSON under /tmp and
+read it back with an explicit schema — proving non-parquet sources
+preserve types (timestamps, doubles, booleans) against the parquet
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark.io import load_table, register_views
+from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.registry import query
+
+_SQL_DSUM = "CAST(SUM(CAST({inner} AS DECIMAL(25,4))) AS DOUBLE)"
+
+
+@query(
+    "q_sql_revenue_filter",
+    note="TPC-H Q6-shaped: SQL front-end, decimal-sum determinism",
+    oracle=f"""
+SELECT {_SQL_DSUM.format(inner="l_extendedprice * l_discount")} AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    tags=("sql", "filter", "agg"),
+)
+def sql_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+    )
+
+
+@query(
+    "q_sql_exists_subquery",
+    note="correlated NOT EXISTS (customers with no orders) — planner "
+    "rewrites to anti join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("sql", "subquery"),
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+    )
+
+
+@query(
+    "q_sql_scalar_subquery",
+    note="uncorrelated scalar subquery in a predicate (parts above "
+    "average retail price)",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE p_retailprice > (SELECT AVG(CAST(p_retailprice AS DECIMAL(12,2))) FROM part)
+""",
+    tags=("sql", "subquery"),
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE p_retailprice > (SELECT AVG(CAST(p_retailprice AS DECIMAL(12,2))) FROM part)
+"""
+    )
+
+
+@query(
+    "q_sql_in_subquery",
+    note="IN subquery across a 3-table dimension chain (suppliers in "
+    "ASIA) — planner rewrites to semi join",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+)
+""",
+    tags=("sql", "subquery"),
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "supplier", "nation", "region")
+    return spark.sql(
+        """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_nationkey IN (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+)
+"""
+    )
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), "spark_graft_io", f"{tag}.{fmt}")
+
+
+@query(
+    "q_scan_csv_roundtrip",
+    note="CSV sink + source with explicit schema (no inferSchema on "
+    "the hot path, SURVEY.md §1.3); compared against the parquet oracle",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "csv"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir(sf_dir, "csv")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", "true"
+    ).csv(path)
+
+
+@query(
+    "q_scan_json_roundtrip",
+    note="JSON-lines sink + source with explicit schema incl timestamp "
+    "fidelity; compared against the parquet oracle",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+""",
+    tags=("source", "json"),
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir(sf_dir, "json")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    orders.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp"
+    ).json(path)

@@ -1,0 +1,113 @@
+"""UDF surface: Arrow-vectorized scalar pandas UDF, grouped
+``applyInPandas`` UDAF, and the as-of join built from window built-ins.
+
+The reference's entire transform layer is driver-side Python — in
+effect one giant row-at-a-time UDF (SURVEY.md §2 Part B "UDF" row).
+Here Python appears only where it belongs: Arrow-batched, with the
+same IEEE arithmetic as the SQL oracle so results stay bit-exact.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from spotify_app_etl_spark.operators.joins import asof_join
+from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.registry import query
+
+
+def _discounted_price():
+    # built lazily: the pandas_udf decorator parses its DDL return type
+    # against the active SparkSession, which doesn't exist at import
+    @pandas_udf("double")
+    def udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # numpy elementwise double ops == SQL double ops, bit-for-bit
+        return price * (1.0 - discount)
+
+    return udf
+
+
+@query(
+    "q_udf_pandas_scalar",
+    note="Arrow-vectorized scalar pandas UDF; elementwise numpy doubles "
+    "match SQL arithmetic exactly",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS discounted
+FROM lineitem
+""",
+    tags=("udf", "pandas"),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _discounted_price()("l_extendedprice", "l_discount").alias("discounted"),
+    )
+
+
+def _group_median(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+            "n": [len(pdf)],
+            "median_price": [round(float(pdf["o_totalprice"].median()), 6)],
+        }
+    )
+
+
+@query(
+    "q_udaf_grouped_median",
+    note="applyInPandas grouped UDAF (median — no exact Spark builtin "
+    "aggregate); midpoint interpolation matches DuckDB median()",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       round(median(o_totalprice), 6) AS median_price
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("udf", "pandas", "agg"),
+)
+def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .applyInPandas(
+            _group_median, schema="o_orderpriority string, n long, median_price double"
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    note="as-of join: each click matched to the user's most recent "
+    "purchase (ts <=), via union + ordered window — one shuffle, no "
+    "UDF; oracle is DuckDB's native ASOF JOIN",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.user_id, c.ts, c.event_id, p.purchase_value AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    tags=("join", "asof", "window"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", ts="ts", right_cols=["purchase_value"]
+    )

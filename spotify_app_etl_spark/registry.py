@@ -42,6 +42,8 @@ _PLAN_MODULES = (
     "spotify_app_etl_spark.plans.events",
     "spotify_app_etl_spark.plans.northstar",
     "spotify_app_etl_spark.plans.etl_parity",
+    "spotify_app_etl_spark.plans.udf",
+    "spotify_app_etl_spark.plans.sql_api",
 )
 
 
