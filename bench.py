@@ -78,8 +78,17 @@ def main() -> None:
         (bit_xor can't overflow under ANSI mode, unlike sum)."""
         df.agg(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
 
-    # Warmup: trigger JVM+Arrow+codegen paths once, untimed.
+    # Warmup: trigger JVM codegen AND the Python/Arrow worker pool once,
+    # untimed (worker fork + Arrow init is per-executor boot cost, not
+    # per-query cost; Spark reuses the workers afterwards).
     force(registry["q01_pricing_summary"].fn(spark, args.sf))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm("id")).agg(F.count(F.lit(1))).collect()
 
     timings: dict[str, float] = {}
     for name in names:

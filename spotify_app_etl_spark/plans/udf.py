@@ -82,6 +82,39 @@ def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_udtf_tokenize",
+    note="Python UDTF (row-expanding table function) via LATERAL join; "
+    "split(' ') semantics mirrored by DuckDB's zipped unnest",
+    oracle="""
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents)
+SELECT doc_id, unnest(tk) AS token,
+       CAST(unnest(range(1, len(tk)+1)) - 1 AS INT) AS pos
+FROM toks
+""",
+    tags=("udf", "udtf"),
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    from spotify_app_etl_spark.io import register_views
+
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.pos "
+        "FROM documents d, LATERAL tokenize_udtf(d.text) t"
+    )
+
+
+@query(
     "q_join_asof",
     note="as-of join: each click matched to the user's most recent "
     "purchase (ts <=), via union + ordered window — one shuffle, no "

@@ -1,0 +1,55 @@
+"""io: stringify compat mode, parquet writer (plain + partitioned),
+typed loaders."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_app_etl_spark import io, schemas
+from spotify_app_etl_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stringify_types_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 1.5, True, None), (2, None, False, "x")],
+        "i long, d double, b boolean, s string",
+    )
+    out = io.stringify(df)
+    assert all(t == "string" for _, t in out.dtypes)
+    rows = {r.i: r for r in out.collect()}
+    # SQL NULL stays NULL (the reference's astype(str) writes 'None'/'nan'
+    # — documented divergence, SURVEY.md §1.4)
+    assert rows["2"].d is None and rows["1"].s is None
+    assert rows["1"].d == "1.5" and rows["1"].b == "true"
+
+
+def test_write_parquet_roundtrip(spark, tmp_path):
+    nation = load_table(spark, SF, "nation")
+    io.write_parquet(nation, str(tmp_path / "n"))
+    back = spark.read.parquet(str(tmp_path / "n"))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_write_parquet_partitioned_prunes(spark, tmp_path):
+    orders = load_table(spark, SF, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    io.write_parquet(orders, str(tmp_path / "o"), partition_by=["o_year"])
+    back = spark.read.parquet(str(tmp_path / "o")).filter(F.col("o_year") == 1996)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the 1996 filter must land in PartitionFilters,
+    # not a post-scan Filter
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters:")[1][:200]
+    expected = orders.filter(F.col("o_year") == 1996).count()
+    assert back.count() == expected > 0
+
+
+def test_loaders_match_declared_schemas(spark):
+    for name, schema in schemas.TESTDATA.items():
+        df = load_table(spark, SF, name)
+        declared = {f.name: f.dataType.simpleString() for f in schema.fields}
+        actual = dict(df.dtypes)
+        assert actual == declared, f"{name}: {actual} != {declared}"
