@@ -47,6 +47,29 @@ def test_write_parquet_partitioned_prunes(spark, tmp_path):
     assert back.count() == expected > 0
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key must join without a shuffle
+    (no Exchange above either scan)."""
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    io.write_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=8)
+    io.write_bucketed(li, "t_lineitem_b", ["o_orderkey"], num_buckets=8)
+    joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+    # disable broadcast so the co-location actually decides the plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
 def test_loaders_match_declared_schemas(spark):
     for name, schema in schemas.TESTDATA.items():
         df = load_table(spark, SF, name)
