@@ -90,19 +90,28 @@ def _flatten_track_items(parsed: DataFrame, *extra: str) -> DataFrame:
 
 
 def extract_playlist_tracks(
-    spark: SparkSession, playlists: DataFrame, transport, fanout_partitions: int = 8
+    spark: SparkSession,
+    playlists: DataFrame,
+    transport,
+    fanout_partitions: int = 8,
+    rate_per_partition: float | None = None,
 ) -> DataFrame:
     """Per-playlist paginated track fetch, distributed (A1 + A16).
 
     The playlist-id DataFrame repartitions to ``fanout_partitions``;
     each partition walks its playlists' page chains through one
-    TokenBucket (global rate = sum of per-partition rates — the §2.9
-    bug-1 fix at cluster scale). Null-track items are dropped
-    declaratively after the flatten (:106).
+    TokenBucket (global rate = fanout_partitions x rate_per_partition —
+    the §2.9 bug-1 fix at cluster scale). Pass a rate when the
+    transport is a real API; the in-process mock runs unthrottled.
+    Null-track items are dropped declaratively after the flatten (:106).
     """
 
     def fetch(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bucket = rest.TokenBucket(rate=50.0, burst=5.0)
+        bucket = (
+            rest.TokenBucket(rate=rate_per_partition, burst=5.0)
+            if rate_per_partition
+            else None
+        )
         for pdf in parts:
             for pid in pdf["id"]:
                 items = rest.fetch_paginated(
@@ -208,7 +217,10 @@ def run_pipeline(
     """
     transport = transport or MockSpotifyTransport(sf_dir)
     playlists = extract_playlists(spark, transport)
-    playlist_tracks = extract_playlist_tracks(spark, playlists, transport)
+    # persist: consumed twice (membership output + the distinct-ids feed
+    # of the audio-features lookup) — without it the distributed REST
+    # fan-out would execute twice
+    playlist_tracks = extract_playlist_tracks(spark, playlists, transport).persist()
     saved = extract_saved_tracks(spark, transport)
     tables: dict[str, DataFrame] = {
         "playlists": playlists,

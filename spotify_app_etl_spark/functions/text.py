@@ -48,6 +48,24 @@ def language_id(text: str | Column) -> Column:
     return expr
 
 
+#: BPE-ish pre-tokenizer: word pieces with leading space, numbers,
+#: punctuation runs — an approximation of the GPT-2 split pattern using
+#: capabilities common to Spark's and DuckDB's regex engines (no \p
+#: classes, no lookahead), so counts are oracle-exact.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """Approximate subword-token count: number of BPE-ish pattern
+    matches, digits counted singly (as GPT-2-family tokenizers do).
+    Whitespace runs collapse to the following word's leading space, so
+    they are not counted separately."""
+    col = F.col(text) if isinstance(text, str) else text
+    # count matches by deleting them and measuring what disappeared:
+    # regexp_count exists in Spark 4 and DuckDB — use it directly
+    return F.regexp_count(col, F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"))
+
+
 def punct_count(text: str | Column) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.length(F.regexp_replace(col, r"[^.!?,;:]", ""))

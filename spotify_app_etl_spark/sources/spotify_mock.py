@@ -44,6 +44,13 @@ def _iso(ts) -> str | None:
     return None if ts is None else ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
 
 
+#: Process-level entity cache keyed by sf_dir: Spark reuses Python
+#: worker processes across tasks and jobs, so the duckdb bulk loads
+#: (the expensive part at sf0.1+) happen once per worker process, not
+#: once per task. Keyed storage lives outside the (pickled) transport.
+_PROCESS_CACHE: dict[str, dict] = {}
+
+
 class MockSpotifyTransport:
     """Callable ``(url) -> dict`` serving Spotify-shaped JSON pages.
 
@@ -54,7 +61,7 @@ class MockSpotifyTransport:
     def __init__(self, sf_dir: str, throttle_every: int | None = 7):
         self.sf_dir = sf_dir
         self.throttle_every = throttle_every
-        self._cache: dict[str, list[dict]] = {}
+        self._cache = _PROCESS_CACHE.setdefault(sf_dir, {})
         self._requests = 0
 
     def __getstate__(self):
