@@ -314,8 +314,36 @@ def simhash_signature(text: str | Column, bits: int = 64) -> Column:
     )
 
 
+def _simhash_arrow_udf(bits: int = 64):
+    """Arrow kernel producing the SAME signature as
+    :func:`simhash_signature` from the same token-hash array (bit b of
+    the result = sign of sum over tokens of ±1 by bit b of the hash):
+    one (tokens x bits) boolean matrix per row instead of a 64-slot
+    interpreted fold."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    masks = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for i, hs in enumerate(hashes):
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                continue
+            set_bits = (h[:, None] & masks[None, :]) != 0  # (n, bits)
+            votes = 2 * set_bits.sum(axis=0) - h.size
+            chosen = masks[votes > 0]
+            if chosen.size:
+                out[i] = np.bitwise_or.reduce(chosen)
+        return pd.Series(out.view(np.int64))
+
+    return sig
+
+
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, impl: str = "arrow"
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -323,11 +351,20 @@ def simhash_candidates(
     exactly on ≥ 1 band (pigeonhole) → bucket join on (band, 16-bit
     chunk) finds ALL such pairs; exact distance then filters.
     """
-    # persist: the 64-bit fold expression would otherwise be inlined
+    # persist: the signature expression would otherwise be inlined
     # into all 4 chunk expressions and both self-join sides
-    sig = df.select(
-        F.col(id_col).alias("__id"), simhash_signature(text_col).alias("__sim")
-    ).persist()
+    if impl == "arrow":
+        hs = df.select(
+            F.col(id_col).alias("__id"), normalized(text_col).alias("__norm")
+        ).select(
+            "__id",
+            F.transform(F.split("__norm", " "), lambda tk: F.xxhash64(tk)).alias("__hs"),
+        )
+        sig = hs.select("__id", _simhash_arrow_udf()("__hs").alias("__sim")).persist()
+    else:
+        sig = df.select(
+            F.col(id_col).alias("__id"), simhash_signature(text_col).alias("__sim")
+        ).persist()
     chunks = sig.select(
         "__id",
         "__sim",

@@ -132,6 +132,98 @@ def hyperplane_bucket(
     return out
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into
+    ``n_cells`` cells, then each query scores only the ``n_probe``
+    nearest cells' members.
+
+    Index build = one KMeans fit (Spark ML, a few corpus passes) + one
+    narrow cell-assignment projection; the only index shuffle is the
+    candidates join on cell id. Centroids are tiny (n_cells x dim) and
+    travel as literal expressions — no broadcast plumbing. With
+    ``n_probe == n_cells`` the search is exhaustive and must equal
+    brute force exactly (asserted in tests).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_feat = corpus.select(
+        F.col(corpus_id),
+        _as_double(F.col(vec)).alias("__cv"),
+    ).withColumn("__features", array_to_vector(F.col("__cv")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__features").fit(c_feat)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    assigned = model.transform(c_feat).select(
+        corpus_id, F.col("prediction").alias("__cell")
+    )
+
+    def sq_dist_to(center: list[float], v: Column) -> Column:
+        carr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # rank cells per query by centroid distance, probe the closest n_probe
+    q = queries.select(
+        F.col(query_id), _as_double(F.col(vec)).alias("__qv")
+    ).withColumn(
+        "__cells",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                sq_dist_to(centers[i], F.col("__qv")).alias("d"),
+                                F.lit(i).alias("cell"),
+                            )
+                            for i in range(len(centers))
+                        ]
+                    )
+                ),
+                lambda s: s["cell"],
+            ),
+            1,
+            n_probe,
+        ),
+    )
+    probes = q.select(query_id, F.explode("__cells").alias("__cell"))
+    candidates = assigned.join(F.broadcast(probes), "__cell").select(query_id, corpus_id)
+
+    qn = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv")).withColumn(
+        "__qn", l2_norm(F.col("__qv"))
+    )
+    cn = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")).withColumn(
+        "__cn", l2_norm(F.col("__cv"))
+    )
+    scored = (
+        candidates.join(F.broadcast(qn), query_id)
+        .join(cn, corpus_id)
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 8
+            ),
+        )
+        .drop("__qv", "__cv", "__qn", "__cn")
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,

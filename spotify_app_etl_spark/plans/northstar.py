@@ -164,6 +164,24 @@ def ns_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_sim_topk_ivf",
+    note="IVF ANN: KMeans cells + 4-of-16 probe — centroid-dependent → "
+    "rows-only; full-probe==bruteforce equality asserted in tests",
+    tags=("northstar", "similarity", "ivf"),
+)
+def ns_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+    )
+    return out.select("query_id", "corpus_id", "cos_sim", "rank")
+
+
+@query(
     "ns_text_stats",
     note="token counting, punctuation/digit profiling, language-ID "
     "heuristic, quality score — all JVM-side column expressions",
@@ -259,6 +277,26 @@ def ns_text_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("quality").cast("decimal(10,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mean_quality"),
+    )
+
+
+@query(
+    "ns_token_count_bpe",
+    note="BPE-ish subword token counting via regexp_count (word pieces "
+    "+ single digits + punctuation runs) next to whitespace tokens",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+')) AS n_bpe_ish
+FROM documents
+""",
+    tags=("northstar", "text"),
+)
+def ns_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.token_count("text").alias("n_ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_ish"),
     )
 
 

@@ -82,6 +82,31 @@ def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_percentiles",
+    note="exact interpolated percentiles (percentile builtin == DuckDB "
+    "quantile_cont: both index p*(n-1) and lerp in double)",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+        )
+    )
+
+
+@query(
     "q_udtf_tokenize",
     note="Python UDTF (row-expanding table function) via LATERAL join; "
     "split(' ') semantics mirrored by DuckDB's zipped unnest",

@@ -153,6 +153,45 @@ def user_activity_tracker(
     )
 
 
+def click_purchase_interval_join(
+    events: DataFrame, max_gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each click joined to same-user
+    purchases within the preceding ``max_gap``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — the two requirements that let Spark expire
+    join state (without them, stream-stream state grows forever).
+    State per side ~ watermark + gap of data, sharded by user_id.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts - INTERVAL {max_gap} AND p_ts <= c_ts"
+        ),
+        "inner",
+    ).select("c_user", "click_id", "c_ts", "purchase_id", "p_ts", "purchase_value")
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, spark: SparkSession
 ) -> DataFrame:

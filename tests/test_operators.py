@@ -70,6 +70,21 @@ def test_simhash_identical_and_disjoint(spark):
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
 
 
+def test_simhash_arrow_equals_sql_impl(spark, docs):
+    """The Arrow kernel and the column-expression fold must produce
+    identical signatures (same token hashes, same vote rule) — so the
+    candidate pair sets must match exactly."""
+    a = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_candidates(docs, "text", "doc_id", impl="arrow").collect()
+    }
+    b = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in DD.simhash_candidates(docs, "text", "doc_id", impl="sql").collect()
+    }
+    assert a == b
+
+
 def test_exact_dedup_counts(spark):
     df = spark.createDataFrame(
         [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
@@ -91,6 +106,36 @@ def test_lsh_ann_recall(spark, emb):
     # self-match must always be found (query is its own bucket)
     for qid in range(20):
         assert (qid, qid) in lsh
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """IVF with n_probe == n_cells is exhaustive → must equal brute
+    force exactly (same scoring kernel, same tie-breaks)."""
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    bf = sorted(
+        (r.query_id, r.corpus_id, r.rank)
+        for r in SIM.cosine_topk_bruteforce(q, c, k=5).collect()
+    )
+    ivf = sorted(
+        (r.query_id, r.corpus_id, r.rank)
+        for r in SIM.cosine_topk_ivf(q, c, k=5, n_cells=8, n_probe=8).collect()
+    )
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    bf = {(r.query_id, r.corpus_id) for r in SIM.cosine_topk_bruteforce(q, c, k=5).collect()}
+    ivf = {
+        (r.query_id, r.corpus_id)
+        for r in SIM.cosine_topk_ivf(q, c, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.7, f"IVF recall {recall}"
+    for qid in range(20):
+        assert (qid, qid) in ivf  # query's own cell is always probed
 
 
 def test_bruteforce_self_similarity(spark, emb):

@@ -120,6 +120,28 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert not late_window_present, f"late event leaked into {starts}"
 
 
+def test_stream_stream_interval_join_equals_batch(spark, events_dir, tmp_path):
+    ckpt = tmp_path / "ckpt_ssj"
+    stream = jobs.read_event_stream(spark, events_dir)
+    joined = jobs.click_purchase_interval_join(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("t_ssj").collect()))
+
+    # batch equivalent: same join on the static frame (watermarks are
+    # no-ops in batch mode, so reuse the job function directly)
+    batch = jobs.click_purchase_interval_join(load_table(spark, SF, "events"))
+    expected = sorted(map(tuple, batch.collect()))
+    assert got == expected and len(got) > 0
+
+
 def test_stateful_user_tracker(spark, events_dir, tmp_path):
     """applyInPandasWithState: final per-user totals must equal the
     batch groupBy over the same input."""
