@@ -30,6 +30,8 @@ Spark-first design decisions:
 from __future__ import annotations
 
 import json
+import logging
+import time
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -215,7 +217,10 @@ def run_pipeline(
     ``ingest_date=True`` stamps ``current_timestamp()`` like :264-266;
     oracle-checked queries pass False for determinism.
     """
+    log = logging.getLogger(__name__)
+    started = time.monotonic()
     transport = transport or MockSpotifyTransport(sf_dir)
+    log.info("etl run starting (sf_dir=%s)", sf_dir)
     playlists = extract_playlists(spark, transport)
     # persist: consumed twice (membership output + the distinct-ids feed
     # of the audio-features lookup) — without it the distributed REST
@@ -235,4 +240,8 @@ def run_pipeline(
             name: df.withColumn("ingest_date", F.current_timestamp())
             for name, df in tables.items()
         }
+    # plan-construction time only — execution happens lazily at the
+    # sink/action; per-stage runtime metrics live in the Spark UI
+    # (replacing the reference's wall-clock log, spotify-etl.py:285-286)
+    log.info("etl plans built in %.2fs (6 tables)", time.monotonic() - started)
     return tables

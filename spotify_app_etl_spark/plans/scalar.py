@@ -199,6 +199,38 @@ FROM documents
     tags=("scalar", "array"),
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _array_funcs_impl(spark, sf_dir)
+
+
+@query(
+    "q_map_funcs",
+    note="map-typed scalar ops: construction, key lookup, cardinality, "
+    "key enumeration (emitted as scalars — map column layouts differ "
+    "across engines)",
+    oracle="""
+SELECT p_partkey,
+       map(['brand','type'], [p_brand, p_type])['brand'][1] AS brand_val,
+       CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS INT) AS n_entries,
+       array_to_string(map_keys(map(['brand','type'], [p_brand, p_type])), ',') AS keys_joined
+FROM part
+""",
+    tags=("scalar", "map"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as FF
+
+    m = FF.create_map(
+        FF.lit("brand"), FF.col("p_brand"), FF.lit("type"), FF.col("p_type")
+    )
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        FF.element_at(m, "brand").alias("brand_val"),
+        FF.size(m).alias("n_entries"),
+        FF.array_join(FF.map_keys(m), ",").alias("keys_joined"),
+    )
+
+
+def _array_funcs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     return t(spark, sf_dir, "documents").select(
         "doc_id",

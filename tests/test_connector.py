@@ -40,6 +40,39 @@ def test_retry_budget_exhausted_raises():
         rest.request_with_retry(transport, "/x", max_attempts=3)
 
 
+def test_token_provider_caches_and_refreshes():
+    from spotify_app_etl_spark.sources.auth import TokenProvider
+
+    clock = [0.0]
+    issued = []
+
+    def refresh():
+        issued.append(len(issued))
+        return f"tok{len(issued)}", 3600.0
+
+    p = TokenProvider(refresh, slack_s=60, clock=lambda: clock[0])
+    assert p.token() == "tok1" and p.auth_header() == {"Authorization": "Bearer tok1"}
+    clock[0] = 1800.0
+    assert p.token() == "tok1" and p.refresh_count == 1  # cached
+    clock[0] = 3545.0  # inside the 60s slack window
+    assert p.token() == "tok2" and p.refresh_count == 2  # pre-emptive refresh
+
+
+def test_authenticated_transport_injects_header():
+    from spotify_app_etl_spark.sources.auth import TokenProvider, authenticated_transport
+
+    seen = {}
+
+    def transport(url, headers=None):
+        seen[url] = headers
+        return {"items": [], "next": None}
+
+    p = TokenProvider(lambda: ("abc", 3600.0))
+    wrapped = authenticated_transport(transport, p)
+    wrapped("/x")
+    assert seen["/x"] == {"Authorization": "Bearer abc"}
+
+
 def test_pagination_follows_cursor_and_caps():
     pages = {
         "/p?offset=0": {"items": [0, 1], "next": "/p?offset=2"},
