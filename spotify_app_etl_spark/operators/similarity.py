@@ -18,6 +18,8 @@ corpus shuffles once on bucket id, each query joins only its bucket
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
@@ -161,7 +163,9 @@ def cosine_topk_ivf(
         F.col(corpus_id),
         _as_double(F.col(vec)).alias("__cv"),
     ).withColumn("__features", array_to_vector(F.col("__cv")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__features").fit(c_feat)
+    # maxIter=8: IVF needs rough Voronoi cells, not converged clusters —
+    # probe multiplicity covers boundary error; halves index-build time
+    model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__features").fit(c_feat)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
     assigned = model.transform(c_feat).select(
@@ -224,6 +228,39 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _hyperplane_buckets_arrow(tables: int, planes: int, seed: int = 7):
+    """Arrow kernel: all ``tables`` bucket ids in one numpy matmul per
+    batch — sign bits of V @ W.T with a seeded ±1 plane matrix. The
+    column-expression :func:`hyperplane_bucket` evaluates
+    tables x planes interpreted folds per row; this replaces them with
+    one vectorized projection (same recall properties, different —
+    equally valid — hash family)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    pow2 = 1 << np.arange(planes, dtype=np.int64)
+
+    def plane_matrix(dim: int):
+        # deterministic per (seed, dim): every executor — and both the
+        # query and corpus side — derives the identical ±1 matrix
+        local = np.random.RandomState(seed + dim)
+        return np.where(local.standard_normal((tables * planes, dim)) > 0, 1.0, -1.0)
+
+    @pandas_udf("array<int>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        out = []
+        w = None
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            if w is None or w.shape[1] != x.size:
+                w = plane_matrix(x.size)
+            proj = (w @ x).reshape(tables, planes) > 0
+            out.append((proj * pow2[None, :]).sum(axis=1).astype(np.int32).tolist())
+        return pd.Series(out)
+
+    return buckets
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -234,6 +271,7 @@ def cosine_topk_lsh(
     corpus_id: str = "corpus_id",
     vec: str = "embedding",
     multiprobe: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: compare only within matching LSH buckets.
 
@@ -248,36 +286,48 @@ def cosine_topk_lsh(
     once (distinct on (query, corpus)), keeping cost ∝ unique
     candidates.
     """
-    c = (
-        corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv"))
-        .select(
-            corpus_id,
-            "__cv",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            hyperplane_bucket(
-                                F.col("__cv"), planes, table=t, assume_double=True
-                            ).alias("bkt"),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias("tb"),
-        )
-        .select(corpus_id, "__cv", "tb.tbl", "tb.bkt")
-    )
-    q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv")).select(
+    if impl == "arrow":
+        bks = _hyperplane_buckets_arrow(tables, planes)
+        c0 = corpus.select(
+            F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")
+        ).withColumn("__bks", bks(F.col("__cv")))
+        q0 = queries.select(
+            F.col(query_id), _as_double(F.col(vec)).alias("__qv")
+        ).withColumn("__bks", bks(F.col("__qv")))
+
+        def c_bucket(t: int):
+            return F.element_at(F.col("__bks"), t + 1)
+
+        q_bucket = c_bucket
+    else:
+        c0 = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv"))
+        q0 = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
+
+        def c_bucket(t: int):
+            return hyperplane_bucket(F.col("__cv"), planes, table=t, assume_double=True)
+
+        def q_bucket(t: int):
+            return hyperplane_bucket(F.col("__qv"), planes, table=t, assume_double=True)
+
+    c = c0.select(
+        corpus_id,
+        "__cv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        c_bucket(t).cast("int").alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(corpus_id, "__cv", "tb.tbl", "tb.bkt")
+    q = q0.select(
         query_id,
         "__qv",
-        *[
-            hyperplane_bucket(F.col("__qv"), planes, table=tb, assume_double=True).alias(
-                f"__b{tb}"
-            )
-            for tb in range(tables)
-        ],
+        *[q_bucket(tb).cast("int").alias(f"__b{tb}") for tb in range(tables)],
     )
     probe_structs = []
     for tb in range(tables):
