@@ -135,13 +135,15 @@ def minhash_signature(
     )
 
 
-def _minhash_arrow_udf(num_hashes: int):
-    """Arrow-vectorized signature kernel: JVM hashes each shingle once
-    (xxhash64), numpy applies ``num_hashes`` universal hash functions
-    ``(a_j * h + b_j) mod 2^63`` as one (shingles x num_hashes) matrix
-    min — ~4x faster than the interpreted higher-order-function fold
-    (HOF lambdas don't get whole-stage codegen). Fixed seed → stable
-    across runs/executors."""
+def _minhash_text_arrow_udf(num_hashes: int, shingle_k: int = 5):
+    """End-to-end Arrow signature kernel: normalized text in, signature
+    out. Byte-level k-shingles come from a numpy sliding window over the
+    UTF-8 buffer, a 5-byte polynomial hash replaces per-substring
+    xxhash64, and the universal-hash min is one (windows x num_hashes)
+    matrix op. No JVM higher-order functions, no per-shingle string
+    allocation, no array_distinct (duplicate shingles cannot change a
+    min). Different hash family than :func:`minhash_signature` —
+    equally valid; recall is asserted against exact Jaccard in tests."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -149,17 +151,22 @@ def _minhash_arrow_udf(num_hashes: int):
     mask = np.uint64(0x7FFFFFFFFFFFFFFF)
     a = rng.randint(1, 1 << 61, size=num_hashes).astype(np.uint64) | np.uint64(1)
     b = rng.randint(0, 1 << 61, size=num_hashes).astype(np.uint64)
-    empty = [int(np.iinfo(np.int64).max)] * num_hashes
+    # odd base => bijective per byte position mod 2^64
+    pows = (np.uint64(0x100000001B3) ** np.arange(shingle_k, dtype=np.uint64))[::-1].copy()
 
     @pandas_udf("array<long>")
-    def sig(hashes: pd.Series) -> pd.Series:
+    def sig(texts: pd.Series) -> pd.Series:
         out = []
-        for hs in hashes:
-            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            if h.size == 0:
-                out.append(empty)
-                continue
-            m = (h[:, None] * a[None, :] + b[None, :]) & mask  # wraps mod 2^64
+        win = np.lib.stride_tricks.sliding_window_view
+        for s in texts:
+            raw = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
+            if raw.size < shingle_k:
+                # parity with char_shingles: short text -> one shingle
+                raw = np.pad(raw, (0, shingle_k - raw.size))
+                h = (raw.astype(np.uint64) * pows).sum(keepdims=True)
+            else:
+                h = win(raw, shingle_k).astype(np.uint64) @ pows
+            m = (h[:, None] * a[None, :] + b[None, :]) & mask
             out.append(m.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
@@ -185,27 +192,24 @@ def minhash_candidates(
     est_jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    # Materialize the signature table: it feeds the band explode AND two
-    # verification joins, and Catalyst's project-collapsing would
-    # otherwise inline the full 64-hash expression into every consumer
-    # (measured 100x slowdown). At cluster scale this is the "LSH index
-    # build" step — persist here, or write to parquet for reuse.
-    # __norm is projected first so the shingle lambda indexes a plain
-    # attribute instead of re-running the normalization regexp per
-    # shingle (another measured 7x).
+    # __norm is projected first so downstream shingle logic reads a
+    # plain attribute instead of re-running the normalization regexp
+    # per shingle (measured 7x on the expression path).
     base = df.select(F.col(id_col).alias("__id"), normalized(text_col).alias("__norm"))
     if impl == "arrow":
-        hs = base.select(
-            "__id",
-            F.transform(
-                char_shingles("__norm", assume_normalized=True),
-                lambda s: F.xxhash64(s),
-            ).alias("__hs"),
+        # No persist: the Arrow kernel is cheap enough (one matmul per
+        # doc) that recomputing it for the band explode and the two
+        # verification joins beats the columnar cache-encode of the
+        # array column (measured: 3 recomputes ~0.5s vs cache build
+        # 1-4s at sf0.1). At cluster scale the signature table IS the
+        # LSH index — write it to parquet once and reuse across runs.
+        sig = base.select(
+            "__id", _minhash_text_arrow_udf(num_hashes)("__norm").alias("__sig")
         )
-        sig = hs.select(
-            "__id", _minhash_arrow_udf(num_hashes)("__hs").alias("__sig")
-        ).persist()
     else:  # pure column-expression path (no Arrow dependency)
+        # Persist: Catalyst project-collapsing would otherwise inline
+        # the full 64-hash expression into every consumer (measured
+        # 100x slowdown).
         sig = base.select(
             "__id",
             minhash_signature(
