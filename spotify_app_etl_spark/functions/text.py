@@ -8,6 +8,7 @@ the DuckDB oracle can verify them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves postponed pandas_udf type hints
 from pyspark.sql import Column, functions as F
 
 from spotify_app_etl_spark.operators.dedup import normalized
@@ -112,19 +113,73 @@ def fingerprint(
     Left fold in character order — identical to DuckDB's list_reduce —
     and kept under 2^36 so ANSI-mode arithmetic never overflows.
 
-    PERF: the string is indexed per character inside the transform
-    lambda — pre-project the normalized text and pass
+    Characters come from ``split(norm, '')`` (one pass, O(L)) rather
+    than per-index ``substring`` (O(L) seek per char on non-ASCII);
+    ``split('', '')`` yields ``['']`` and ``ascii('') = 0``, matching
+    the empty-doc fold of the SQL oracle. Entirely JVM-side /
+    whole-stage codegen; :func:`fingerprint_arrow` is the Arrow-kernel
+    equivalent for very long documents.
+
+    PERF: pre-project the normalized text and pass
     ``assume_normalized=True`` on hot paths (an inline normalization
     would re-run its regexp once per character).
     """
     col = F.col(text) if isinstance(text, str) else text
     norm = col if assume_normalized else normalized(col)
-    codes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm), F.lit(1))),
-        lambda i: F.ascii(F.substring(norm, i, F.lit(1))),
-    )
+    codes = F.transform(F.split(norm, ""), lambda ch: F.ascii(ch))
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % F.lit(mod).cast("long"),
     )
+
+
+def fingerprint_arrow(mod: int = 2147483647):
+    """Arrow kernel computing the same value as :func:`fingerprint`.
+
+    The sequential Horner fold ``acc = (acc*31 + c) % m`` equals
+    ``sum(c_i * 31^(L-1-i)) % m`` — so with powers of 31 precomputed
+    mod m it vectorizes to one multiply + chunked modular sum per doc.
+    UTF-32 decode gives the code-point array without a Python loop.
+    Bit-identical to the column-expression form (asserted in tests),
+    so the DuckDB oracle still verifies it exactly.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    state = {"pw": np.array([1], dtype=np.int64)}  # pw[k] = 31^k % mod
+
+    def powers(n: int):
+        pw = state["pw"]
+        while pw.size < n:
+            nxt = (pw[-1] * 31) % mod
+            ext = np.empty(pw.size * 2, dtype=np.int64)
+            ext[: pw.size] = pw
+            for i in range(pw.size, ext.size):
+                nxt_val = (ext[i - 1] * 31) % mod
+                ext[i] = nxt_val
+            pw = ext
+            state["pw"] = pw
+        return pw
+
+    @pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            c = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            if c.size == 0:
+                continue  # fold over [0] (ascii('') == 0) -> 0
+            pw = powers(c.size)[c.size - 1 :: -1][: c.size]
+            # products < 2^52 (code point < 2^21, power < 2^31); sum in
+            # 1024-element chunks with a running mod so arbitrarily
+            # long documents never overflow int64
+            prod = (c * pw) % mod
+            acc = 0
+            for j in range(0, prod.size, 1024):
+                acc = (acc + int(prod[j : j + 1024].sum())) % mod
+            out[i] = acc
+        return pd.Series(out)
+
+    return fp

@@ -55,11 +55,14 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 @query(
     "q_sql_exists_subquery",
-    note="correlated NOT EXISTS (customers with no orders) — planner "
-    "rewrites to anti join",
+    note="correlated NOT EXISTS (customers with no urgent orders) — "
+    "planner rewrites to anti join; predicate chosen to select rows at "
+    "every sf (all-customers-have-orders made the bare form vacuous)",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
     tags=("sql", "subquery"),
 )
@@ -68,7 +71,9 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """
     )
 

@@ -180,3 +180,23 @@ def test_token_and_quality(spark):
         .collect()[0]
     )
     assert row.fp == row2.fp
+
+
+def test_fingerprint_arrow_matches_expression(spark):
+    # bit-identity between the Arrow Horner kernel and the column
+    # expression, across empty / short / long / repeated-char docs
+    texts = [
+        (1, ""),
+        (2, "a"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "z" * 5000),
+        (5, ("lorem ipsum dolor sit amet " * 200).strip()),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        TX.fingerprint("text", assume_normalized=True).alias("expr_fp"),
+        TX.fingerprint_arrow()(F.col("text")).alias("arrow_fp"),
+    ).collect()
+    for r in out:
+        assert r.expr_fp == r.arrow_fp, r.doc_id
