@@ -88,7 +88,11 @@ def main() -> None:
     def _warm(s):
         return s
 
-    spark.range(1000).select(_warm("id")).agg(F.count(F.lit(1))).collect()
+    # The hash forces the UDF column — a bare count() lets Catalyst
+    # prune the UDF away entirely and no worker ever forks.
+    spark.range(10_000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm("id").alias("x")
+    ).agg(F.bit_xor(F.xxhash64("x"))).collect()
 
     timings: dict[str, float] = {}
     for name in names:
