@@ -411,3 +411,84 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "q_agg_corr_exact",
+    note="corr/covar/stddev derived from exact DECIMAL partial sums — "
+    "the streaming-merge corr() of any engine is accumulation-order-"
+    "dependent, so both engines here compute the SAME closed-form over "
+    "identical exact sums (round(6) only absorbs FMA-contraction "
+    "last-ulp drift in the final expression)",
+    oracle="""
+SELECT l_returnflag,
+       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+       round((n * sxy - sx * sy) / (n * n), 6) AS covar_pop_qty_price,
+       round(sqrt(n * sxx - sx * sx) / n, 6) AS stddev_pop_qty
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+""",
+    tags=("agg", "stats"),
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    sums = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(q).cast("double").alias("sx"),
+            F.sum(p).cast("double").alias("sy"),
+            F.sum(q * q).cast("double").alias("sxx"),
+            F.sum(p * p).cast("double").alias("syy"),
+            F.sum(q * p).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * n), 6).alias("covar_pop_qty_price"),
+        F.round(F.sqrt(n * sxx - sx * sx) / n, 6).alias("stddev_pop_qty"),
+    )
+
+
+@query(
+    "q_unpivot_long",
+    note="wide→long unpivot (melt); ANSI mirror is the UNION ALL "
+    "expansion — Spark compiles Unpivot to Expand, one scan, no shuffle",
+    oracle="""
+SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+""",
+    tags=("reshape",),
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["retailprice", "size"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+    )

@@ -285,3 +285,25 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("p_name").alias("name_md5"),
         F.sha2(F.col("p_name"), 256).alias("name_sha256"),
     )
+
+
+@query(
+    "q_string_distance",
+    note="edit-distance surface: levenshtein + prefix/containment "
+    "predicates over part names",
+    oracle="""
+SELECT p_partkey,
+       levenshtein(p_name, p_type) AS name_type_dist,
+       CASE WHEN starts_with(p_name, 'a') THEN 1 ELSE 0 END AS starts_a,
+       CASE WHEN contains(p_name, 'red') THEN 1 ELSE 0 END AS has_red
+FROM part
+""",
+    tags=("scalar", "string"),
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("name_type_dist"),
+        F.when(F.col("p_name").startswith("a"), 1).otherwise(0).alias("starts_a"),
+        F.when(F.col("p_name").contains("red"), 1).otherwise(0).alias("has_red"),
+    )

@@ -129,3 +129,42 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("qty_ma3"),
     )
+
+
+@query(
+    "q_window_analytic_extras",
+    note="percent_rank/cume_dist/first_value/last_value/nth_value — "
+    "ratios of identically-computed ints divide to identical doubles",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST()    OVER w AS cume,
+       FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+       LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS last_ok,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS second_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window", "analytic"),
+)
+def window_analytic_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # full frame so last/nth see the whole partition (the default frame
+    # stops at CURRENT ROW — same default in DuckDB, but explicit is
+    # deterministic under future default changes)
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wf).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
+    )

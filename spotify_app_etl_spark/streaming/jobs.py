@@ -192,16 +192,45 @@ def click_purchase_interval_join(
     ).select("c_user", "click_id", "c_ts", "purchase_id", "p_ts", "purchase_value")
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state.
+
+    ``dropDuplicates`` on a stream keeps every key ever seen (state
+    grows without bound — fatal for a continuous training-data intake).
+    ``dropDuplicatesWithinWatermark`` keeps one row per key among
+    duplicates arriving within the watermark delay of each other and
+    evicts key state once the watermark passes it: state ~ one row per
+    distinct key per watermark window, sharded by key hash. This is the
+    streaming upgrade of the reference's driver-side
+    ``set(ids)`` dedup (spotify-etl.py:250, operator A11) and the
+    batch ``dropDuplicates`` query (q_drop_duplicates).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_to_memory_sink(
-    stream_df: DataFrame, query_name: str, spark: SparkSession
+    stream_df: DataFrame,
+    query_name: str,
+    spark: SparkSession,
+    output_mode: str | None = None,
 ) -> DataFrame:
     """Drain the whole stream with availableNow (process everything
     currently in the source, then stop) into an in-memory table;
-    returns the result as a DataFrame. Test/dev harness."""
+    returns the result as a DataFrame. Test/dev harness.
+
+    ``output_mode`` defaults to "complete" (right for aggregations);
+    pass "append" for non-aggregating streams (dedup, joins)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode or ("complete" if stream_df.isStreaming else "append"))
         .trigger(availableNow=True)
         .start()
     )

@@ -194,3 +194,29 @@ def test_foreachbatch_parquet_sink(spark, events_dir, tmp_path):
     n_sink = spark.read.parquet(str(out)).count()
     n_src = load_table(spark, SF, "events").filter(F.col("event_type") == "click").count()
     assert n_sink == n_src
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicated event_ids collapse to one row each; state is bounded
+    by the watermark (semantics doc: jobs.dedup_within_watermark)."""
+    # the stream reader expects raw nanos-long parquet, so duplicate
+    # the raw file (same 200 rows twice) rather than going through Spark
+    import duckdb as _d
+    import shutil as _sh
+    raw_dir = str(tmp_path / "raw_in")
+    os.makedirs(raw_dir, exist_ok=True)
+    con = _d.connect()
+    con.sql(
+        f"COPY (SELECT * FROM '{SF}/events.parquet' LIMIT 200) TO '{raw_dir}/a.parquet' (FORMAT PARQUET)"
+    )
+    _sh.copy(f"{raw_dir}/a.parquet", f"{raw_dir}/b.parquet")  # same 200 rows again
+    stream = jobs.read_event_stream(spark, raw_dir)
+    out = jobs.run_to_memory_sink(
+        jobs.dedup_within_watermark(stream), "t_dedup_wm", spark, output_mode="append"
+    )
+    got = out.select("event_id").collect()
+    assert len(got) == len({r.event_id for r in got}), "duplicates survived"
+    batch_ids = {r.event_id for r in spark.read.schema(
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).parquet(raw_dir).select("event_id").collect()}
+    assert {r.event_id for r in got} == batch_ids
