@@ -406,3 +406,74 @@ def ns_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.fingerprint("__norm", assume_normalized=True).alias("fingerprint"),
         )
     )
+
+
+@query(
+    "ns_pipeline_training_prep",
+    note="composed training-data prep: language filter → quality gate "
+    "→ exact dedup (min-id representative per normalized content) → "
+    "per-doc stats. One pass of column expressions, one window on the "
+    "content key (the dedup shuffle), no Python.",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+         {_TOKS} AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id, text, norm, toks,
+    len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','for','with','a'], t))) AS h_en,
+    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','los','por','una'], t))) AS h_es,
+    len(list_filter(toks, t -> list_contains(['der','die','und','das','nicht','von','ist','mit','den','ein'], t))) AS h_de,
+    len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une','dans','pour','que','sur'], t))) AS h_fr
+  FROM base
+), scored AS (
+  SELECT doc_id, norm, len(toks) AS n_tokens,
+       CASE WHEN h_en = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'en'
+            WHEN h_es = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'es'
+            WHEN h_de = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'de'
+            WHEN h_fr = greatest(h_en,h_es,h_de,h_fr) AND greatest(h_en,h_es,h_de,h_fr) > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       round(greatest(least(
+           0.5 * least(len(toks) / 50.0, 1.0)
+         + 0.5 * least(h_en / 5.0, 1.0)
+         - length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / CAST(greatest(length(text), 1) AS DOUBLE),
+         1.0), 0.0), 6) AS quality
+  FROM hits
+), gated AS (
+  SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= 0.3
+), ranked AS (
+  SELECT doc_id, n_tokens, quality,
+         ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn,
+         COUNT(*)    OVER (PARTITION BY norm) AS n_copies
+  FROM gated
+)
+SELECT doc_id, n_tokens, quality, n_copies
+FROM ranked WHERE rn = 1
+""",
+    tags=("northstar", "text", "dedup", "pipeline"),
+)
+def ns_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        DD.normalized("text").alias("__norm"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.language_id("text").alias("lang_guess"),
+        TX.quality_score("text").alias("quality"),
+    )
+    gated = scored.filter(
+        (F.col("lang_guess") == "en") & (F.col("quality") >= 0.3)
+    )
+    w = W.partitionBy("__norm")
+    ranked = gated.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).drop("rn")
