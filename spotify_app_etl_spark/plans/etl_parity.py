@@ -213,7 +213,10 @@ def etl_playlist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks = tables["playlists_tracks"]
     feats = tables["audio_features"]
     return (
-        tracks.join(F.broadcast(feats.select("id", "danceability", "tempo")), "id")
+        # No forced broadcast: audio_features has track cardinality (same
+        # order as the tracks fact side), so the join shuffles on id and
+        # AQE broadcasts only if the measured size fits.
+        tracks.join(feats.select("id", "danceability", "tempo"), "id")
         .groupBy("playlist_id")
         .agg(
             F.count(F.lit(1)).alias("n_tracks"),

@@ -92,13 +92,17 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # No forced broadcast hints: every relation here is fact-scale after
+    # its filter (orders is ~half the fact table, BUILDING customers are
+    # ~1/5 of customer, which is 150 M rows at sf1000). lineitem ⋈ orders
+    # shuffles on orderkey; AQE demotes to broadcast at runtime when a
+    # side measures under the threshold — a forced hint would bypass that
+    # guard and OOM at scale.
     return (
         li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust.select("c_custkey")),
-                    orders.o_custkey == F.col("c_custkey"),
-                )
+            orders.join(
+                cust.select("c_custkey"),
+                orders.o_custkey == F.col("c_custkey"),
             ),
             li.l_orderkey == F.col("o_orderkey"),
         )
@@ -143,13 +147,17 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_nationkey", "n_name")
     customers = d["customer"].select("c_custkey", "c_nationkey")
-    # Fact-side: orders ⋈ lineitem shuffles on orderkey; dims broadcast.
+    # Fact-side: orders ⋈ lineitem shuffles on orderkey. Only the true
+    # dims (nation ⋈ region, 25/5 rows) carry forced broadcast hints;
+    # customer and supplier are fact-scale at sf100+ (15 M / 1 M rows),
+    # so those joins are left to AQE, which broadcasts at runtime only
+    # when the measured size fits the threshold.
     return (
         d["lineitem"]
         .join(d["orders"].select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customers), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(suppliers),
+        .join(customers, F.col("o_custkey") == F.col("c_custkey"))
+        .join(suppliers,
               (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
@@ -587,8 +595,11 @@ def promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = t(spark, sf_dir, "part")
     disc_price = dec("l_extendedprice") * (1 - dec("l_discount"))
+    # part is 20 M rows at sf100 — no forced broadcast; the filtered
+    # lineitem month shuffles on partkey and AQE broadcasts part only
+    # when its measured size actually fits.
     sums = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey)
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
