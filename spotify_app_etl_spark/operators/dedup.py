@@ -483,6 +483,88 @@ def embedding_cosine_pairs(
     return pairs.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
 
 
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold, confined to sign-LSH buckets.
+
+    Scale path for :func:`embedding_cosine_pairs` (which stays the exact
+    all-pairs verification oracle): each vector hashes into ``tables``
+    independent random-hyperplane buckets (Arrow kernel, one matmul per
+    batch); candidate pairs are generated ONLY within a (table, bucket)
+    equi-join — one shuffle on the bucket key, never O(n²). A pair whose
+    vectors agree on all ``planes`` sign bits in at least one table is a
+    candidate; cosine is then scored exactly per distinct pair. Recall vs
+    the exact variant is asserted in tests/test_operators.py.
+
+    At 100 TB: bucket count 2^planes × tables bounds in-bucket pair
+    blow-up; raise ``planes`` as corpus density grows (the standard LSH
+    knob). The distinct-before-score keeps cost ∝ unique candidates.
+    """
+    from spotify_app_etl_spark.operators.similarity import (
+        _as_double,
+        _hyperplane_buckets_arrow,
+        dot,
+        l2_norm,
+    )
+
+    bks = _hyperplane_buckets_arrow(tables, planes)
+    side = df.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    idx = side.select(
+        "__id",
+        F.explode(
+            F.transform(
+                bks(F.col("__v")),
+                lambda b, i: F.struct(i.alias("tbl"), b.alias("bkt")),
+            )
+        ).alias("tb"),
+    ).select("__id", "tb.tbl", "tb.bkt")
+    cand = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(
+            side.select(
+                F.col("__id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            side.select(
+                F.col("__id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 8
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (verification oracle / small-scale path).
 # ---------------------------------------------------------------------------

@@ -300,16 +300,54 @@ def ns_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ planted near-duplicates.
+
+    The testdata embeddings are i.i.d. random (max pairwise cosine ≈
+    0.55 — no true near-dups), so the dedup queries plant one for each
+    vector: a copy (vec_id + 100000) with even dims × 0.8 and odd dims
+    × 1.2. With norm fraction f in the scaled-up dims the pair's cosine
+    is (0.8 + 0.4 f) / sqrt(0.64 + 0.8 f), minimized at f = 1/2 →
+    cos ∈ [0.9806, 1.0] for EVERY vector, while cross pairs stay below
+    0.55 — a deterministic, engine-agnostic near-dup fixture.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(0.8)).otherwise(F.lit(1.2)),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+#: DuckDB mirror of :func:`_emb_with_planted` (1-based positions: DuckDB
+#: pos 1 ↔ Spark index 0, so odd positions get the 0.8 factor).
+_EMB_PLANTED_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+                                 range(1, len(embedding)+1)),
+                        s -> s[1] * CASE WHEN s[2] % 2 = 1 THEN 0.8 ELSE 1.2 END)
+  FROM embeddings
+"""
+
+
 @query(
     "ns_dedup_embedding_cosine",
-    note="exact embedding-cosine near-dup pairs (>= 0.9), precomputed "
-    "norms + one dot fold per pair; LSH bucketing is the scale path",
-    oracle="""
-WITH v AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
-         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
-              (a,b) -> a+b)) AS nrm
-  FROM embeddings
+    note="exact embedding-cosine near-dup pairs (>= 0.9) over the corpus "
+    "with planted near-dups, precomputed norms + one dot fold per pair; "
+    "exact baseline — the LSH variant below is the scale path",
+    oracle=f"""
+WITH base AS ({_EMB_PLANTED_SQL}),
+v AS (
+  SELECT vec_id, ev,
+         sqrt(list_reduce(list_transform(ev, x -> x*x), (a,b) -> a+b)) AS nrm
+  FROM base
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_reduce(list_transform(range(1, len(a.ev)+1),
@@ -324,7 +362,22 @@ WHERE round(list_reduce(list_transform(range(1, len(a.ev)+1),
 )
 def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_cosine_pairs(
-        t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.9
+        _emb_with_planted(spark, sf_dir), "embedding", "vec_id", threshold=0.9
+    )
+
+
+@query(
+    "ns_dedup_embedding_cosine_lsh",
+    note="scale path for embedding near-dup: candidate pairs confined to "
+    "sign-LSH (table, bucket) equi-join buckets — one shuffle, never "
+    "O(n²); bucket-dependent → rows-only, recall vs the exact variant "
+    "asserted in tests/test_operators.py",
+    tags=("northstar", "dedup", "similarity", "lsh"),
+)
+def ns_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_cosine_pairs_lsh(
+        _emb_with_planted(spark, sf_dir), "embedding", "vec_id",
+        threshold=0.9, planes=8, tables=8,
     )
 
 

@@ -138,6 +138,34 @@ def test_ivf_partial_probe_recall(spark, emb):
         assert (qid, qid) in ivf  # query's own cell is always probed
 
 
+def test_embedding_cosine_lsh_recall(spark, emb):
+    """Bucketed pair generation must recover ≥80% of the exact
+    cosine≥0.9 pairs, with every surviving pair scored identically to
+    the exact kernel (same dot fold, same rounding). The raw fixture
+    has no near-dups (i.i.d. vectors), so plant them as the registered
+    queries do."""
+    from spotify_app_etl_spark.plans.northstar import _emb_with_planted
+
+    corpus = _emb_with_planted(spark, "/root/testdata/sf0.001")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in DD.embedding_cosine_pairs(corpus, "embedding", "vec_id", threshold=0.9).collect()
+    }
+    assert exact, "fixture should contain near-duplicate embeddings"
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in DD.embedding_cosine_pairs_lsh(
+            corpus, "embedding", "vec_id", threshold=0.9, planes=8, tables=8
+        ).collect()
+    }
+    hits = exact.keys() & lsh.keys()
+    recall = len(hits) / len(exact)
+    assert recall >= 0.8, f"LSH pair recall {recall} over {len(exact)} true pairs"
+    for k in hits:
+        assert lsh[k] == exact[k]  # no false scores: identical kernel
+    assert not (lsh.keys() - exact.keys())  # cosine filter → no false positives
+
+
 def test_bruteforce_self_similarity(spark, emb):
     q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
