@@ -94,11 +94,17 @@ def main() -> None:
         _warm("id").alias("x")
     ).agg(F.bit_xor(F.xxhash64("x"))).collect()
 
+    from spotify_app_etl_spark.operators.dedup import release_cached
+
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
         force(registry[name].fn(spark, args.sf))
         timings[name] = round(time.perf_counter() - start, 3)
+        # dedup operators cache signature tables for their multi-consumer
+        # plans; release between queries so a long --all run doesn't
+        # accumulate executor storage
+        release_cached()
 
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
     print(

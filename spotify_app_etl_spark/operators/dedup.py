@@ -28,6 +28,33 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
+# Scoped persist: the signature/gram tables below are cached because
+# several consumers in the returned plan re-read them, but a persist
+# with no matching unpersist accumulates storage across invocations in
+# a long-lived session (bench --all, driver loops, foreachBatch reuse).
+# Every internal persist registers here; callers that run many dedup
+# plans call release_cached() after materializing each one.
+# ---------------------------------------------------------------------------
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every signature/gram table cached by dedup operators.
+
+    Safe at any time: an unpersisted plan stays correct (it recomputes),
+    so call this once the plans built since the last release have been
+    materialized."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
+# ---------------------------------------------------------------------------
 # Shingling / tokenization building blocks (pure column expressions).
 # ---------------------------------------------------------------------------
 
@@ -224,10 +251,12 @@ def minhash_candidates(
         # num_hashes longs per doc. At cluster scale the signature
         # table IS the LSH index — write it to parquet once and reuse
         # across runs.
-        sig = base.select(
-            "__id",
-            _minhash_text_arrow_udf(num_hashes, shingle_k)("__norm").alias("__sig"),
-        ).persist()
+        sig = _scoped_persist(
+            base.select(
+                "__id",
+                _minhash_text_arrow_udf(num_hashes, shingle_k)("__norm").alias("__sig"),
+            )
+        )
         # Materialize now: the three consumers otherwise race to build
         # the cache within one job (each stage recomputes the kernel on
         # whatever partitions it reaches first — measured 2x the whole
@@ -237,15 +266,17 @@ def minhash_candidates(
         # Persist: Catalyst project-collapsing would otherwise inline
         # the full 64-hash expression into every consumer (measured
         # 100x slowdown).
-        sig = base.select(
-            "__id",
-            minhash_signature(
-                "__norm",
-                num_hashes=num_hashes,
-                shingle_k=shingle_k,
-                assume_normalized=True,
-            ).alias("__sig"),
-        ).persist()
+        sig = _scoped_persist(
+            base.select(
+                "__id",
+                minhash_signature(
+                    "__norm",
+                    num_hashes=num_hashes,
+                    shingle_k=shingle_k,
+                    assume_normalized=True,
+                ).alias("__sig"),
+            )
+        )
     if impl == "arrow":  # binary signature: bands are byte substrings
         band_of = lambda b: F.substring(  # noqa: E731
             F.col("__sig"), b * (rows_per_band * 8) + 1, F.lit(rows_per_band * 8)
@@ -400,11 +431,15 @@ def simhash_candidates(
             "__id",
             F.transform(F.split("__norm", " "), lambda tk: F.xxhash64(tk)).alias("__hs"),
         )
-        sig = hs.select("__id", _simhash_arrow_udf()("__hs").alias("__sim")).persist()
+        sig = _scoped_persist(
+            hs.select("__id", _simhash_arrow_udf()("__hs").alias("__sim"))
+        )
     else:
-        sig = df.select(
-            F.col(id_col).alias("__id"), simhash_signature(text_col).alias("__sim")
-        ).persist()
+        sig = _scoped_persist(
+            df.select(
+                F.col(id_col).alias("__id"), simhash_signature(text_col).alias("__sim")
+            )
+        )
     chunks = sig.select(
         "__id",
         "__sim",
@@ -582,7 +617,7 @@ def ngram_jaccard_pairs(
     """
     # persist: consumed by the size agg and both sides of the pair join;
     # token array projected first (per-element reference, see token_ngrams)
-    grams = (
+    grams = _scoped_persist(
         df.select(
             F.col(id_col).alias("__id"),
             F.split(normalized(text_col), " ").alias("__toks"),
@@ -591,7 +626,6 @@ def ngram_jaccard_pairs(
             "__id",
             F.explode(token_ngrams("__toks", n, assume_tokens=True)).alias("gram"),
         )
-        .persist()
     )
     sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (

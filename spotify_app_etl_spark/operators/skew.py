@@ -65,7 +65,19 @@ def salted_join(
     replicated ``salt_buckets``x (explode of a literal range). Build
     replication costs buckets x |build| rows — use only when build is
     small-ish but above the broadcast threshold and the probe key is
-    hot."""
+    hot.
+
+    Only probe-preserving join types are expressible under build-side
+    replication: for ``right``/``full`` (build-preserving) an unmatched
+    build row would surface once per salt bucket (``salt_buckets``
+    duplicate null-extended rows), so those types raise."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join cannot express how={how!r}: build-side replication "
+            "would emit each unmatched build row once per salt bucket; use a "
+            "probe-preserving type (inner/left/left_semi/left_anti)"
+        )
     p = probe.withColumn("__salt", _salt(probe, salt_cols, salt_buckets))
     b = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -124,9 +124,17 @@ WHERE s_nationkey IN (
     )
 
 
-def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    # Namespace by applicationId: two concurrent sessions (driver +
+    # pytest, parallel benches) must not race on overwrite-then-read of
+    # a shared path derived only from sf_dir.
     tag = sf_dir.rstrip("/").replace("/", "_")
-    return os.path.join(tempfile.gettempdir(), "spark_graft_io", f"{tag}.{fmt}")
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_io",
+        spark.sparkContext.applicationId,
+        f"{tag}.{fmt}",
+    )
 
 
 @query(
@@ -137,7 +145,7 @@ def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     tags=("source", "csv"),
 )
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir(sf_dir, "csv")
+    path = _roundtrip_dir(spark, sf_dir, "csv")
     nation = load_table(spark, sf_dir, "nation")
     nation.write.mode("overwrite").option("header", "true").csv(path)
     return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
@@ -155,7 +163,7 @@ SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
     tags=("source", "json"),
 )
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = _roundtrip_dir(sf_dir, "json")
+    path = _roundtrip_dir(spark, sf_dir, "json")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )

@@ -100,19 +100,30 @@ def request_with_retry(
     raise RetryBudgetExceeded(f"{max_attempts} attempts exhausted for {url}")
 
 
+class PaginationLoop(RuntimeError):
+    """Raised when a ``next`` cursor repeats (self-referencing chain)."""
+
+
 def fetch_paginated(
     transport: Transport,
     url: str,
     bucket: TokenBucket | None = None,
-    max_pages: int | None = None,
+    max_pages: int | None = 10_000,
 ) -> list[dict]:
     """Cursor-follow pagination (A1): accumulate ``items`` until
     ``next`` is null. ``max_pages=1`` gives the single-page variant
     (A2) — but as an explicit cap, not the reference's silent
-    truncation (§2.9 bug 4)."""
+    truncation (§2.9 bug 4). A repeated cursor URL (malformed API
+    echoing itself) raises :class:`PaginationLoop` instead of spinning
+    an executor task forever; ``max_pages`` (default 10k, pass None to
+    disable) bounds non-repeating runaway chains."""
     items: list[dict] = []
     pages = 0
+    seen: set[str] = set()
     while url:
+        if url in seen:
+            raise PaginationLoop(f"cursor already visited: {url}")
+        seen.add(url)
         payload = request_with_retry(transport, url, bucket)
         items.extend(payload.get("items", []))
         pages += 1
@@ -156,10 +167,13 @@ def batched_lookup(
         .groupBy("__batch")
         .agg(F.collect_list(id_col).alias("__ids"))
     )
-    if max_concurrent_partitions:
-        batches = batches.repartition(max_concurrent_partitions)
-
+    # The per-partition bucket rate divides global_rate by the number of
+    # partitions that will actually run concurrently — so ALWAYS pin the
+    # partition count. Without this repartition the batch table inherits
+    # spark.sql.shuffle.partitions (32 under get_spark) and 32 buckets
+    # each sized global_rate/8 would emit ~4x the intended fleet rate.
     n_parts = max_concurrent_partitions or 8
+    batches = batches.repartition(n_parts)
 
     def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = (

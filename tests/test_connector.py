@@ -82,3 +82,22 @@ def test_pagination_follows_cursor_and_caps():
     assert rest.fetch_paginated(pages.__getitem__, "/p?offset=0") == [0, 1, 2, 3, 4]
     # explicit single-page cap (A2) — not silent truncation
     assert rest.fetch_paginated(pages.__getitem__, "/p?offset=0", max_pages=1) == [0, 1]
+
+
+def test_pagination_detects_cursor_cycle():
+    # malformed API echoing its own URL as `next` must raise, not spin
+    pages = {
+        "/p?offset=0": {"items": [0], "next": "/p?offset=2"},
+        "/p?offset=2": {"items": [1], "next": "/p?offset=0"},
+    }
+    with pytest.raises(rest.PaginationLoop):
+        rest.fetch_paginated(pages.__getitem__, "/p?offset=0")
+
+
+def test_pagination_max_pages_bounds_runaway_chain():
+    # non-repeating infinite chain is cut by the default page cap
+    def transport(url):
+        n = int(url.rsplit("=", 1)[1])
+        return {"items": [n], "next": f"/p?offset={n + 1}"}
+
+    assert len(rest.fetch_paginated(transport, "/p?offset=0", max_pages=7)) == 7

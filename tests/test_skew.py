@@ -55,6 +55,22 @@ def test_salted_join_matches_plain(spark):
     assert set(salted.columns) == set(li.columns) | {"o_orderpriority"}
 
 
+def test_salted_join_rejects_build_preserving_types(spark):
+    # right/full would emit each unmatched build row once per salt bucket
+    import pytest
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(
+                li, orders, key="l_orderkey",
+                salt_cols=["l_orderkey", "l_linenumber"], how=how,
+            )
+
+
 def test_salt_spreads_hot_key(spark):
     # one hot key: 10k identical rows → salt must split into ≥8 buckets
     hot = spark.range(10000).select(
