@@ -70,6 +70,62 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def _derby_url(tmp_path, name: str) -> str:
+    # Embedded Derby ships with Spark (jars/derby*.jar) — a real JDBC
+    # endpoint with no external service, exercising the same
+    # dialect/DDL/insert path a Postgres sink would use.
+    return f"jdbc:derby:{tmp_path}/{name};create=true"
+
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def test_write_jdbc_overwrite_roundtrip(spark, tmp_path):
+    """Snapshot-replace semantics of the reference load stage
+    (spotify-etl.py:209-215): two overwrites → table holds exactly the
+    second snapshot, with typed columns preserved through SQL types."""
+    url = _derby_url(tmp_path, "db1")
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    first = orders.limit(50)
+    io.write_jdbc(first, url, "snap", properties=DERBY_PROPS)
+    second = orders.filter(F.col("o_orderkey") % 2 == 0).limit(80)
+    io.write_jdbc(second, url, "snap", properties=DERBY_PROPS)
+    back = spark.read.jdbc(url, "snap", properties=DERBY_PROPS)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, second.collect()))
+    assert dict(back.dtypes)["o_totalprice"] == "double"
+    assert dict(back.dtypes)["o_orderdate"] == "timestamp"
+
+
+def test_write_jdbc_truncate_keeps_ddl(spark, tmp_path):
+    """truncate=True reuses the existing table DDL instead of
+    drop+recreate — verified by the second write succeeding against the
+    first write's schema and replacing its rows."""
+    url = _derby_url(tmp_path, "db2")
+    nation = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    io.write_jdbc(nation, url, "snap", properties=DERBY_PROPS)
+    io.write_jdbc(
+        nation.filter(F.col("n_nationkey") < 5), url, "snap",
+        truncate=True, properties=DERBY_PROPS,
+    )
+    back = spark.read.jdbc(url, "snap", properties=DERBY_PROPS)
+    assert back.count() == 5
+
+
+def test_write_jdbc_stringify_compat(spark, tmp_path):
+    """Reference-shaped all-text load (astype(str) intent, §1.4): every
+    column lands as a SQL text type and reads back as string."""
+    url = _derby_url(tmp_path, "db3")
+    nation = load_table(spark, SF, "nation")
+    io.write_jdbc(nation, url, "snap", stringify_compat=True, properties=DERBY_PROPS)
+    back = spark.read.jdbc(url, "snap", properties=DERBY_PROPS)
+    assert all(t == "string" for _, t in back.dtypes)
+    got = {r.n_nationkey: r.n_name for r in back.collect()}
+    want = {str(r.n_nationkey): r.n_name for r in nation.collect()}
+    assert got == want
+
+
 def test_loaders_match_declared_schemas(spark):
     for name, schema in schemas.TESTDATA.items():
         df = load_table(spark, SF, name)
