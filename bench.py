@@ -48,9 +48,14 @@ HEADLINE = [
     "q_events_session",
     "ns_dedup_exact",
     "ns_dedup_minhash_pairs",
+    "ns_dedup_minhash_verified",
+    "ns_dedup_embedding_cosine_lsh",
     "ns_sim_topk_bruteforce",
+    "ns_sim_topk_lsh",
     "ns_text_stats",
     "ns_doc_fingerprint",
+    "ns_pipeline_training_prep",
+    "q_join_asof",
 ]
 
 

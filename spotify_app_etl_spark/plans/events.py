@@ -184,3 +184,36 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").alias("max_gap_s"),
         F.min("gap_s").alias("min_gap_s"),
     )
+
+
+@query(
+    "q_dedup_bounded_window",
+    note="batch analog of streaming.dedup_within_watermark "
+    "(dropDuplicatesWithinWatermark): keep the FIRST event per "
+    "(user_id, event_type) within each 10-minute epoch-aligned bucket "
+    "— the oracle-checkable shape of bounded-state streaming dedup "
+    "(deterministic ts, event_id tie-break)",
+    oracle="""
+SELECT window_id, user_id, event_type, event_id, ts, value FROM (
+  SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) AS window_id,
+         user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, CAST(floor(epoch(ts) / 600) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("events", "dedup", "streaming-analog"),
+)
+def dedup_bounded_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "window_id", F.floor(F.unix_timestamp("ts") / 600)
+    )
+    w = W.partitionBy("user_id", "event_type", "window_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("window_id", "user_id", "event_type", "event_id", "ts", "value")
+    )

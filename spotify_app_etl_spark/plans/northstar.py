@@ -99,6 +99,21 @@ def ns_dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_dedup_minhash_verified",
+    note="the scale contract end-to-end: MinHash+LSH proposes candidate "
+    "pairs, exact n-gram Jaccard verifies ONLY those (ngram_jaccard_on) "
+    "— candidate set is hash-defined → rows-only; equivalence to "
+    "standalone exact Jaccard on the candidate set asserted in "
+    "tests/test_operators.py",
+    tags=("northstar", "dedup", "lsh"),
+)
+def ns_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cand = DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
+    return DD.ngram_jaccard_on(cand, docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@query(
     "ns_dedup_simhash_pairs",
     note="SimHash-64 near-dup pairs at Hamming ≤ 3 via 4×16-bit band "
     "buckets (pigeonhole-complete) — hash-defined → rows-only",

@@ -51,6 +51,28 @@ def test_minhash_dedup_drops_duplicates(spark, docs):
         assert p.id_b not in kept_ids
 
 
+def test_ngram_jaccard_on_candidates_matches_standalone(spark, docs):
+    """Verify-on-candidates must agree with the standalone exact path on
+    every pair the candidate set contains, and verification must prune
+    false candidates (est_jaccard >= t but true jaccard < t)."""
+    cand = DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
+    verified = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in DD.ngram_jaccard_on(cand, docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    standalone = {
+        (r.id_a, r.id_b): (r.n_common, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    cand_pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    # identical values wherever both paths computed the pair
+    for pair, vals in verified.items():
+        assert standalone[pair] == vals, pair
+    # verified ⊆ candidates, and exactly the true-jaccard survivors of them
+    assert set(verified) == set(standalone) & cand_pairs
+    assert verified, "fixture should contain verified near-dup pairs"
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [
