@@ -1,0 +1,112 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Reference parity: none — the reference (a 317-line ETL script) has no
+sampling stage; this is part of the LLM-data-pipeline surface the brief
+adds on top.
+
+Design: the keep/drop decision is a pure function of ``(seed, key)`` —
+``sha256(seed || '|' || key)`` — compared as a hex-prefix string against
+a precomputed threshold. That gives three properties that matter at
+100 TB:
+
+* **No shuffle, no state.** The sampler is a single column expression
+  inside whole-stage codegen; it composes with any scan and the filter
+  is evaluated where the data already lives.
+* **Reproducible & resumable.** Re-running a failed job, growing the
+  cluster, or re-partitioning the input cannot change which rows are
+  kept (unlike ``df.sample``, whose outcome depends on partition
+  layout / RNG stream position).
+* **Engine-portable.** Both Spark (``sha2``) and DuckDB (``sha256``)
+  emit lowercase hex, so lexicographic prefix comparison is identical
+  across engines — the DuckDB oracles mirror these plans bit-for-bit.
+
+The first 8 hex chars partition the key space into 16^8 ≈ 4.3e9 equal
+slices; a rate ``r`` keeps keys whose slice index is below
+``round(r * 16^8)``, so the realized rate is within 2.4e-10 of the
+request — exact enough that the same threshold literal serves both the
+plan and its SQL oracle (built by :func:`threshold_hex` for both).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Width of the compared hex prefix (8 hex chars = 32 bits).
+_PREFIX = 8
+_SPACE = 16**_PREFIX
+
+
+def threshold_hex(rate: float) -> str:
+    """Hex threshold such that P[prefix < threshold] == rate (±2^-32)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 1.0:
+        # 'g' sorts after every hex digit in both engines → keep-all.
+        return "g" * _PREFIX
+    return format(int(round(rate * _SPACE)), f"0{_PREFIX}x")
+
+
+def sample_key(key: str | Column, seed: int) -> Column:
+    """The 8-hex-char decision prefix for ``(seed, key)``."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.sha2(F.concat_ws("|", F.lit(str(seed)), col.cast("string")), 256), 1, _PREFIX
+    )
+
+
+def sql_sample_key(key_sql: str, seed: int) -> str:
+    """DuckDB mirror of :func:`sample_key` (lowercase hex on both engines)."""
+    return f"substr(sha256(concat_ws('|', '{seed}', CAST({key_sql} AS VARCHAR))), 1, {_PREFIX})"
+
+
+def hash_sample(df: DataFrame, key: str, rate: float, *, seed: int = 42) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, keyed on ``key``."""
+    return df.filter(sample_key(key, seed) < F.lit(threshold_hex(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    rates: Mapping[str, float],
+    *,
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalancing languages).
+
+    ``rates`` maps stratum value → keep rate; strata not listed fall
+    back to ``default_rate``. Still a pure column expression: the
+    threshold is a CASE over the stratum column, so no shuffle and no
+    per-stratum pass — one scan regardless of how many strata exist.
+    """
+    thr: Column = F.lit(threshold_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == value, F.lit(threshold_hex(rate))).otherwise(thr)
+    return df.filter(sample_key(key, seed) < thr)
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    *,
+    eval_frac: float = 0.1,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval assignment column (disjoint, exhaustive).
+
+    The same ``(seed, key)`` hash drives the split, so membership is
+    stable under re-runs and re-partitioning, and a row can never land
+    in both splits — the property that matters when the corpus is
+    rebuilt incrementally.
+    """
+    key_expr = sample_key(key, seed)
+    return df.withColumn(
+        out_col,
+        F.when(key_expr < F.lit(threshold_hex(eval_frac)), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -41,6 +41,7 @@ _PLAN_MODULES = (
     "spotify_app_etl_spark.plans.sets",
     "spotify_app_etl_spark.plans.events",
     "spotify_app_etl_spark.plans.northstar",
+    "spotify_app_etl_spark.plans.corpus",
     "spotify_app_etl_spark.plans.etl_parity",
     "spotify_app_etl_spark.plans.udf",
     "spotify_app_etl_spark.plans.sql_api",
@@ -69,6 +70,12 @@ def query(
 #: round-1 row as evidence.
 _PRIORITY: tuple[str, ...] = (
     # round-2 additions
+    "ns_sample_hash",
+    "ns_sample_stratified",
+    "ns_split_assign",
+    "ns_text_vocab_topk",
+    "ns_decontaminate_report",
+    "ns_decontaminate_clean",
     "ns_dedup_embedding_cosine_lsh",
     "ns_dedup_minhash_verified",
     "q_dedup_bounded_window",

@@ -1,0 +1,111 @@
+"""Unit tests for deterministic sampling/splitting and decontamination."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spotify_app_etl_spark.operators import decontam as DC
+from spotify_app_etl_spark.operators import sampling as SA
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_threshold_hex_bounds():
+    assert SA.threshold_hex(0.0) == "00000000"
+    assert SA.threshold_hex(0.5) == "80000000"
+    assert SA.threshold_hex(1.0) == "g" * 8  # sorts after every hex prefix
+    with pytest.raises(ValueError):
+        SA.threshold_hex(1.5)
+
+
+def test_hash_sample_rate_and_determinism(spark, docs):
+    kept = SA.hash_sample(docs, "doc_id", 0.2, seed=7)
+    n, total = kept.count(), docs.count()
+    # 500 Bernoulli(0.2) draws: expect ~100, allow 5 sigma (~±45).
+    assert 55 <= n <= 145
+    # Partition layout must not change membership (unlike df.sample).
+    again = SA.hash_sample(docs.repartition(13), "doc_id", 0.2, seed=7)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+    # Different seed → different (but similarly sized) sample.
+    other = SA.hash_sample(docs, "doc_id", 0.2, seed=8)
+    assert sorted(r.doc_id for r in other.select("doc_id").collect()) != sorted(
+        r.doc_id for r in kept.select("doc_id").collect()
+    )
+    assert total == 500
+
+
+def test_hash_sample_monotone_in_rate(spark, docs):
+    """A 10% sample is a subset of the 30% sample at the same seed —
+    the property that lets you grow a sample without resampling."""
+    small = {r.doc_id for r in SA.hash_sample(docs, "doc_id", 0.1, seed=5).collect()}
+    big = {r.doc_id for r in SA.hash_sample(docs, "doc_id", 0.3, seed=5).collect()}
+    assert small <= big
+
+
+def test_stratified_rates(spark, docs):
+    kept = SA.stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "zh": 0.0}, default_rate=0.5, seed=1
+    )
+    by_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["en"] == totals["en"]  # rate 1.0 keeps everything
+    assert "zh" not in by_lang  # rate 0.0 drops everything
+    for lang in ("de", "es", "fr"):  # default 0.5 ± 5 sigma
+        assert 0.15 * totals[lang] <= by_lang[lang] <= 0.85 * totals[lang]
+
+
+def test_split_assign_disjoint_exhaustive(spark, docs):
+    out = SA.split_assign(docs, "doc_id", eval_frac=0.1, seed=3)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "eval"}
+    assert sum(counts.values()) == docs.count()
+    # eval ~10% of 500 → 5 sigma ≈ ±34
+    assert 16 <= counts.get("eval", 0) <= 84
+
+
+def test_sampler_plan_has_no_shuffle(spark, docs):
+    plan = SA.hash_sample(docs, "doc_id", 0.2, seed=7)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: scan → filter, codegen
+
+
+def test_contamination_planted(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "he saw the quick brown fox yesterday"),  # shares 2 grams
+            (11, "completely unrelated sentence about spark"),
+            (12, "THE  QUICK   BROWN fox"),  # normalization: shares grams
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r.doc_id: (r.n_shared_grams, r.n_bench_docs)
+        for r in DC.contamination_report(train, bench, "text", "doc_id", n=3).collect()
+    }
+    assert rep[10] == (2, 1)  # 'the quick brown', 'quick brown fox'
+    assert rep[12] == (2, 1)
+    assert 11 not in rep
+    clean = DC.decontaminate(train, bench, "text", "doc_id", n=3)
+    assert [r.doc_id for r in clean.collect()] == [11]
+
+
+def test_contamination_broadcast_in_plan(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    plan = (
+        DC.contamination_report(train, bench, "text", "doc_id", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
