@@ -57,6 +57,159 @@ class TokenProvider:
         return {"Authorization": f"Bearer {self.token()}"}
 
 
+# ---------------------------------------------------------------------------
+# OAuth2 authorization-code bootstrap (reference: generate_token.py:8-15,
+# the one-time interactive consent flow that mints the refresh token the
+# ETL then uses forever). Engine version is transport-injected and
+# non-interactive: the caller opens `authorize_url` in a browser, pastes
+# the redirect URL back, and `exchange_code` turns it into tokens.
+# PKCE (RFC 7636) is included so public clients need no stored secret.
+# ---------------------------------------------------------------------------
+
+FormPost = Callable[..., dict]
+
+
+def pkce_pair() -> tuple[str, str]:
+    """(code_verifier, code_challenge) per RFC 7636 (S256)."""
+    import base64
+    import hashlib
+    import secrets
+
+    verifier = base64.urlsafe_b64encode(secrets.token_bytes(32)).rstrip(b"=").decode()
+    digest = hashlib.sha256(verifier.encode("ascii")).digest()
+    challenge = base64.urlsafe_b64encode(digest).rstrip(b"=").decode()
+    return verifier, challenge
+
+
+def authorize_url(
+    endpoint: str,
+    client_id: str,
+    redirect_uri: str,
+    scope: str,
+    *,
+    state: str | None = None,
+    code_challenge: str | None = None,
+) -> str:
+    """The consent URL the user opens once (SpotifyOAuth's step 1)."""
+    from urllib.parse import urlencode
+
+    params = {
+        "client_id": client_id,
+        "response_type": "code",
+        "redirect_uri": redirect_uri,
+        "scope": scope,
+    }
+    if state is not None:
+        params["state"] = state
+    if code_challenge is not None:
+        params["code_challenge"] = code_challenge
+        params["code_challenge_method"] = "S256"
+    return f"{endpoint}?{urlencode(params)}"
+
+
+def parse_redirect(redirect_url: str, *, expect_state: str | None = None) -> str:
+    """Extract the authorization code from the pasted redirect URL."""
+    from urllib.parse import parse_qs, urlparse
+
+    qs = parse_qs(urlparse(redirect_url).query)
+    if "error" in qs:
+        raise RuntimeError(f"authorization denied: {qs['error'][0]}")
+    if expect_state is not None and qs.get("state", [None])[0] != expect_state:
+        raise RuntimeError("state mismatch (possible CSRF)")
+    try:
+        return qs["code"][0]
+    except KeyError:
+        raise RuntimeError("redirect URL carries no ?code=") from None
+
+
+def exchange_code(
+    post: FormPost,
+    endpoint: str,
+    code: str,
+    client_id: str,
+    redirect_uri: str,
+    *,
+    client_secret: str | None = None,
+    code_verifier: str | None = None,
+) -> dict:
+    """authorization_code grant → token response (incl. refresh_token)."""
+    data = {
+        "grant_type": "authorization_code",
+        "code": code,
+        "redirect_uri": redirect_uri,
+        "client_id": client_id,
+    }
+    if client_secret is not None:
+        data["client_secret"] = client_secret
+    if code_verifier is not None:
+        data["code_verifier"] = code_verifier
+    return post(endpoint, data)
+
+
+def refresh_grant_fn(
+    post: FormPost,
+    endpoint: str,
+    refresh_token: str,
+    client_id: str,
+    *,
+    client_secret: str | None = None,
+) -> RefreshFn:
+    """A :class:`TokenProvider`-compatible refresh over the
+    refresh_token grant (spotify-etl.py:29-42's per-run exchange)."""
+
+    def refresh() -> tuple[str, float]:
+        data = {
+            "grant_type": "refresh_token",
+            "refresh_token": refresh_token,
+            "client_id": client_id,
+        }
+        if client_secret is not None:
+            data["client_secret"] = client_secret
+        reply = post(endpoint, data)
+        return reply["access_token"], float(reply.get("expires_in", 3600))
+
+    return refresh
+
+
+def bootstrap_provider(
+    post: FormPost,
+    token_endpoint: str,
+    redirect_url: str,
+    client_id: str,
+    redirect_uri: str,
+    *,
+    client_secret: str | None = None,
+    code_verifier: str | None = None,
+    expect_state: str | None = None,
+    slack_s: float = 60.0,
+) -> TokenProvider:
+    """End-to-end: pasted redirect URL → self-refreshing TokenProvider."""
+    code = parse_redirect(redirect_url, expect_state=expect_state)
+    reply = exchange_code(
+        post,
+        token_endpoint,
+        code,
+        client_id,
+        redirect_uri,
+        client_secret=client_secret,
+        code_verifier=code_verifier,
+    )
+    provider = TokenProvider(
+        refresh_grant_fn(
+            post,
+            token_endpoint,
+            reply["refresh_token"],
+            client_id,
+            client_secret=client_secret,
+        ),
+        slack_s=slack_s,
+    )
+    # Seed the cache with the freshly minted access token.
+    provider._token = reply["access_token"]
+    provider._expires_at = provider._clock() + float(reply.get("expires_in", 3600))
+    return provider
+
+
 def authenticated_transport(transport, provider: TokenProvider):
     """Wrap a transport so every request carries a fresh bearer header.
 

@@ -22,7 +22,35 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
+
+
+class HttpFormPostTransport:
+    """Synchronous form-encoded POST transport (OAuth token endpoints).
+
+    ``(url, data, headers=None) -> dict`` — posts
+    ``application/x-www-form-urlencoded`` and decodes a JSON response.
+    Same dumb-pipe contract as :class:`HttpTransport`; non-2xx raises
+    (token-endpoint failures are terminal, not throttling).
+    """
+
+    def __init__(self, timeout_s: float = 30.0, user_agent: str = "spotify-app-etl-spark/1.0"):
+        self.timeout_s = timeout_s
+        self.user_agent = user_agent
+
+    def __call__(
+        self, url: str, data: dict[str, str], headers: dict[str, str] | None = None
+    ) -> dict:
+        body = urllib.parse.urlencode(data).encode("ascii")
+        merged = {
+            "User-Agent": self.user_agent,
+            "Content-Type": "application/x-www-form-urlencoded",
+            **(headers or {}),
+        }
+        req = urllib.request.Request(url, data=body, headers=merged, method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
 
 
 class HttpTransport:
