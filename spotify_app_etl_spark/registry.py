@@ -76,6 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     "ns_text_vocab_topk",
     "ns_decontaminate_report",
     "ns_decontaminate_clean",
+    "ns_dedup_clusters",
+    "ns_quality_repetition",
+    "ns_mix_token_budget",
+    "ns_shard_pack",
     "ns_dedup_embedding_cosine_lsh",
     "ns_dedup_minhash_verified",
     "q_dedup_bounded_window",

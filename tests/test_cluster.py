@@ -1,0 +1,47 @@
+"""Connected-components unit tests on known graph shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_app_etl_spark.operators import cluster as CL
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r.node: r.component for r in CL.connected_components(df).collect()}
+
+
+def test_chain_merges_transitively(spark):
+    # A~B, B~C, C~D: greedy pairwise dedup would keep A and C; CC must
+    # put all four in one component labeled by the min id.
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components_and_label_is_min(spark):
+    got = _cc(spark, [(10, 7), (7, 12), (3, 5)])
+    assert got == {7: 7, 10: 7, 12: 7, 3: 3, 5: 3}
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    got = _cc(spark, [(1, 1), (1, 2), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1}
+
+
+def test_long_chain_converges_within_diameter_rounds(spark):
+    # Diameter 12 chain: min-label propagation needs ~12 rounds.
+    edges = [(i, i + 1) for i in range(12)]
+    assert _cc(spark, edges) == {i: 0 for i in range(13)}
+
+
+def test_max_iter_fails_loudly(spark):
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        CL.connected_components(df, max_iter=2)
+
+
+def test_dedup_clusters_sizes(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (8, 9)], ["id_a", "id_b"])
+    rows = {r.node: (r.component, r.cluster_size) for r in CL.dedup_clusters(df).collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 8: (8, 2), 9: (8, 2)}
