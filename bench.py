@@ -56,6 +56,11 @@ HEADLINE = [
     "ns_doc_fingerprint",
     "ns_pipeline_training_prep",
     "q_join_asof",
+    "ns_dedup_clusters",
+    "ns_decontaminate_report",
+    "ns_text_vocab_topk",
+    "ns_quality_repetition",
+    "ns_shard_pack",
 ]
 
 
