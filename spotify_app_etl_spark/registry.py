@@ -45,6 +45,10 @@ _PLAN_MODULES = (
     "spotify_app_etl_spark.plans.etl_parity",
     "spotify_app_etl_spark.plans.udf",
     "spotify_app_etl_spark.plans.sql_api",
+    # Registered last on purpose: queries added mid-round sort after the
+    # _PRIORITY block and the round-1 surface, so they don't displace
+    # not-yet-driver-checked queries from the checked window.
+    "spotify_app_etl_spark.plans.tpch_more",
 )
 
 
