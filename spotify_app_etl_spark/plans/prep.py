@@ -1,0 +1,200 @@
+"""Training-prep extras: PII scrubbing, boilerplate-gram flagging,
+curriculum binning, and deterministic corpus shuffling.
+
+Reference parity: none — LLM-data-pipeline surface on top of the
+reference ETL. All four queries are deterministic and carry full DuckDB
+oracles.
+
+The PII query deterministically AUGMENTS the synthetic corpus with
+emails/phones/IPs derived from ``doc_id`` (the testdata text contains
+none — /root/testdata documents are word-soup), using the identical
+concatenation expression on both engines. That turns the oracle into a
+real cross-engine check of the redaction regexes rather than a
+vacuous all-zeros comparison.
+
+Scale notes (100 TB):
+- PII scrub: map-only regex pass inside codegen; zero shuffles.
+- Boilerplate grams: explode → doc-frequency agg → semi join back;
+  two shuffles on the gram key, both map-side combinable.
+- Curriculum bins: global ntile needs a total order — at scale this is
+  a range-partition sort (Spark samples boundaries); acceptable
+  because the output is the per-doc bin assignment, written once per
+  corpus build.
+- Corpus shuffle: same range-sort shape; position = rank over a
+  sha256 key, so re-runs and cluster resizes give byte-identical
+  shard order (df.orderBy(rand()) cannot promise that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spotify_app_etl_spark.functions import pii
+from spotify_app_etl_spark.operators import sampling as SA
+from spotify_app_etl_spark.operators.dedup import normalized, token_ngrams
+from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (deterministic augmentation → detect → redact).
+# ---------------------------------------------------------------------------
+
+#: DuckDB mirror of the augmentation below — keep in sync.
+_SQL_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example or call +' || CAST((doc_id % 9) + 1 AS VARCHAR)"
+    " || ' 555 ' || lpad(CAST(doc_id AS VARCHAR), 6, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)"
+)
+
+
+def _augmented(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(d),
+        F.lit("@mail"), s(d % 7),
+        F.lit(".example or call +"), s((d % 9) + 1),
+        F.lit(" 555 "), F.lpad(s(d), 6, "0"),
+        F.lit(" from 10."), s(d % 256),
+        F.lit("."), s((d * 7) % 256),
+        F.lit("."), s((d * 13) % 256),
+    )
+    return docs.select("doc_id", aug.alias("aug_text"))
+
+
+@query(
+    "ns_pii_scrub",
+    note="deterministic PII augmentation (emails/phones/IPs from doc_id) "
+    "then regex detect+redact — map-only codegen pass, identical "
+    "RE2-safe pattern literals on both engines",
+    oracle=f"""
+SELECT doc_id,
+       {pii.sql_count('aug_text', pii.EMAIL)} AS n_emails,
+       {pii.sql_count('aug_text', pii.IPV4)} AS n_ips,
+       {pii.sql_count('aug_text', pii.PHONE)} AS n_phones,
+       {pii.sql_redact('aug_text')} AS redacted
+FROM (SELECT doc_id, {_SQL_AUG} AS aug_text FROM documents) s
+""",
+    tags=("northstar", "pii", "scrub"),
+)
+def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _augmented(t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        pii.count_matches("aug_text", pii.EMAIL).alias("n_emails"),
+        pii.count_matches("aug_text", pii.IPV4).alias("n_ips"),
+        pii.count_matches("aug_text", pii.PHONE).alias("n_phones"),
+        pii.redact("aug_text").alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate 3-gram flagging (Gopher-style shared-boilerplate signal).
+# ---------------------------------------------------------------------------
+
+#: A gram is "boilerplate" when it appears in at least this many docs.
+_MIN_DOC_FREQ = 2
+
+_TOKS = "str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+_GRAMS3 = """list_distinct(list_transform(
+    range(1, greatest(len(toks) - 2, 1) + 1),
+    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""
+
+
+@query(
+    "ns_boilerplate_grams",
+    note="per-doc fraction of word-3-grams shared with ≥2 docs: explode "
+    "→ doc-frequency agg → join back; both shuffles on the gram key "
+    "are map-side combinable",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, unnest({_GRAMS3}) AS gram FROM norm
+), df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(CASE WHEN df.doc_freq >= {_MIN_DOC_FREQ} THEN 1 END) AS n_shared,
+       CAST(COUNT(CASE WHEN df.doc_freq >= {_MIN_DOC_FREQ} THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS shared_frac
+FROM grams g JOIN df ON g.gram = df.gram
+GROUP BY g.doc_id
+""",
+    tags=("northstar", "quality", "boilerplate"),
+)
+def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(token_ngrams("text", 3)).alias("gram"))
+    )
+    doc_freq = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    shared = F.count(F.when(F.col("doc_freq") >= _MIN_DOC_FREQ, 1))
+    return (
+        grams.join(doc_freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+            (shared.cast("double") / F.count(F.lit(1))).alias("shared_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum binning: decile assignment by document length.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ns_curriculum_bins",
+    note="global ntile(10) by (n_chars, doc_id) — range-partition sort "
+    "at scale; emits the per-doc bin plus per-bin stats downstream "
+    "schedulers consume",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS bin
+FROM documents
+""",
+    tags=("northstar", "curriculum", "window"),
+)
+def ns_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("n_chars", "doc_id")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.ntile(10).over(w).alias("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle.
+# ---------------------------------------------------------------------------
+
+_SEED_SHUFFLE = 17
+
+
+@query(
+    "ns_corpus_shuffle",
+    note="training-order shuffle as rank over a sha256 key: byte-stable "
+    "under re-runs/resizes (orderBy(rand()) is not); one range sort",
+    oracle=f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY {SA.sql_sample_key('doc_id', _SEED_SHUFFLE)}, doc_id
+       ) AS shuffle_pos
+FROM documents
+""",
+    tags=("northstar", "sampling", "shuffle"),
+)
+def ns_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy(SA.sample_key("doc_id", _SEED_SHUFFLE), "doc_id")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
+    )

@@ -49,6 +49,7 @@ _PLAN_MODULES = (
     # _PRIORITY block and the round-1 surface, so they don't displace
     # not-yet-driver-checked queries from the checked window.
     "spotify_app_etl_spark.plans.tpch_more",
+    "spotify_app_etl_spark.plans.prep",
 )
 
 
@@ -119,6 +120,25 @@ _PRIORITY: tuple[str, ...] = (
     "ns_mm_metadata",
     "ns_mm_features",
     "ns_mm_frame_sample",
+    # round-2 training-prep extras
+    "ns_pii_scrub",
+    "ns_boilerplate_grams",
+    "ns_curriculum_bins",
+    "ns_corpus_shuffle",
+    # TPC-H completion suite (adapted) — added post-r01, unchecked
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_ship_latency",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_late_sole_supplier",
+    "q22_dormant_customers",
 )
 
 
