@@ -698,3 +698,264 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec("c_acctbal"), "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (group-wise argmin with join-back).
+# Testdata has no partsupp, so "supply cost" is derived from observed
+# shipments: unit_cost(part, supp) = sum(extendedprice) / sum(quantity)
+# over lineitem. The shape is intact: filtered part dim ⋈ supply rel ⋈
+# region-scoped suppliers, then keep only rows matching the per-part
+# minimum cost.
+# ---------------------------------------------------------------------------
+
+_Q2_REGION, _Q2_TYPE, _Q2_MAX_SIZE = "EUROPE", "STANDARD", 25
+
+_UNIT_COST = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+    " / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+)
+
+
+@query(
+    "q02_min_cost_supplier",
+    note="argmin join-back as a per-part MIN window over the region-"
+    "scoped supply relation; double equality is safe because both "
+    "engines derive unit_cost from the same exact decimal sums",
+    oracle=f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, {_UNIT_COST} AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q2_REGION}'
+), ranked AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey, unit_cost,
+         MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM part
+  JOIN supply ON p_partkey = l_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_type = '{_Q2_TYPE}' AND p_size <= {_Q2_MAX_SIZE}
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey, unit_cost
+FROM ranked WHERE unit_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+""",
+    tags=("join", "window", "argmin", "tpch"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    supply = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(dec("l_extendedprice")).cast("double")
+                / F.sum(dec("l_quantity")).cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    # nation/region are fixed-size dims (25/5 rows at every sf):
+    # broadcast them; supplier itself grows with sf, so AQE decides.
+    nations = (
+        t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE)
+    )
+    ranked = (
+        parts.join(supply, parts.p_partkey == supply.l_partkey)
+        .join(eu, supply.l_suppkey == eu.s_suppkey)
+        .withColumn(
+            "min_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        ranked.filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "s_suppkey", "unit_cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: per-part value within a region vs a global
+# scalar threshold. "Stock value" is derived as the summed extended
+# price shipped by the region's suppliers (no partsupp in testdata).
+# ---------------------------------------------------------------------------
+
+_Q11_REGION, _Q11_FRACTION = "AFRICA", 0.0005
+
+
+@query(
+    "q11_important_stock",
+    note="two aggregation grains from ONE scan shape: per-part decimal "
+    "sums, then the global threshold = sum over that (small) agg "
+    "broadcast back — no second lineitem pass, exact decimal math "
+    "until the final double compare",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{_Q11_REGION}'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val_dec AS DOUBLE) >
+      {_Q11_FRACTION} * (SELECT CAST(SUM(val_dec) AS DOUBLE) FROM per_part)
+""",
+    tags=("agg", "subquery", "scalar", "tpch"),
+)
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = (
+        t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "region").filter(F.col("r_name") == _Q11_REGION)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        t(spark, sf_dir, "lineitem")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("val_dec"))
+    )
+    # Scalar threshold: aggregate the per-part agg (tiny relative to the
+    # fact scan) and broadcast the single row. Catalyst will recompute
+    # per_part's lineage for the scalar branch; at 100 TB persist
+    # per_part or reuse a shuffle — row counts there are #parts, not
+    # #lineitems, so even recomputation is bounded by one extra scan.
+    total = per_part.agg(
+        (F.lit(_Q11_FRACTION) * F.sum("val_dec").cast("double")).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("val_dec").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant recent suppliers (nested grains + threshold semi join).
+# partsupp-free restatement: a supplier qualifies when, for some
+# filtered part, its recent shipments alone exceed 10% of that part's
+# lifetime shipped quantity.
+# ---------------------------------------------------------------------------
+
+_Q20_NAME_PREFIX, _Q20_CUTOFF, _Q20_SHARE = "small %", "1999-01-01", 0.1
+
+
+@query(
+    "q20_dominant_recent_suppliers",
+    note="two aggregation grains (supp×part, part) joined on partkey; "
+    "qualifying suppkeys drive a left-semi join into the region-"
+    "scoped supplier dim",
+    oracle=f"""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_Q20_CUTOFF} 00:00:00'
+                  THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS recent_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{_Q20_NAME_PREFIX}'
+  GROUP BY l_suppkey, l_partkey
+), tot AS (
+  SELECT l_partkey AS t_partkey, SUM(qty_dec) AS tot_dec
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q2_REGION}'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped JOIN tot ON l_partkey = t_partkey
+    WHERE CAST(recent_dec AS DOUBLE) > {_Q20_SHARE} * CAST(tot_dec AS DOUBLE)
+  )
+ORDER BY s_name
+""",
+    tags=("join", "semi", "agg", "tpch"),
+)
+def dominant_recent_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    recent = F.when(
+        F.col("l_shipdate") >= F.lit(_Q20_CUTOFF).cast("timestamp"),
+        dec("l_quantity"),
+    ).otherwise(dec(F.lit(0)))
+    shipped = (
+        t(spark, sf_dir, "lineitem")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(dec("l_quantity")).alias("qty_dec"),
+            F.sum(recent).alias("recent_dec"),
+        )
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty_dec").alias("tot_dec")
+    )
+    qualifying = (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(
+            F.col("recent_dec").cast("double")
+            > F.lit(_Q20_SHARE) * F.col("tot_dec").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    nations = (
+        t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -139,6 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q21_late_sole_supplier",
     "q22_dormant_customers",
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q20_dominant_recent_suppliers",
 )
 
 
