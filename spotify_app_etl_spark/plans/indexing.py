@@ -1,0 +1,350 @@
+"""Corpus indexing & LM-quality scoring: TF-IDF, BM25 retrieval,
+bigram-novelty, and URL profiling over the documents table.
+
+Reference parity: none — LLM-data-pipeline surface (the reference,
+/root/reference/spotify-etl.py, has no text analytics). These are the
+index/score passes a training-data pipeline runs corpus-wide: term
+weighting for near-dup triage and topic mixing, BM25 for benchmark-
+leak retrieval, corpus-frequency novelty as a CCNet-style LM quality
+proxy, and URL/domain profiling for source filtering.
+
+Determinism contract (driver hash-compares vs DuckDB):
+- All counts/ratios are integer sums and single double divisions —
+  exact on both engines.
+- Scores that need ``ln`` are rounded to 8 dp on BOTH engines (the
+  q_math_funcs precedent: round(ln(x), 10) is driver-green), and any
+  SUM over such doubles goes through DECIMAL so partial-aggregation
+  order can't change the result.
+- Every top-k carries a total tie-break (term / doc_id).
+
+Scale notes (100 TB):
+- TF-IDF: explode → (doc,term) agg → term agg → join back on term →
+  per-doc window. All shuffles are on high-cardinality keys and
+  map-side combinable; the term-df side is far smaller than the tf
+  side, so AQE broadcast-joins it at moderate scale and shuffle-joins
+  at web scale — no forced hints.
+- BM25: the token explode is filtered to the query's terms BEFORE the
+  shuffle (predicate on the exploded value), so shuffle volume is
+  |matches|, not |tokens|. Doc length comes from ``size(split(...))``
+  — a map-only expression, no second pass.
+- Bigram novelty: same two-grain shape as boilerplate-grams; the
+  corpus bigram-count table is the only medium shuffle.
+- URL profile: map-only regex extraction, one domain-grain agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from spotify_app_etl_spark.functions.text import tokens
+from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.registry import query
+
+#: DuckDB mirror of functions.text.tokens() — keep in sync.
+_TOKS = "str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+
+@query(
+    "ns_tfidf_topterms",
+    note="two aggregation grains (doc×term tf, term df) joined on term, "
+    "then a per-doc top-k window; idf rounded to 8 dp on both engines",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tf.term AS term, tf, df,
+         round(CAST(tf AS DOUBLE)
+               * ln((1.0 + n_docs) / (1.0 + df)), 8) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= {_TFIDF_K}
+""",
+    tags=("northstar", "indexing", "tfidf", "window"),
+)
+def ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))),
+                8,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _TFIDF_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval for a fixed term query.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "merge", "scan")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+_SQL_TERMS = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+
+
+@query(
+    "ns_bm25_search",
+    note="token explode filtered to the query terms pre-shuffle; doc "
+    "length via len(split()) map-only; per-term contributions rounded "
+    "to 8 dp then decimal-summed so aggregation order cannot drift",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS dl FROM documents
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         COUNT(*) AS n_docs
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) toks
+  WHERE term IN ({_SQL_TERMS})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id AS doc_id,
+         CAST(round(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf AS DOUBLE)
+              + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)),
+           8) AS DECIMAL(20,8)) AS c
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+    tags=("northstar", "indexing", "bm25", "topk"),
+)
+def ns_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(tokens("text")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfd = F.col("tf").cast("double")
+    contrib = (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (tfd * (_BM25_K1 + 1.0))
+                / (
+                    tfd
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                8,
+            )
+            .cast("decimal(20,8)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty: corpus-frequency LM proxy (no float risk at all).
+# ---------------------------------------------------------------------------
+
+#: Non-distinct consecutive bigrams; a 1-token doc yields its lone
+#: token (concat_ws skips the null second element on both engines).
+_SQL_BIGRAMS = """list_transform(
+    range(1, greatest(len(tk) - 1, 1) + 1),
+    i -> concat_ws(' ', tk[i], tk[i+1]))"""
+
+
+def _bigrams(tk: F.Column) -> F.Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(tk, i), F.try_element_at(tk, i + F.lit(1))
+        ),
+    )
+
+
+@query(
+    "ns_lm_bigram_novelty",
+    note="CCNet-style LM quality proxy without a model: per-doc mean "
+    "corpus frequency of its bigrams + fraction of corpus-unique "
+    "bigrams; all integer sums and single double divisions",
+    oracle=f"""
+WITH bg AS (
+  SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) s
+), cnt AS (
+  SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+)
+SELECT bg.doc_id AS doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_corpus_freq,
+       CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS novel_frac
+FROM bg JOIN cnt ON bg.bigram = cnt.bigram
+GROUP BY bg.doc_id
+""",
+    tags=("northstar", "quality", "lm"),
+)
+def ns_lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_bigrams(tokens("text"))).alias("bigram"))
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bg.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "mean_corpus_freq"
+            ),
+            (
+                F.count(F.when(F.col("c") == 1, 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novel_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain profile with blocklist flagging.
+# ---------------------------------------------------------------------------
+
+#: Deterministic augmentation (testdata text contains no URLs): each
+#: doc gains one, sometimes two, synthetic URLs derived from doc_id —
+#: same expression on both engines, so the oracle actually checks the
+#: extraction/aggregation, not an all-empty corpus.
+_SQL_URLAUG = (
+    "text || ' see https://w' || CAST(doc_id % 37 AS VARCHAR)"
+    " || '.example-' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'"
+    " || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0"
+    "    THEN ' and http://cdn' || CAST(doc_id % 11 AS VARCHAR)"
+    "         || '.example.net/x/' || CAST(doc_id % 97 AS VARCHAR)"
+    "    ELSE '' END"
+)
+
+#: No capture groups: group 0 (the full match) on both engines.
+_URL_RE = r"https?://[A-Za-z0-9.\-]+/[A-Za-z0-9/.\-]*"
+_DOMAIN_RE = r"https?://([^/]+)"
+
+_BLOCKED = ("w3.example-2.com", "cdn7.example.net", "w11.example-0.com")
+_SQL_BLOCKED = ", ".join(f"'{d}'" for d in _BLOCKED)
+
+
+@query(
+    "ns_url_profile",
+    note="map-only regex URL extraction over augmented text, one "
+    "domain-grain agg with blocklist membership flag",
+    oracle=f"""
+WITH urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all({_SQL_URLAUG}, '{_URL_RE}')) AS url
+  FROM documents
+)
+SELECT regexp_extract(url, '{_DOMAIN_RE}', 1) AS domain,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       regexp_extract(url, '{_DOMAIN_RE}', 1) IN ({_SQL_BLOCKED})
+         AS is_blocked
+FROM urls
+GROUP BY domain, is_blocked
+""",
+    tags=("northstar", "url", "filtering"),
+)
+def ns_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" see https://w"), s(d % 37),
+        F.lit(".example-"), s(d % 5), F.lit(".com/p/"), s(d),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" and http://cdn"), s(d % 11),
+                F.lit(".example.net/x/"), s(d % 97),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    urls = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(aug, F.lit(_URL_RE), F.lit(0))
+            ).alias("url"),
+        )
+    )
+    domain = F.regexp_extract("url", _DOMAIN_RE, 1)
+    return (
+        urls.select("doc_id", domain.alias("domain"))
+        .groupBy("domain", F.col("domain").isin(*_BLOCKED).alias("is_blocked"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select("domain", "n_urls", "n_docs", "is_blocked")
+    )

@@ -50,6 +50,7 @@ _PLAN_MODULES = (
     # not-yet-driver-checked queries from the checked window.
     "spotify_app_etl_spark.plans.tpch_more",
     "spotify_app_etl_spark.plans.prep",
+    "spotify_app_etl_spark.plans.indexing",
 )
 
 
@@ -142,6 +143,11 @@ _PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q20_dominant_recent_suppliers",
+    # corpus indexing / LM-quality scoring
+    "ns_tfidf_topterms",
+    "ns_bm25_search",
+    "ns_lm_bigram_novelty",
+    "ns_url_profile",
 )
 
 
