@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spotify_app_etl_spark import schemas
+from spotify_app_etl_spark.session import configure_session
 from spotify_app_etl_spark.sources import rest
 from spotify_app_etl_spark.sources.spotify_mock import (
     MockSpotifyTransport,
@@ -50,6 +51,7 @@ _RAW = "payload string"
 
 
 def _json_df(spark: SparkSession, items: list[dict]) -> DataFrame:
+    configure_session(spark)
     return spark.createDataFrame(
         [(json.dumps(item),) for item in items], schema=_RAW
     )
@@ -107,6 +109,9 @@ def extract_playlist_tracks(
     transport is a real API; the in-process mock runs unthrottled.
     Null-track items are dropped declaratively after the flatten (:106).
     """
+    # The fetch closure's globals (rest, schemas) pickle by module
+    # reference — ship the package to workers before launching tasks.
+    configure_session(spark)
 
     def fetch(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = (
@@ -187,6 +192,7 @@ def enrich_audio_features(
     spark: SparkSession, playlist_tracks: DataFrame, saved_tracks: DataFrame
 ) -> DataFrame:
     """Union+distinct track ids (:250-251, A11) → batched lookup (A3)."""
+    configure_session(spark)  # batched_lookup runs mapInPandas on workers
     ids = (
         playlist_tracks.select("id")
         .union(saved_tracks.select("id"))

@@ -20,6 +20,9 @@ enable). Nothing here is local-mode-specific except the master URL.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -42,6 +45,51 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: applicationIds whose executors already received the package zip.
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers.
+
+    cloudpickle serializes functions that live in an importable module
+    BY REFERENCE (module name + qualname), so every mapInPandas /
+    applyInPandas / pandas_udf kernel defined in this package needs
+    ``spotify_app_etl_spark`` importable in the *worker* interpreter.
+    When the driver process was launched from outside the repo (an
+    external driver embedding ``__spark_entry__``, or spark-submit
+    without ``--py-files``), it is not. ``sc.addPyFile`` of a package
+    zip is the runtime equivalent of ``--py-files`` and takes effect
+    for all subsequently launched tasks — on a real cluster exactly as
+    in local mode.
+    """
+    try:
+        sc = spark.sparkContext
+        app = sc.applicationId
+    except Exception:
+        return
+    if app in _SHIPPED:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    # Per-application file name: re-registering the same name in one app
+    # is rejected by Spark, and a stale zip from an older code version
+    # must not leak into a new session.
+    zpath = Path(tempfile.gettempdir()) / f"spark_graft_pkg_{app}.zip"
+    try:
+        if not zpath.exists():
+            tmp = zpath.with_suffix(".tmp")
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+                for py in sorted(pkg_dir.rglob("*.py")):
+                    zf.write(py, arcname=f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
+            os.replace(tmp, zpath)  # atomic vs a concurrent builder
+        sc.addPyFile(str(zpath))
+    except Exception:
+        # Best effort: when the package is importable from the worker's
+        # cwd/PYTHONPATH anyway (tests, bench) nothing is lost.
+        pass
+    _SHIPPED.add(app)
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
     for key, value in RUNTIME_CONFS.items():
@@ -51,6 +99,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # A conf may be non-settable in some deployment; queries must
             # still run (events loading re-checks what it got).
             pass
+    _ship_package(spark)
     return spark
 
 
