@@ -1,0 +1,105 @@
+"""Embedding-column analytics: per-label centroids and norm profiles.
+
+Cross-engine float determinism: summing doubles is order-dependent, and
+Spark's partial/final aggregation order differs from DuckDB's. Both
+queries therefore quantize per-component/per-norm doubles to integers
+FIRST — ``floor(x * 1e6)`` is the same IEEE multiply + floor on both
+engines — and aggregate the exact integers; the final division back to
+double is a single deterministic op. (Same rationale as the
+DECIMAL(12,2) money trick in plans/common.py, applied to floats that
+are not 2-decimal.)
+
+Scale notes: both queries are explode → hash-aggregate on (label, pos)
+— one shuffle, map-side combinable, 64·n rows in flight but only
+64·|labels| out. The norm fold stays inside ``F.aggregate`` (codegen,
+no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.registry import query
+
+_Q = 1_000_000  # quantization: 6 fractional digits of a float32 payload
+
+
+@query(
+    "ns_embed_centroid",
+    note="per-label centroid in long form (label, pos, centroid, n): "
+    "posexplode → integer-quantized component sums — exact, "
+    "order-independent, one map-combinable shuffle on (label, pos)",
+    oracle=f"""
+WITH e AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS pos,
+         unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                               x -> CAST(floor(x * {_Q}) AS BIGINT))) AS q
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) / {_Q} AS centroid,
+       COUNT(*) AS n
+FROM e GROUP BY label, pos
+""",
+    tags=("northstar", "embedding", "centroid"),
+)
+def ns_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "comp")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("comp").cast("double") * _Q).cast("bigint").alias("q"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(_Q)).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "ns_embed_norm_stats",
+    note="per-label L2-norm profile: left-fold dot product inside "
+    "codegen (mirrors DuckDB list_reduce bit-for-bit), norms "
+    "integer-quantized before avg/min/max so the aggregation is "
+    "order-independent on both engines",
+    oracle=f"""
+WITH n AS (
+  SELECT label,
+         CAST(floor(sqrt(list_reduce(
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+           (a, b) -> a + b)) * {_Q}) AS BIGINT) AS norm_q
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n,
+       CAST(SUM(norm_q) AS DOUBLE) / COUNT(*) / {_Q} AS avg_norm,
+       CAST(MIN(norm_q) AS DOUBLE) / {_Q} AS min_norm,
+       CAST(MAX(norm_q) AS DOUBLE) / {_Q} AS max_norm
+FROM n GROUP BY label
+""",
+    tags=("northstar", "embedding", "norms"),
+)
+def ns_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    # aggregate() left-folds in element order — same order DuckDB's
+    # list_reduce uses, so the pre-quantization double is bit-identical
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = emb.select(
+        "label", F.floor(F.sqrt(sq) * _Q).cast("bigint").alias("norm_q")
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("norm_q").cast("double") / F.count(F.lit(1)) / F.lit(_Q)).alias(
+            "avg_norm"
+        ),
+        (F.min("norm_q").cast("double") / F.lit(_Q)).alias("min_norm"),
+        (F.max("norm_q").cast("double") / F.lit(_Q)).alias("max_norm"),
+    )

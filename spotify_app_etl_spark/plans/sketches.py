@@ -1,0 +1,111 @@
+"""Sketch / approximate-aggregate queries + Bloom-prefiltered join.
+
+The 100 TB rationale: exact global aggregates need either a full
+shuffle (percentiles: total sort or two-pass) or unbounded state
+(count-distinct: a hash table the size of the key space). The sketch
+versions are one map-side pass producing KB-sized mergeable summaries —
+`percentile_approx` (Greenwald-Khanna), HLL++ sketches with explicit
+partial/merge stages, and a Bloom-filter runtime prefilter that cuts
+probe-side shuffle volume while keeping the join exact.
+
+Estimator outputs are implementation-defined, so `q_agg_approx_*` and
+`q_hll_*` register rows-only for the driver (precedent:
+``q_approx_count_distinct``); their error bounds vs the exact answers
+are asserted in ``tests/test_sketches.py``. The Bloom join is exact and
+carries a full oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark.operators import bloom
+from spotify_app_etl_spark.plans.common import dec, dsum, t
+from spotify_app_etl_spark.registry import query
+
+
+@query(
+    "q_agg_approx_percentile",
+    note="Greenwald-Khanna approximate percentiles (p25/p50/p75/p95) of "
+    "l_extendedprice per return flag — mergeable map-side sketches, "
+    "no total sort; error bound vs exact asserted in tests "
+    "(rows-only: estimator-defined values)",
+    oracle=None,
+    tags=("sketch", "percentile", "aggregate"),
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10_000
+        ).alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q_hll_sketch_merge",
+    note="two-level HLL++: per-(month, shard) partial sketches → "
+    "hll_union_agg per month → estimate. The partial/merge split is "
+    "the scale path: shard sketches are KB-sized and commutative, so "
+    "a 1000-executor rollup merges without re-scanning keys "
+    "(rows-only: estimator-defined; ≤2% error asserted in tests)",
+    oracle=None,
+    tags=("sketch", "hll", "aggregate"),
+)
+def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    partials = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        (F.col("o_orderkey") % 8).alias("shard"),
+    ).agg(F.hll_sketch_agg("o_custkey", 14).alias("sketch"))
+    return (
+        partials.groupBy("month")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .select(
+            "month",
+            F.hll_sketch_estimate("merged").alias("approx_customers"),
+        )
+    )
+
+
+@query(
+    "q_join_bloom_prefilter",
+    note="runtime Bloom semi-filter: build over ASIA suppliers' keys "
+    "(driver-side, broadcast-small by construction), probe lineitem "
+    "with a vectorized Arrow UDF BEFORE the shuffle — only ~1/5 of "
+    "the fact rows shuffle; the join re-verifies, so the result is "
+    "exactly lineitem ⋈ asian suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1.0 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY s.s_suppkey, s.s_name
+""",
+    tags=("sketch", "bloom", "join"),
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation").join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = bloom.bloom_prefiltered_join(li, supp, "l_suppkey", "s_suppkey")
+    rev = dec("l_extendedprice") * (F.lit("1.0").cast("decimal(12,2)") - dec("l_discount"))
+    return joined.groupBy("s_suppkey", "s_name").agg(
+        dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items")
+    )

@@ -171,3 +171,22 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "o_orderkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp"
     ).json(path)
+
+
+@query(
+    "q_scan_orc_roundtrip",
+    note="ORC sink + source (columnar with type fidelity — doubles and "
+    "timestamps survive bit-exact, unlike text formats); compared "
+    "against the parquet oracle",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+""",
+    tags=("source", "orc"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir(spark, sf_dir, "orc")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    part.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

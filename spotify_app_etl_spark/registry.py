@@ -51,6 +51,9 @@ _PLAN_MODULES = (
     "spotify_app_etl_spark.plans.tpch_more",
     "spotify_app_etl_spark.plans.prep",
     "spotify_app_etl_spark.plans.indexing",
+    "spotify_app_etl_spark.plans.cdc",
+    "spotify_app_etl_spark.plans.sketches",
+    "spotify_app_etl_spark.plans.embed_analytics",
 )
 
 
@@ -148,6 +151,16 @@ _PRIORITY: tuple[str, ...] = (
     "ns_bm25_search",
     "ns_lm_bigram_novelty",
     "ns_url_profile",
+    # CDC / sketches / embedding analytics (round-2, second wave)
+    "q_cdc_scd1_merge",
+    "q_cdc_scd2_history",
+    "q_cdc_incremental_rollup",
+    "q_join_bloom_prefilter",
+    "q_agg_approx_percentile",
+    "q_hll_sketch_merge",
+    "q_scan_orc_roundtrip",
+    "ns_embed_centroid",
+    "ns_embed_norm_stats",
 )
 
 
