@@ -28,18 +28,25 @@ TESTDATA_TABLES = tuple(schemas.TESTDATA)
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table as a typed DataFrame.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS,false), which has
-    no Spark type; with ``spark.sql.legacy.parquet.nanosAsLong`` the scan
-    yields epoch-nanos longs that we convert to TimestampType (UTC) at
-    microsecond precision — the same truncation DuckDB applies, keeping
-    oracle comparisons exact.
+    ``events.ts`` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    which Spark reads as TIMESTAMP_NTZ — the same naive-local semantics
+    DuckDB gives it, keeping oracle comparisons exact. Older testdata
+    generations stored TIMESTAMP(NANOS,false), which has no Spark type;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` that scan yields
+    epoch-nanos longs we convert to NTZ at microsecond precision.
     """
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: epoch-nanos exceed double's 2^53 exact range,
-        # so a float divide would corrupt the microsecond digit
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: epoch-nanos exceed double's 2^53 exact
+            # range, so a float divide would corrupt the microsecond digit
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            )
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

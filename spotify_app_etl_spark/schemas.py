@@ -92,11 +92,12 @@ LINEITEM = T.StructType(
     ]
 )
 
-#: Post-conversion schema (io.load_table converts epoch-nanos → timestamp).
+#: ``ts`` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → NTZ, as
+#: o_orderdate; io.load_table normalizes older nanos-long encodings too.
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),

@@ -47,18 +47,23 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source event stream: parquet files arriving in a directory.
 
-    The driver testdata ``events`` table uses nanosecond timestamps
-    (stored as epoch-nanos longs under ``nanosAsLong``); the stream
-    applies the same conversion as io.load_table so batch and stream
-    rows are identical.
+    The driver testdata ``events`` table stores ``ts`` as parquet
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ. Spark's
+    event-time watermark requires TIMESTAMP, so the stream casts NTZ →
+    TIMESTAMP at the source; with the session timezone pinned to UTC
+    (session.RUNTIME_CONFS) the wall-clock values map 1:1, keeping
+    stream rows identical to io.load_table's batch rows.
     """
-    raw_schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    raw_schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

@@ -10,6 +10,7 @@ incremental micro-batches) behave as documented.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import time
@@ -81,7 +82,9 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
     def write_file(name, rows):
         df = spark.createDataFrame(
-            rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string",
         )
         df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / ("stage_" + name)))
         part = next(
@@ -89,14 +92,14 @@ def test_watermark_drops_late_data(spark, tmp_path):
         )
         shutil.copy(tmp_path / ("stage_" + name) / part, src / name)
 
-    base_ns = 1_700_000_000 * 1_000_000_000  # 2023-11-14T22:13:20Z
-    hour_ns = 3600 * 1_000_000_000
-    write_file("f1.parquet", [(1, base_ns, 1, "click", 1.0, "{}")])
+    base = datetime.datetime(2023, 11, 14, 22, 13, 20)  # 2023-11-14T22:13:20
+    hour = datetime.timedelta(hours=1)
+    write_file("f1.parquet", [(1, base, 1, "click", 1.0, "{}")])
     time.sleep(0.05)
-    write_file("f2.parquet", [(2, base_ns + hour_ns, 1, "click", 1.0, "{}")])
+    write_file("f2.parquet", [(2, base + hour, 1, "click", 1.0, "{}")])
     time.sleep(0.05)
     # 10 days earlier → far past the batch-1 watermark (base-1h)
-    write_file("f3.parquet", [(3, base_ns - 240 * hour_ns, 1, "click", 1.0, "{}")])
+    write_file("f3.parquet", [(3, base - 240 * hour, 1, "click", 1.0, "{}")])
 
     stream = jobs.read_event_stream(spark, str(src), max_files_per_trigger=1)
     agg = jobs.tumbling_counts(stream, window="1 hour", watermark="2 hours")
@@ -199,8 +202,8 @@ def test_foreachbatch_parquet_sink(spark, events_dir, tmp_path):
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Duplicated event_ids collapse to one row each; state is bounded
     by the watermark (semantics doc: jobs.dedup_within_watermark)."""
-    # the stream reader expects raw nanos-long parquet, so duplicate
-    # the raw file (same 200 rows twice) rather than going through Spark
+    # duplicate the raw file (same 200 rows twice) via duckdb so the
+    # parquet physical type matches the driver testdata exactly
     import duckdb as _d
     import shutil as _sh
     raw_dir = str(tmp_path / "raw_in")
@@ -216,7 +219,8 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     got = out.select("event_id").collect()
     assert len(got) == len({r.event_id for r in got}), "duplicates survived"
-    batch_ids = {r.event_id for r in spark.read.schema(
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
-    ).parquet(raw_dir).select("event_id").collect()}
+    batch_ids = {
+        r.event_id
+        for r in spark.read.parquet(raw_dir).select("event_id").collect()
+    }
     assert {r.event_id for r in got} == batch_ids
