@@ -61,6 +61,8 @@ HEADLINE = [
     "ns_text_vocab_topk",
     "ns_quality_repetition",
     "ns_shard_pack",
+    "ns_dedup_chunk_shared",
+    "q_window_range_frame",
 ]
 
 

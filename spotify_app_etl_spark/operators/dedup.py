@@ -721,6 +721,11 @@ def ngram_jaccard_on(
     threshold — same schema/semantics as :func:`ngram_jaccard_pairs`,
     so the standalone and candidates-only paths interchange.
     """
+    # NOT persisted: the candidate plan is inlined into all three
+    # consumers (wanted×2, inter), but every copy reads the persisted
+    # signature table and AQE's exchange reuse dedupes the identical
+    # subtrees at runtime — an explicit persist+materialize here was
+    # measured 2x SLOWER at sf0.1 (extra job barrier, lost pipelining).
     cand = pairs.select("id_a", "id_b").distinct()
     wanted = (
         cand.select(F.col("id_a").alias("__id"))

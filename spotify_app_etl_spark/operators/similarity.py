@@ -368,3 +368,51 @@ def cosine_topk_lsh(
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Range search (all neighbors above a similarity floor).
+# ---------------------------------------------------------------------------
+
+
+def cosine_range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """All (query, corpus) pairs with cosine ≥ threshold — range search,
+    the retrieval mode where the neighbor COUNT is the unknown (top-k
+    fixes count, range search fixes quality).
+
+    Same exact kernel as :func:`cosine_topk_bruteforce` (broadcast
+    query side, pre-hoisted norms, left-fold dot product → bit-exact
+    vs the DuckDB oracle) minus the per-query window: the output is
+    filter-defined, so no rank shuffle at all — the only exchange in
+    the plan is the broadcast. At scale the same threshold filter
+    drops into the LSH-bucketed candidate stream
+    (dedup.embedding_cosine_pairs_lsh) instead of the cross join.
+    """
+    q = queries.select(
+        F.col(query_id),
+        _as_double(F.col(vec)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(corpus_id),
+        _as_double(F.col(vec)).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    return (
+        c.join(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 8
+            ),
+        )
+        .filter(
+            (F.col("cos_sim") >= threshold) & (F.col(query_id) != F.col(corpus_id))
+        )
+        .select(query_id, corpus_id, "cos_sim")
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.plans.northstar import _EMB_PLANTED_SQL
 from spotify_app_etl_spark.registry import query
 
 _Q = 1_000_000  # quantization: 6 fractional digits of a float32 payload
@@ -103,3 +104,49 @@ def ns_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("norm_q").cast("double") / F.lit(_Q)).alias("min_norm"),
         (F.max("norm_q").cast("double") / F.lit(_Q)).alias("max_norm"),
     )
+
+
+@query(
+    "ns_embed_semantic_clusters",
+    note="semantic dedup clusters: exact cosine ≥ 0.9 pairs over the "
+    "planted-near-dup corpus (block-matmul kernel) closed into "
+    "connected components by min-label propagation — component id is "
+    "the kept representative; vs a recursive-CTE fixpoint oracle",
+    oracle=f"""
+WITH RECURSIVE base AS ({_EMB_PLANTED_SQL}),
+v AS (
+  SELECT vec_id, ev,
+         sqrt(list_reduce(list_transform(ev, x -> x*x), (a,b) -> a+b)) AS nrm
+  FROM base
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_reduce(list_transform(range(1, len(a.ev)+1),
+                                         i -> a.ev[i]*b.ev[i]), (x,y) -> x+y)
+              / (a.nrm * b.nrm), 8) >= 0.9
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+), cc AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+)
+SELECT node, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+FROM cc
+""",
+    tags=("northstar", "embedding", "dedup", "cluster"),
+)
+def ns_embed_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators import cluster as CL
+    from spotify_app_etl_spark.operators import dedup as DD
+    from spotify_app_etl_spark.plans.northstar import _emb_with_planted
+
+    pairs = DD.embedding_cosine_pairs(
+        _emb_with_planted(spark, sf_dir), "embedding", "vec_id", threshold=0.9
+    )
+    return CL.dedup_clusters(pairs.select("id_a", "id_b"))

@@ -545,3 +545,42 @@ def ns_pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_copies"),
     )
     return ranked.filter(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "ns_sim_range_search",
+    note="exact cosine range search (all neighbors ≥ 0.25, self "
+    "excluded) for query vectors vec_id % 97 = 0: same bit-exact "
+    "broadcast kernel as ns_sim_topk_bruteforce but filter-defined — "
+    "no rank window, no shuffle beyond the broadcast; the scale path "
+    "drops the same threshold into the LSH candidate stream",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 97 = 0
+), c AS (
+  SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+)
+SELECT query_id, corpus_id,
+       round(
+         list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]), (a,b) -> a+b)
+         / (sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b) -> a+b))
+            * sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b))), 8) AS cos_sim
+FROM c CROSS JOIN q
+WHERE query_id != corpus_id
+  AND round(
+        list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i]), (a,b) -> a+b)
+        / (sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b) -> a+b))
+           * sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b))), 8) >= 0.25
+""",
+    tags=("northstar", "similarity", "range-search"),
+)
+def ns_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.cosine_range_search(
+        emb.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        threshold=0.25,
+    )

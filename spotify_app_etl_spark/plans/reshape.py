@@ -1,0 +1,94 @@
+"""Binning + time-range window frames.
+
+Two operator families the round-2 surface did not yet cover:
+
+- **Histogram** (`q_agg_histogram`): fixed-bin ``width_bucket``
+  binning + count — the scan-speed building block for data profiling
+  at scale (one map-combinable shuffle on ≤ n_bins+2 keys). Bin edges
+  are literals, so both engines compute identical bucket ids from
+  identical doubles.
+- **Time-range window frame** (`q_window_range_frame`): per-user
+  trailing-1-hour event counts/sums via RANGE frames — the
+  "how many events in the last hour before this one" shape that ROWS
+  frames cannot express. Ordering key = epoch MICROS as BIGINT on both
+  engines (micros, not seconds: truncation would change frame
+  membership and diverge from the oracle's interval arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.registry import query
+
+_HOUR_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@query(
+    "q_agg_histogram",
+    note="fixed-bin order-value histogram: width_bucket over literal "
+    "edges [0, 600000) × 20 bins — identical bucket ids from identical "
+    "doubles on both engines; one map-combinable shuffle on ≤22 keys",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 600000.0 THEN 21
+            ELSE CAST(floor(o_totalprice / 30000.0) AS BIGINT) + 1 END AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("reshape", "histogram", "aggregate"),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(20)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    note="trailing-1h RANGE frame per user ordered by epoch-micros "
+    "(not seconds: truncation changes frame membership): event count "
+    "+ quantized value sum over [t-1h, t] — the time-range analytic "
+    "ROWS frames cannot express; one window shuffle on user_id",
+    oracle="""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+         / 1000000 AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("reshape", "window", "range-frame"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_HOUR_US, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).over(w)
+            .cast("double")
+            / 1_000_000
+        ).alias("value_last_hour"),
+    )

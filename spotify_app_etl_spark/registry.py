@@ -55,6 +55,8 @@ _PLAN_MODULES = (
     "spotify_app_etl_spark.plans.sketches",
     "spotify_app_etl_spark.plans.embed_analytics",
     "spotify_app_etl_spark.plans.layout",
+    "spotify_app_etl_spark.plans.chunks",
+    "spotify_app_etl_spark.plans.reshape",
 )
 
 
@@ -113,6 +115,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_bucketed_colocated",
     "q_agg_salted_twophase",
     "q_join_salted_hotkey",
+    # chunk-level dedup + quality banding
+    "ns_dedup_chunk_shared",
+    "ns_quality_bands",
+    # similarity range search; binning / range frames
+    "ns_sim_range_search",
+    "q_agg_histogram",
+    "q_window_range_frame",
+    "ns_embed_semantic_clusters",
 )
 
 

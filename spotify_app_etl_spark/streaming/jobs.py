@@ -197,6 +197,43 @@ def click_purchase_interval_join(
     ).select("c_user", "click_id", "c_ts", "purchase_id", "p_ts", "purchase_value")
 
 
+def enrich_with_static_profile(
+    events: DataFrame, profile: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a static
+    per-user profile DataFrame (``user_id``, profile columns).
+
+    The production enrichment shape: the static side is a dimension
+    snapshot (user table, model scores, allow-list) that Spark re-reads
+    per micro-batch — no state store involved, unlike stream-stream
+    joins, and no watermark needed. At scale the static side should be
+    broadcast-sized or pre-bucketed on the join key; Catalyst plans the
+    per-batch join exactly like the batch equivalent, so the batch
+    query IS the semantics oracle (asserted in tests/test_streaming.py).
+    """
+    return events.join(F.broadcast(profile), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        "profile_n_events",
+        "profile_value_sum",
+    )
+
+
+def user_profile_snapshot(batch_events: DataFrame) -> DataFrame:
+    """Static per-user profile for :func:`enrich_with_static_profile`:
+    lifetime event count + quantized value total per user."""
+    return batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("profile_n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).cast("double")
+            / 1_000_000
+        ).alias("profile_value_sum"),
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

@@ -45,3 +45,33 @@ def test_dedup_clusters_sizes(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (8, 9)], ["id_a", "id_b"])
     rows = {r.node: (r.component, r.cluster_size) for r in CL.dedup_clusters(df).collect()}
     assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 8: (8, 2), 9: (8, 2)}
+
+
+def _cc_star(spark, edges):
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r.node: r.component for r in CL.connected_components_star(df).collect()}
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [
+            (rng.randint(0, 120), rng.randint(0, 120)) for _ in range(90)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert _cc(spark, edges) == _cc_star(spark, edges), f"trial {trial}"
+
+
+def test_star_converges_log_diameter_on_long_chain(spark):
+    # Diameter-400 chain: min-label would need 400 rounds; star
+    # contraction halves path lengths per round → well under 20.
+    edges = [(i, i + 1) for i in range(400)]
+    got = _cc_star(spark, edges)
+    assert got == {i: 0 for i in range(401)}
+
+
+def test_star_two_components(spark):
+    got = _cc_star(spark, [(10, 7), (7, 12), (3, 5), (20, 21)])
+    assert got == {7: 7, 10: 7, 12: 7, 3: 3, 5: 3, 20: 20, 21: 20}

@@ -175,6 +175,35 @@ def test_stateful_user_tracker(spark, events_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_static_enrich_equals_batch(spark, events_dir, tmp_path):
+    """Stream-static join: per-micro-batch join against a static dim
+    must produce exactly the batch join over the same input."""
+    ckpt = tmp_path / "ckpt_enrich"
+    batch_events = load_table(spark, SF, "events")
+    profile = jobs.user_profile_snapshot(batch_events)
+
+    stream = jobs.read_event_stream(spark, events_dir)
+    enriched = jobs.enrich_with_static_profile(stream, profile)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("t_enrich").drop("ts").collect()))
+
+    batch = jobs.enrich_with_static_profile(
+        batch_events.withColumn("ts", F.col("ts").cast("timestamp")), profile
+    )
+    expected = sorted(map(tuple, batch.drop("ts").collect()))
+    assert got == expected and len(got) > 0
+    # every event matched a profile row (profile built from same input)
+    assert all(r[-2] is not None for r in got)
+
+
 def test_foreachbatch_parquet_sink(spark, events_dir, tmp_path):
     out = tmp_path / "out"
     ckpt = tmp_path / "ckpt2"
@@ -197,6 +226,42 @@ def test_foreachbatch_parquet_sink(spark, events_dir, tmp_path):
     n_sink = spark.read.parquet(str(out)).count()
     n_src = load_table(spark, SF, "events").filter(F.col("event_type") == "click").count()
     assert n_sink == n_src
+
+
+def test_foreachbatch_jdbc_sink(spark, events_dir, tmp_path):
+    """Streaming upgrade of the reference's JDBC load stage (A15,
+    spotify-etl.py:209-215): foreachBatch appends each micro-batch into
+    an embedded-Derby table; the table must end up with exactly the
+    batch rows."""
+    from spotify_app_etl_spark import io as sio
+
+    url = f"jdbc:derby:{tmp_path}/stream_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    ckpt = tmp_path / "ckpt_jdbc"
+
+    def write(df, batch_id):
+        sio.write_jdbc(
+            df.select("event_id", "user_id", "value"),
+            url,
+            "events_sink",
+            mode="append",
+            properties=props,
+        )
+
+    stream = jobs.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = jobs.stream_to_batch_sink(
+        stream, write, checkpoint_dir=str(ckpt), output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination()
+    back = spark.read.jdbc(url, "events_sink", properties=props)
+    src = load_table(spark, SF, "events").filter(F.col("event_type") == "purchase")
+    assert back.count() == src.count()
+    assert {r.event_id for r in back.select("event_id").collect()} == {
+        r.event_id for r in src.select("event_id").collect()
+    }
 
 
 def test_stream_dedup_within_watermark(spark, tmp_path):
