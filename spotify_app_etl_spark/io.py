@@ -111,6 +111,46 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Compact a small-files parquet dataset into ~``target_file_bytes``
+    files; returns the output file count.
+
+    The 100 TB hygiene op: streaming sinks, per-partition writers, and
+    incremental loads leave thousands of KB-sized files whose open/seek
+    overhead dominates scan time and whose listing crushes the driver.
+    Sizing uses the dataset's actual on-disk bytes (sum of part-file
+    sizes — no data scan), then one round-robin repartition write.
+    Compaction into a SEPARATE path (default ``path + '.compact'``) and
+    an atomic swap by the caller is the crash-safe pattern; compacting
+    in place would lose data on a mid-write failure.
+    """
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil, >= 1
+    dest = out_path or path.rstrip("/") + ".compact"
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dest)
+    return len(
+        [
+            f
+            for root, _, files in os.walk(dest)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    )
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

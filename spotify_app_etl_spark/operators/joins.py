@@ -32,14 +32,22 @@ def asof_join(
     ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with ``right.ts <= left.ts``
-    per ``key``. Left rows with no prior right row keep NULLs.
+    """Left as-of join: nearest right row per ``key`` — the latest with
+    ``right.ts <= left.ts`` (``direction="backward"``, default) or the
+    earliest with ``right.ts >= left.ts`` (``direction="forward"``).
+    Left rows with no match keep NULLs.
+
+    Forward is the same one-shuffle window plan with the time axis
+    reversed (orderBy DESC) — not a second algorithm.
 
     ``right_cols`` — right payload columns to carry (default: all
     non-key/ts). Right duplicates on (key, ts) must be pre-aggregated
     by the caller for deterministic results.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
 
     l_tag = left.withColumn("__is_left", F.lit(1))
@@ -60,10 +68,12 @@ def asof_join(
         ),
         allowMissingColumns=True,
     )
-    # right rows first at equal ts → "<=" match semantics
+    # right rows first at equal ts → "<=" (resp. ">=") match semantics;
+    # forward = identical plan over the reversed time axis
+    ts_order = F.col(ts) if direction == "backward" else F.col(ts).desc()
     w = (
         W.partitionBy(key)
-        .orderBy(F.col(ts), F.col("__is_left"))
+        .orderBy(ts_order, F.col("__is_left"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(

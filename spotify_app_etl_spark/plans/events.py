@@ -217,3 +217,82 @@ def dedup_bounded_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("window_id", "user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+@query(
+    "q_events_gapfill",
+    note="time-series gap filling: per-user dense hourly grid "
+    "(sequence+explode) left-joined to hourly aggregates, zeros for "
+    "empty hours and last-observation-carried-forward for the value — "
+    "the resample/interpolate primitive; grid generation is a "
+    "generator projection, the only shuffles are the hour aggregate "
+    "and the per-user window",
+    oracle="""
+WITH h AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         COUNT(*) AS n, SUM(CAST(floor(value * 1000000) AS BIGINT)) AS vq
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(hour_id) AS h0, MAX(hour_id) AS h1 FROM h GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_id FROM span
+), joined AS (
+  SELECT g.user_id, g.hour_id,
+         COALESCE(h.n, 0) AS n_events,
+         CAST(COALESCE(h.vq, 0) AS DOUBLE) / 1000000 AS value_sum,
+         CASE WHEN h.n IS NOT NULL
+              THEN CAST(h.vq AS DOUBLE) / 1000000 END AS obs
+  FROM grid g LEFT JOIN h USING (user_id, hour_id)
+)
+SELECT user_id, hour_id,
+       TIMESTAMP '1970-01-01 00:00:00' + hour_id * INTERVAL 1 HOUR AS hour_start,
+       n_events, value_sum,
+       LAST_VALUE(obs IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM joined
+""",
+    tags=("events", "gapfill", "timeseries"),
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "hour_id", F.floor(F.unix_timestamp("ts") / 3600)
+    )
+    hourly = ev.groupBy("user_id", "hour_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint")).alias("vq"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_id"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour_id"], "left").select(
+        "user_id",
+        "hour_id",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        (F.coalesce("vq", F.lit(0)).cast("double") / 1_000_000).alias("value_sum"),
+        F.when(
+            F.col("n").isNotNull(), F.col("vq").cast("double") / 1_000_000
+        ).alias("obs"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_id",
+        F.timestamp_seconds(F.col("hour_id") * 3600)
+        .cast("timestamp_ntz")
+        .alias("hour_start"),
+        "n_events",
+        "value_sum",
+        F.last("obs", ignorenulls=True).over(w).alias("value_locf"),
+    )

@@ -92,3 +92,42 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("value_last_hour"),
     )
+
+
+@query(
+    "q_agg_mode_argmax",
+    note="per-group mode via max(struct(count, value)) — argmax as a "
+    "plain aggregate (no second window shuffle), deterministic ties "
+    "(higher value wins)",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, l_quantity DESC) AS rn
+  FROM c
+)
+SELECT l_returnflag,
+       l_quantity AS mode_qty,
+       cnt AS mode_count
+FROM ranked WHERE rn = 1
+""",
+    tags=("reshape", "aggregate", "mode"),
+)
+def q_agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # argmax as ONE more aggregate (no second window shuffle): struct
+    # ordering is (cnt, value) lexicographic → deterministic tie-break
+    best = counts.groupBy("l_returnflag").agg(
+        F.max(F.struct("cnt", "l_quantity")).alias("best")
+    )
+    return best.select(
+        "l_returnflag",
+        F.col("best.l_quantity").alias("mode_qty"),
+        F.col("best.cnt").alias("mode_count"),
+    )

@@ -169,3 +169,103 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         clicks, purchases, key="user_id", ts="ts", right_cols=["purchase_value"]
     )
+
+
+@query(
+    "q_join_asof_forward",
+    note="forward as-of join: each click matched to the user's NEXT "
+    "purchase (ts >=) — same one-shuffle union+window plan as "
+    "q_join_asof over the reversed time axis; oracle is DuckDB's "
+    "native forward ASOF JOIN",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.user_id, c.ts, c.event_id, p.purchase_value AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""",
+    tags=("join", "asof", "window"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", ts="ts",
+        right_cols=["purchase_value"], direction="forward",
+    )
+
+
+def _register_sliding_windows(spark: SparkSession) -> None:
+    """Python UDTF (SQL LATERAL-callable table function): overlapping
+    32-token windows with stride 16 — the context-window chunking
+    every embedding/training pipeline runs before tokenization.
+
+    Built lazily per session (the udtf decorator needs an active
+    SparkSession). The tokenization mirrors dedup.normalized + split
+    exactly so the SQL oracle matches bit-for-bit. For the non-UDTF
+    scale path (pure column expressions, no Python) see
+    plans/chunks.py — this query exists for the table-function API
+    surface: per-row Python logic that RETURNS ROWS, which scalar
+    pandas UDFs cannot express.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="w_idx int, window_text string, n_win_tokens int")
+    class SlidingWindows:
+        def eval(self, text: str):
+            toks = re.sub(r"\s+", " ", (text or "")).strip().lower().split(" ")
+            # coverage-minimal window count: the last window is the
+            # first whose end (16w + 32) reaches the final token
+            n_windows = max(-(-len(toks) // 16) - 1, 1)
+            for w_idx in range(n_windows):
+                win = toks[w_idx * 16 : w_idx * 16 + 32]
+                yield w_idx, " ".join(win), len(win)
+
+    spark.udtf.register("sliding_windows", SlidingWindows)
+
+
+@query(
+    "q_udtf_sliding_windows",
+    note="Python UDTF via SQL LATERAL: overlapping 32-token windows "
+    "with stride 16 per document (context-window chunking); "
+    "tokenization mirrors the SQL oracle exactly — see "
+    "plans/chunks.py for the zero-Python scale path",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(greatest(ceil(len(toks) / 16.0 - 1), 1) AS BIGINT))) AS w_idx,
+         toks
+  FROM norm
+)
+SELECT doc_id, CAST(w_idx AS INTEGER) AS w_idx,
+       array_to_string(list_slice(toks, w_idx*16 + 1, w_idx*16 + 32), ' ') AS window_text,
+       CAST(least(32, len(toks) - w_idx*16) AS INTEGER) AS n_win_tokens
+FROM w
+""",
+    tags=("udf", "udtf", "chunk"),
+)
+def udtf_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_sliding_windows(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, s.w_idx, s.window_text, s.n_win_tokens "
+        "FROM __docs_udtf d, LATERAL sliding_windows(d.text) s"
+    )

@@ -123,6 +123,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_histogram",
     "q_window_range_frame",
     "ns_embed_semantic_clusters",
+    "q_join_asof_forward",
+    "q_events_gapfill",
+    "q_udtf_sliding_windows",
+    "q_agg_mode_argmax",
 )
 
 

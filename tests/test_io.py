@@ -132,3 +132,24 @@ def test_loaders_match_declared_schemas(spark):
         declared = {f.name: f.dataType.simpleString() for f in schema.fields}
         actual = dict(df.dtypes)
         assert actual == declared, f"{name}: {actual} != {declared}"
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """200 tiny files -> sized file count; rows and values survive."""
+    src = str(tmp_path / "small_files")
+    df = load_table(spark, SF, "orders")
+    n_rows = df.count()
+    df.repartition(200).write.mode("overwrite").parquet(src)
+    import os
+
+    n_before = sum(
+        1 for _, _, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before > 50, f"fixture produced only {n_before} files"
+    n_after = io.compact_parquet(spark, src, target_file_bytes=64 * 1024 * 1024)
+    assert n_after < 10
+    back = spark.read.parquet(src + ".compact")
+    assert back.count() == n_rows
+    assert {r.o_orderkey for r in back.select("o_orderkey").collect()} == {
+        r.o_orderkey for r in df.select("o_orderkey").collect()
+    }
