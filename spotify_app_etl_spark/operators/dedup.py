@@ -596,6 +596,12 @@ def embedding_cosine_pairs_lsh(
     )
 
     bks = _hyperplane_buckets_arrow(tables, planes)
+    # NOT repartitioned before the kernel: the numpy projection is
+    # microseconds per batch even single-task; a fan-out here shuffles
+    # the vectors once per downstream consumer and was measured 4x
+    # slower end-to-end at sf0.1 (see spotify_app_etl_spark/operators/
+    # similarity.py note on minhash, where the kernel IS the bottleneck
+    # and the tradeoff flips).
     side = df.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", l2_norm(F.col("__v")))

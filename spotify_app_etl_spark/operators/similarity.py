@@ -27,6 +27,15 @@ def _as_double(arr: Column) -> Column:
     return arr.cast("array<double>")
 
 
+# NOTE on parallelism: unlike the minhash text kernel (operators/
+# dedup.py, where per-row shingle hashing dominates and an explicit
+# repartition before the kernel was a measured 3x win), the hyperplane
+# projection is one tiny matmul per batch — repartitioning the vector
+# table before it was measured 1.5-4x SLOWER end-to-end at sf0.1
+# because every downstream consumer (bucketing + two scoring joins)
+# then pays the shuffle. Leave the scan partitioning alone here.
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold dot product (order matches DuckDB list_reduce)."""
     return F.aggregate(

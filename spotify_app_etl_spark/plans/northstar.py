@@ -584,3 +584,41 @@ def ns_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
         threshold=0.25,
     )
+
+
+@query(
+    "ns_doc_winnowing",
+    note="winnowing fingerprints (Schleimer et al. 2003): distinct "
+    "window-4 minima of char-8-gram rolling hashes — any shared "
+    "substring of length ≥ 11 yields a shared fingerprint; staged "
+    "projections keep every array a per-row attribute (zero shuffle); "
+    "same (acc*31+c) mod-2^31-1 fold as ns_doc_fingerprint",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+  FROM documents
+), cps AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(nt), 1) + 1),
+                        i -> CAST(greatest(unicode(nt[i]), 0) AS BIGINT)) AS cp
+  FROM norm
+), gh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(cp) - 7, 1) + 1),
+                        i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i:i+7]),
+                                         (a, c) -> (a * 31 + c) % 2147483647)) AS g
+  FROM cps
+), wins AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(g) - 3, 1) + 1),
+                        j -> list_aggregate(g[j:j+3], 'min')) AS w
+  FROM gh
+)
+SELECT doc_id, unnest(list_distinct(w)) AS fp FROM wins
+""",
+    tags=("northstar", "text", "hash", "fingerprint"),
+)
+def ns_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.winnowing_fingerprints(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=8, window=4
+    )

@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_events_gapfill",
     "q_udtf_sliding_windows",
     "q_agg_mode_argmax",
+    "ns_doc_winnowing",
 )
 
 
