@@ -74,6 +74,14 @@ def main() -> None:
         help="scale-factor directory of parquet tables",
     )
     ap.add_argument("--all", action="store_true", help="run every registered query")
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=2,
+        help="runs per query; the reported time is the minimum (standard "
+        "best-of-N: the min is the least noisy estimator of plan cost — "
+        "GC pauses, page-cache misses and JIT tails only ever ADD time)",
+    )
     args = ap.parse_args()
 
     from spotify_app_etl_spark.registry import load_all
@@ -110,13 +118,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        start = time.perf_counter()
-        force(registry[name].fn(spark, args.sf))
-        timings[name] = round(time.perf_counter() - start, 3)
-        # dedup operators cache signature tables for their multi-consumer
-        # plans; release between queries so a long --all run doesn't
-        # accumulate executor storage
-        release_cached()
+        best = float("inf")
+        for _ in range(max(args.repeat, 1)):
+            start = time.perf_counter()
+            force(registry[name].fn(spark, args.sf))
+            best = min(best, time.perf_counter() - start)
+            # dedup operators cache signature tables for their
+            # multi-consumer plans; release between runs so repeats stay
+            # honest and a long --all run doesn't accumulate storage
+            release_cached()
+        timings[name] = round(best, 3)
 
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
     print(
