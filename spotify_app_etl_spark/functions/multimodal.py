@@ -160,3 +160,102 @@ def sample_frames(mm: DataFrame, frame_size: int = 256, every_k: int = 4) -> Dat
             )
 
     return mm.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (dHash over the decoded byte grid).
+# ---------------------------------------------------------------------------
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash of a payload's byte stream.
+
+    The dHash recipe on the fake decoder's output: fold the bytes into
+    an 8x9 cell grid (cell value = mean byte over an equal-width
+    stride), emit one bit per horizontal neighbor pair (cell > next).
+    Robust to small payload edits the way image dHash is robust to
+    resizing/re-encoding — a few changed bytes move a few cell means,
+    flipping few bits. Pure numpy, deterministic; with a real image
+    decoder the same function runs on the pixel array instead.
+    """
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return 0
+    cells = np.zeros(72, dtype=np.float64)
+    # equal-width strides via linear index mapping (vectorized bincount)
+    idx = (np.arange(arr.size, dtype=np.int64) * 72) // arr.size
+    np.add.at(cells, idx, arr.astype(np.float64))
+    counts = np.bincount(idx, minlength=72)
+    cells = cells / np.maximum(counts, 1)
+    grid = cells.reshape(8, 9)
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def perceptual_hashes(mm: DataFrame) -> DataFrame:
+    """(doc_id, phash) via one Arrow-batched Python crossing."""
+
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            hashes = [dhash64(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    # two's-complement into signed int64 for Spark LongType
+                    "phash": pd.Series(
+                        [h - (1 << 64) if h >= (1 << 63) else h for h in hashes],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(run, schema="doc_id long, phash long")
+
+
+def phash_near_dup_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup payload pairs at Hamming(phash) ≤ max_hamming.
+
+    Same pigeonhole banding as SimHash (operators/dedup.py): 4 bands of
+    16 bits — any pair at distance ≤ 3 agrees exactly on ≥ 1 band, so
+    the bucket equi-join finds ALL such pairs without an all-pairs
+    comparison; exact distance then filters. One shuffle on
+    (band, chunk).
+    """
+    sig = perceptual_hashes(mm)
+    chunks = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "phash", "bc.band", "bc.chunk")
+    return (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

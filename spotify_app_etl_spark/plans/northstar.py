@@ -622,3 +622,32 @@ def ns_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnowing_fingerprints(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=8, window=4
     )
+
+
+@query(
+    "ns_mm_phash_pairs",
+    note="perceptual-hash near-dup over binary payloads: 64-bit dHash "
+    "(byte-grid cell means → neighbor-difference bits) per payload via "
+    "one Arrow crossing, then the SimHash 4×16-bit pigeonhole banding "
+    "— complete for Hamming ≤ 3 without all-pairs. The corpus has no "
+    "byte-level near-dups, so every 7th doc gets a planted copy with "
+    "every 97th char flipped (same length — dHash cell strides are "
+    "length-relative, so in-place edits move few bits while an "
+    "append shifts all of them). Hash-defined → rows-only; "
+    "python-reference equality + recall in tests/test_multimodal.py",
+    tags=("northstar", "multimodal", "dedup"),
+)
+def ns_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    edited = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.col("text"), ""),
+            lambda c, i: F.when(i % 97 == 0, F.lit("z")).otherwise(c),
+        ),
+    )
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), edited.alias("text")
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return MM.phash_near_dup_pairs(MM.documents_as_binary(corpus), max_hamming=3)

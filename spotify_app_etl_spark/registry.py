@@ -128,6 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_udtf_sliding_windows",
     "q_agg_mode_argmax",
     "ns_doc_winnowing",
+    "ns_mm_phash_pairs",
 )
 
 

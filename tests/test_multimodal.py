@@ -76,3 +76,67 @@ def test_metadata_query_prunes_payload(spark, mm, tmp_path):
 def test_decode_stub_raises_without_codec():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG\r\n")
+
+
+def test_dhash64_matches_python_reference():
+    """Vectorized kernel == naive per-cell reference, incl. edge sizes."""
+    import numpy as np
+
+    def naive(payload: bytes) -> int:
+        arr = list(payload)
+        if not arr:
+            return 0
+        cells = [[] for _ in range(72)]
+        for i, v in enumerate(arr):
+            cells[i * 72 // len(arr)].append(v)
+        means = [sum(c) / len(c) if c else 0.0 for c in cells]
+        bits = []
+        for r in range(8):
+            row = means[r * 9 : (r + 1) * 9]
+            bits += [row[j] > row[j + 1] for j in range(8)]
+        return sum(1 << i for i, b in enumerate(bits) if b)
+
+    rng = np.random.RandomState(3)
+    for size in (0, 1, 71, 72, 73, 500, 4096):
+        payload = bytes(rng.randint(0, 256, size=size, dtype=np.uint8))
+        assert MM.dhash64(payload) == naive(payload), f"size {size}"
+
+
+def test_phash_pairs_find_planted_near_dups(spark):
+    """Identical payloads pair at Hamming 0; a lightly-edited copy
+    (few bytes flipped) still pairs within the Hamming budget."""
+    base = ("spark shuffles partition the keyspace " * 40).encode()
+    edited = bytearray(base)
+    edited[10] = ord("X")  # one byte: moves one cell mean slightly
+    rows = [
+        (1, bytes(base)),
+        (2, bytes(base)),          # exact dup of 1
+        (3, bytes(edited)),        # near dup of 1
+        (4, b"completely different payload " * 50),
+    ]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in MM.phash_near_dup_pairs(mm, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_phash_query_recall_on_planted(spark):
+    """The registered query's planted near-dups (same-length edits)
+    must overwhelmingly pair with their originals within Hamming 3."""
+    from spotify_app_etl_spark.registry import load_all
+
+    rows = load_all()["ns_mm_phash_pairs"].fn(spark, SF).collect()
+    found = {r.id_a for r in rows if r.id_b == r.id_a + 1000000}
+    from spotify_app_etl_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    planted = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .count()
+    )
+    assert len(found) >= 0.8 * planted, (len(found), planted)
