@@ -160,7 +160,17 @@ LIMIT {_BM25_TOPK}
     tags=("northstar", "indexing", "bm25", "topk"),
 )
 def ns_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    return (
+        _bm25_scores(t(spark, sf_dir, "documents"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document matching ≥1 query term —
+    shared by ns_bm25_search (top-k) and ns_hybrid_rrf_search (rank
+    fusion)."""
     dl = docs.select(
         "doc_id", F.size(tokens("text")).cast("double").alias("dl")
     )
@@ -196,11 +206,8 @@ def ns_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c").cast("double").alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(_BM25_TOPK)
+    return contrib.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("bm25")
     )
 
 
@@ -347,4 +354,125 @@ def ns_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
         .select("domain", "n_urls", "n_docs", "is_blocked")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and cosine.
+# ---------------------------------------------------------------------------
+
+#: RRF constant (Cormack et al.: 60 works across collections) and list depths.
+_RRF_K, _RRF_DEPTH, _RRF_TOPK = 60, 50, 20
+
+#: The semantic query vector: embeddings row vec_id = 0 (embeddings and
+#: documents share the 0..n id space in the testdata).
+_RRF_QVEC_ID = 0
+
+_SQL_BM25_CTES = f"""
+dl AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS dl FROM documents
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) toks
+  WHERE term IN ({_SQL_TERMS})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id AS doc_id,
+         CAST(round(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf AS DOUBLE)
+              + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)),
+           8) AS DECIMAL(20,8)) AS c
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+), bm AS (
+  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25 FROM contrib GROUP BY doc_id
+)"""
+
+
+@query(
+    "ns_hybrid_rrf_search",
+    note="hybrid retrieval: reciprocal-rank fusion (1/(60+rank), "
+    "Cormack et al.) of the BM25 lexical top-50 and the cosine "
+    "semantic top-50 against query vector vec_id=0 — rank-only fusion "
+    "sidesteps score-scale mismatch AND float drift (ranks are exact "
+    "integers; the fused score is two exact divisions); full outer "
+    "join so single-system hits survive",
+    oracle=f"""
+WITH {_SQL_BM25_CTES},
+lex AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM bm
+  ) WHERE r_lex <= {_RRF_DEPTH}
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = {_RRF_QVEC_ID}
+), cosd AS (
+  SELECT vec_id,
+         round(list_reduce(list_transform(range(1, len(qv)+1),
+                                          i -> qv[i] * CAST(embedding AS DOUBLE[])[i]),
+                           (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b) -> a+b))
+                  * sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                                     (a,b) -> a+b))), 8) AS cos_sim
+  FROM embeddings CROSS JOIN qv
+), sem AS (
+  SELECT vec_id AS doc_id, r_sem FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS r_sem FROM cosd
+  ) WHERE r_sem <= {_RRF_DEPTH}
+)
+SELECT doc_id, r_lex, r_sem,
+       round(COALESCE(1.0 / ({_RRF_K} + r_lex), 0)
+             + COALESCE(1.0 / ({_RRF_K} + r_sem), 0), 8) AS rrf
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_TOPK}
+""",
+    tags=("northstar", "indexing", "retrieval", "fusion"),
+)
+def ns_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.similarity import cosine_topk_bruteforce
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = (
+        _bm25_scores(docs)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("r_lex"),
+        )
+        .filter(F.col("r_lex") <= _RRF_DEPTH)
+    )
+    sem = (
+        cosine_topk_bruteforce(
+            emb.filter(F.col("vec_id") == _RRF_QVEC_ID).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+            k=_RRF_DEPTH,
+        )
+        .select(F.col("corpus_id").alias("doc_id"), F.col("rank").alias("r_sem"))
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("r_sem")), F.lit(0.0)),
+                8,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_TOPK)
     )

@@ -129,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_mode_argmax",
     "ns_doc_winnowing",
     "ns_mm_phash_pairs",
+    "ns_hybrid_rrf_search",
 )
 
 
