@@ -302,3 +302,68 @@ def stream_to_batch_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on ``transformWithStateInPandas`` — the
+    Spark 4 successor to ``applyInPandasWithState`` (SPARK-49564):
+    typed per-key state handles (ValueState/ListState/MapState) with
+    independent TTLs instead of one state tuple + one timeout, and an
+    explicit processor lifecycle (init/handleInputRows/close).
+
+    Same semantics as :func:`user_activity_tracker` (final row per user
+    == the batch groupBy; asserted in tests/test_streaming.py), so the
+    two APIs are directly comparable in this repo. State is one
+    (count, sum) value per user — sharded by the grouping key, no
+    global state.
+
+    Runtime requirements (a real deployment has both; this container
+    lacks the second, so the test self-skips): the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass``) and
+    ``google.protobuf`` in the Python environment — the TWS driver
+    worker serializes state requests over protobuf.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_sum": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

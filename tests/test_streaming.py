@@ -289,3 +289,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(raw_dir).select("event_id").collect()
     }
     assert {r.event_id for r in got} == batch_ids
+
+
+def test_transform_with_state_totals(spark, events_dir, tmp_path):
+    """transformWithStateInPandas: final per-user totals must equal the
+    batch groupBy (same contract as the applyInPandasWithState job).
+
+    Skipped where google.protobuf is absent: the TWS driver worker
+    serializes state over protobuf (SPARK-49564) and crashes without
+    it — this container ships no protobuf, a real deployment does.
+    """
+    pytest.importorskip("google.protobuf")
+    ckpt = tmp_path / "ckpt_tws"
+    # transformWithState requires the RocksDB state store (ships with
+    # Spark 4; the default HDFS-backed store does not implement it)
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = jobs.read_event_stream(spark, events_dir)
+    q = (
+        jobs.user_totals_tws(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {
+        r.user_id: (r.n_events, round(r.value_sum, 6))
+        for r in spark.table("t_tws").orderBy("n_events").collect()
+    }
+    expected = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expected
