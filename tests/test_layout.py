@@ -75,3 +75,67 @@ def test_salted_join_spreads_hot_key(spark):
         .first()
     )
     assert top.n_salts > 1, "hot key stayed in one salt bucket"
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover small rectangles of (user_id, hour):
+    per-file value ranges on BOTH dims beat a single-column sort, so
+    parquet min/max stats can prune on either predicate."""
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark import io as sio
+    from spotify_app_etl_spark.plans.common import t
+
+    raw = t(spark, SF, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("abs_hour"),
+    )
+    lo = raw.agg(
+        F.min("abs_hour"), F.max("abs_hour"), F.min("user_id"), F.max("user_id")
+    ).first()
+    h0, h1, u0, u1 = lo
+    # morton_key contract: both dims pre-scaled onto the FULL [0, 2^bits)
+    # range — equal resolution per dimension is what makes interleaved
+    # bits alternate meaningfully (a 4-bit-wide dim under a 10-bit-wide
+    # dim would only ever vary within fine-grained Z segments)
+    bits = 8
+    top = (1 << bits) - 1
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        F.floor((F.col("user_id") - u0) * top / (u1 - u0)).alias("u_s"),
+        (F.col("abs_hour") - h0).alias("hour"),
+        F.floor((F.col("abs_hour") - h0) * top / (h1 - h0)).alias("h_s"),
+    )
+    n_files = 16
+
+    z_path = str(tmp_path / "z")
+    sio.write_zordered(ev, z_path, "u_s", "h_s", n_files=n_files, bits=bits)
+    s_path = str(tmp_path / "s")  # baseline: sorted by hour only
+    (
+        ev.repartitionByRange(n_files, "hour")
+        .sortWithinPartitions("hour")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+
+    def mean_file_span(path: str, col: str) -> float:
+        spans = (
+            spark.read.parquet(path)
+            .withColumn("__f", F.input_file_name())
+            .groupBy("__f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r.span for r in spans) / len(spans)
+
+    full_user_span = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    # hour-sorted files know nothing about user_id: each file spans
+    # nearly the whole user domain; z-ordered files must do much better
+    assert mean_file_span(s_path, "user_id") > 0.8 * full_user_span
+    assert mean_file_span(z_path, "user_id") < 0.6 * full_user_span
+    # and z-order still clusters the time dimension far better than
+    # random: each file covers a fraction of the 30-day hour range
+    full_hour_span = ev.agg(F.max("hour") - F.min("hour")).first()[0]
+    assert mean_file_span(z_path, "hour") < 0.6 * full_hour_span
