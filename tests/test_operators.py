@@ -250,3 +250,53 @@ def test_fingerprint_arrow_matches_expression(spark):
     ).collect()
     for r in out:
         assert r.expr_fp == r.arrow_fp, r.doc_id
+
+
+def test_minhash_incremental_dedup_against_index(spark, tmp_path):
+    """Production ingest shape: build the signature index on batch 1,
+    then dedup batch 2 (novel docs + near-copies of batch-1 docs +
+    a within-batch dup pair) against it without re-shingling history."""
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import dedup as DD
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    batch1 = docs.filter(F.col("doc_id") < 250)
+    idx = str(tmp_path / "mh_index")
+    DD.minhash_index_write(batch1, "text", "doc_id", idx)
+
+    # batch 2: 50 novel docs, 30 near-copies of batch-1 docs (one word
+    # appended — Jaccard stays >> 0.5), and one within-batch dup pair
+    novel = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 300))
+    near_copies = (
+        batch1.filter(F.col("doc_id") < 30)
+        .select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    within_dup = docs.filter(F.col("doc_id") == 299).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+    )
+    batch2 = novel.unionByName(near_copies).unionByName(within_dup)
+
+    kept = DD.minhash_dedup_incremental(
+        batch2, idx, "text", "doc_id", threshold=0.5
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    DD.release_cached()
+
+    # near-copies of indexed docs must be dropped (recall >= 90%)
+    dropped_copies = sum(1 for i in range(30) if (i + 10_000) not in kept_ids)
+    assert dropped_copies >= 27, f"only {dropped_copies}/30 near-copies dropped"
+    # the exact within-batch copy of doc 299 must lose to the lower id
+    assert 20_299 not in kept_ids and 299 in kept_ids
+    # novel docs survive (the corpus has genuine near-dups, so allow a
+    # small number of true-positive drops among them)
+    assert sum(1 for i in range(250, 300) if i in kept_ids) >= 45
+    # index grew by exactly the kept signatures
+    n_index = spark.read.parquet(idx).count()
+    assert n_index == 250 + len(kept_ids)
