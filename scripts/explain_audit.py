@@ -60,6 +60,9 @@ def main() -> None:
     spark = get_spark(app_name="explain_audit")
     registry = load_all()
 
+    # untimed warmup (mirrors bench.py): JVM codegen + Arrow worker pool
+    registry["q01_pricing_summary"].fn(spark, args.sf).collect()
+
     lines = [
         "# PLANS — executed-plan audit of the bench headline queries",
         "",
@@ -68,6 +71,13 @@ def main() -> None:
         "Red flags at 100 TB: `nested_loop_joins`/`cartesian` > 0 on an",
         "unbounded side, scans without pushed filters when the query",
         "filters, Python stages in a pure-relational plan.",
+        "",
+        "Known-intended exceptions: `ns_sim_topk_bruteforce` carries a",
+        "BroadcastNestedLoopJoin BY DESIGN — it is the exact baseline",
+        "whose broadcast side is the bounded query set; the LSH/IVF",
+        "variants are the scale path. Python stages (`py` column) appear",
+        "only in Arrow-kernel operators (minhash/hyperplane signatures,",
+        "multimodal decode), never in relational plans.",
         "",
         "| query | wall_s | shuffles | broadcasts | codegen | scans | pushed | NLJ | cartesian | py |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
