@@ -150,3 +150,64 @@ def ns_embed_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb_with_planted(spark, sf_dir), "embedding", "vec_id", threshold=0.9
     )
     return CL.dedup_clusters(pairs.select("id_a", "id_b"))
+
+
+def _power_iteration(emb: DataFrame, vec_col: str, iters: int = 8):
+    """Driver-coordinated power iteration for the corpus covariance's
+    top eigenvector (uncentered Gram matrix X'X, the PCA-without-mean
+    variant): v ← normalize(Σ_i x_i (x_i·v)).
+
+    Per iteration ONE distributed pass: the per-row projection x·v is
+    pre-projected as a plain column (the per-element-reference rule —
+    inlining it into all ``dim`` component sums would fold the dot 64
+    times), then ``dim`` map-side-combinable SUM aggregates ship one
+    64-double row to the driver, which renormalizes and re-broadcasts
+    v as literals. The same coordination shape as Spark ML's KMeans —
+    per-iteration driver state is O(dim), never O(rows).
+    """
+    import numpy as np
+
+    dim = len(emb.select(vec_col).first()[0])
+    x = emb.select(F.col(vec_col).cast("array<double>").alias("__x"))
+    v = np.ones(dim) / np.sqrt(dim)
+    eigval = 0.0
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(float(c)) for c in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("__x"), vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        row = (
+            x.withColumn("__dot", dot)
+            .select(
+                *[
+                    F.sum(F.element_at("__x", j + 1) * F.col("__dot")).alias(f"s{j}")
+                    for j in range(dim)
+                ]
+            )
+            .first()
+        )
+        w = np.array(row, dtype=np.float64)
+        eigval = float(np.linalg.norm(w))
+        v = w / eigval
+    return v, eigval
+
+
+@query(
+    "ns_embed_top_eigvec",
+    note="distributed power iteration (8 rounds) for the top "
+    "eigenvector of the corpus Gram matrix — one pass per round, "
+    "O(dim) driver state, KMeans-style coordination; iterative + "
+    "float-sum order → rows-only; distributed==local equality and "
+    "spiked-data convergence vs numpy eigendecomposition asserted in "
+    "tests/test_operators.py (the i.i.d. testdata spectrum is too "
+    "flat for 8 rounds to converge to eigh — by design it reports "
+    "the 8-round iterate, which IS the deterministic contract)",
+    tags=("northstar", "embedding", "pca"),
+)
+def ns_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    v, eigval = _power_iteration(emb, "embedding", iters=8)
+    rows = [(i + 1, float(c), eigval) for i, c in enumerate(v)]
+    return spark.createDataFrame(rows, "pos int, loading double, eigenvalue double")

@@ -130,6 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "ns_doc_winnowing",
     "ns_mm_phash_pairs",
     "ns_hybrid_rrf_search",
+    "ns_split_leakage_safe",
+    "ns_embed_top_eigvec",
 )
 
 

@@ -300,3 +300,49 @@ def test_minhash_incremental_dedup_against_index(spark, tmp_path):
     # index grew by exactly the kept signatures
     n_index = spark.read.parquet(idx).count()
     assert n_index == 250 + len(kept_ids)
+
+
+def test_power_iteration_distributed_equals_local(spark):
+    """The distributed per-iteration update must equal the same
+    algorithm run locally in numpy (same iterations, same init) —
+    distribution must not change the math."""
+    import numpy as np
+
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.plans.embed_analytics import _power_iteration
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v, eigval = _power_iteration(emb, "embedding", iters=6)
+
+    x = np.array(
+        [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    lv = np.ones(x.shape[1]) / np.sqrt(x.shape[1])
+    for _ in range(6):
+        w = x.T @ (x @ lv)
+        leig = float(np.linalg.norm(w))
+        lv = w / leig
+    cos = abs(float(np.dot(v, lv)))
+    assert cos > 1 - 1e-9, f"distributed diverged from local: cos {cos}"
+    assert abs(eigval - leig) / leig < 1e-9
+
+
+def test_power_iteration_converges_on_spiked_data(spark):
+    """With a genuine dominant direction (spiked covariance), a few
+    iterations recover numpy's top eigenvector."""
+    import numpy as np
+
+    from spotify_app_etl_spark.plans.embed_analytics import _power_iteration
+
+    rng = np.random.RandomState(11)
+    spike = rng.standard_normal(16)
+    spike /= np.linalg.norm(spike)
+    x = rng.standard_normal((400, 16)) + 6.0 * rng.standard_normal((400, 1)) * spike
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)], "vec_id long, embedding array<double>"
+    )
+    v, eigval = _power_iteration(df, "embedding", iters=12)
+    w, vecs = np.linalg.eigh(x.T @ x)
+    cos = abs(float(np.dot(v, vecs[:, -1])))
+    assert cos > 0.999, f"direction cosine {cos}"
+    assert abs(eigval - w[-1]) / w[-1] < 0.01

@@ -109,3 +109,25 @@ def test_contamination_broadcast_in_plan(spark, docs):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """No near-dup pair may straddle train/eval — the property the
+    per-doc hash split cannot guarantee."""
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import dedup as DD
+    from spotify_app_etl_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    split = load_all()["ns_split_leakage_safe"].fn(spark, sf)
+    assign = {r.doc_id: r.split for r in split.collect()}
+    pairs = DD.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), "text", "doc_id", n=3, threshold=0.5
+    ).collect()
+    DD.release_cached()
+    assert pairs, "fixture lost its near-dup pairs"
+    straddling = [
+        (p.id_a, p.id_b) for p in pairs if assign[p.id_a] != assign[p.id_b]
+    ]
+    assert not straddling, f"near-dup pairs split across train/eval: {straddling[:5]}"
+    assert {"train", "eval"} == set(assign.values())
