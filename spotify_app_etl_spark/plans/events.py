@@ -296,3 +296,67 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_sum",
         F.last("obs", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+@query(
+    "q_events_funnel",
+    note="3-step funnel (view → click → purchase within 2h of the "
+    "view) per user: each step is an interval join on (user, time "
+    "band) + a MIN aggregate picking the first qualifying event — "
+    "the joins shuffle on user_id only and AQE handles hot users; "
+    "counts per completed funnel depth",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+), first_click AS (
+  SELECT v.user_id, v.v_ts, MIN(e.ts) AS c_ts
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click'
+   AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 2 HOUR
+  GROUP BY v.user_id, v.v_ts
+), first_purchase AS (
+  SELECT fc.user_id, fc.v_ts, fc.c_ts, MIN(e.ts) AS p_ts
+  FROM first_click fc JOIN events e
+    ON e.user_id = fc.user_id AND e.event_type = 'purchase'
+   AND e.ts > fc.c_ts AND e.ts <= fc.v_ts + INTERVAL 2 HOUR
+  GROUP BY fc.user_id, fc.v_ts, fc.c_ts
+)
+SELECT
+  (SELECT COUNT(*) FROM v) AS n_views,
+  (SELECT COUNT(*) FROM first_click) AS n_clicked,
+  (SELECT COUNT(*) FROM first_purchase) AS n_purchased
+""",
+    tags=("events", "funnel", "window"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", F.col("ts").alias("v_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("e_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("e_ts")
+    )
+    first_click = (
+        views.join(
+            clicks,
+            (views.user_id == clicks.user_id)
+            & (F.col("e_ts") > F.col("v_ts"))
+            & (F.col("e_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .groupBy(views.user_id.alias("user_id"), "v_ts")
+        .agg(F.min("e_ts").alias("c_ts"))
+    )
+    first_purchase = (
+        first_click.join(
+            purchases,
+            (first_click.user_id == purchases.user_id)
+            & (F.col("e_ts") > F.col("c_ts"))
+            & (F.col("e_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .groupBy(first_click.user_id.alias("user_id"), "v_ts", "c_ts")
+        .agg(F.min("e_ts").alias("p_ts"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_views"))
+        .join(first_click.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .join(first_purchase.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )

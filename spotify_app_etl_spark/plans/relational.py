@@ -616,3 +616,42 @@ def promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "promo_revenue_pct"
         )
     )
+
+
+@query(
+    "q_join_full_outer",
+    note="full-outer join with unmatched rows on BOTH sides "
+    "(negative-balance customers ⟗ big-ticket orders), classified and "
+    "counted — completes the join-type matrix (inner/left/semi/anti/"
+    "range/asof/full); null-extension semantics verified exactly",
+    oracle="""
+SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+            WHEN o.o_orderkey IS NULL THEN 'customer_only'
+            ELSE 'matched' END AS side,
+       COUNT(*) AS n
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal < 0) c
+FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+                 WHERE o_totalprice > 300000) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+    tags=("join", "full-outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_custkey")
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return joined.groupBy(
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_orderkey").isNull(), "customer_only")
+        .otherwise("matched")
+        .alias("side")
+    ).agg(F.count(F.lit(1)).alias("n"))

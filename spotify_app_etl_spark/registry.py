@@ -132,6 +132,9 @@ _PRIORITY: tuple[str, ...] = (
     "ns_hybrid_rrf_search",
     "ns_split_leakage_safe",
     "ns_embed_top_eigvec",
+    "ns_dedup_source_matrix",
+    "q_events_funnel",
+    "q_join_full_outer",
 )
 
 
