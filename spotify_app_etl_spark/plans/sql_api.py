@@ -190,3 +190,56 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "q_scan_schema_evolution",
+    note="schema-evolution read: two parquet batches written with "
+    "different schemas (a later column added), merged with "
+    "mergeSchema=true — missing columns null-extend, the drift case "
+    "SURVEY §1.3 flags as silently corrupting the reference's "
+    "inferred-schema tables; per-batch counts + null accounting",
+    oracle="""
+SELECT batch,
+       COUNT(*) AS n,
+       COUNT(o_totalprice) AS n_with_price,
+       CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(12,2))) AS DOUBLE)
+         AS price_sum
+FROM (
+  SELECT 'v1' AS batch, o_orderkey, NULL::DOUBLE AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'v2', o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY batch
+""",
+    tags=("source", "schema-evolution"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _roundtrip_dir(spark, sf_dir, "evolve")
+    orders = load_table(spark, sf_dir, "orders")
+    # batch v1: the early schema (no o_totalprice yet)
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.lit("v1").alias("batch"), "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path + "/b1")
+    )
+    # batch v2: the evolved schema adds o_totalprice
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select(F.lit("v2").alias("batch"), "o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path + "/b2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/b1", path + "/b2"
+    )
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("price_sum"),
+    )

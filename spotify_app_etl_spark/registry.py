@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_dedup_source_matrix",
     "q_events_funnel",
     "q_join_full_outer",
+    "q_scan_schema_evolution",
 )
 
 
