@@ -178,3 +178,74 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_price").cast("double").alias("min_price"),
         F.col("max_price").cast("double").alias("max_price"),
     )
+
+
+@query(
+    "q_cdc_point_in_time",
+    note="temporal (point-in-time) join: each fact looks up the SCD2 "
+    "dimension version in effect at fact time — equi-join on the "
+    "entity key plus half-open [effective_from, effective_to) "
+    "predicates, so the shuffle stays keyed on o_custkey and the "
+    "interval check is a post-join filter; the data-warehouse "
+    "correctness pattern full-replace loads cannot express",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate,
+         row_number() OVER w AS rn,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), versions AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate AS effective_from, rn
+  FROM ordered
+  WHERE rn = 1 OR o_orderpriority IS DISTINCT FROM prev
+), hist AS (
+  SELECT o_custkey, o_orderpriority, effective_from,
+         lead(effective_from) OVER w2 AS effective_to,
+         CAST(row_number() OVER w2 AS INTEGER) AS version
+  FROM versions
+  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY effective_from, rn)
+)
+SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+       h.o_orderpriority AS priority_at_time, h.version
+FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+      WHERE o_orderkey % 5 = 0) f
+JOIN hist h
+  ON h.o_custkey = f.o_custkey
+ AND h.effective_from <= f.o_orderdate
+ AND (h.effective_to IS NULL OR f.o_orderdate < h.effective_to)
+""",
+    tags=("cdc", "scd2", "temporal-join"),
+)
+def q_cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    hist = cdc.scd2_history(
+        orders,
+        keys=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.col("o_orderpriority").alias("priority_at_time"),
+        "effective_from",
+        "effective_to",
+        "version",
+    )
+    facts = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return (
+        facts.join(
+            hist,
+            (F.col("h_custkey") == F.col("o_custkey"))
+            & (F.col("effective_from") <= F.col("o_orderdate"))
+            & (
+                F.col("effective_to").isNull()
+                | (F.col("o_orderdate") < F.col("effective_to"))
+            ),
+        )
+        .select(
+            "o_orderkey", "o_custkey", "o_orderdate", "priority_at_time", "version"
+        )
+    )

@@ -655,3 +655,38 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("matched")
         .alias("side")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_join_lateral_topk",
+    note="correlated LATERAL top-k via the Spark 4 DataFrame "
+    "lateralJoin API: per nation, the 2 highest-balance customers — "
+    "the correlated-subquery formulation of per-group top-k "
+    "(Catalyst rewrites it to the same window/limit machinery, so "
+    "it scales like q_topk_per_group); total order via the "
+    "(balance, custkey) tie-break",
+    oracle="""
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t ON TRUE
+""",
+    tags=("join", "lateral", "topk"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    top2 = (
+        cust.where(F.col("n_nationkey").outer() == F.col("c_nationkey"))
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return nation.lateralJoin(top2).select("n_name", "c_custkey", "c_acctbal")

@@ -136,6 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_events_funnel",
     "q_join_full_outer",
     "q_scan_schema_evolution",
+    "q_cdc_point_in_time",
+    "q_join_lateral_topk",
 )
 
 
