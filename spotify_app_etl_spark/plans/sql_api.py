@@ -243,3 +243,94 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_sum"),
     )
+
+
+@query(
+    "q_sql_recursive_cte",
+    note="Spark 4 WITH RECURSIVE executed by SPARK (not just the DuckDB "
+    "oracle): per-customer order-chain walk — seeds are each customer's "
+    "first order, the recursive step follows the next-order-by-date "
+    "edge (acyclic successor relation, so UNION ALL recursion "
+    "terminates at chain end; Spark does not yet allow UNION dedup in "
+    "the recursive step), accumulating step count and exact decimal "
+    "running spend",
+    oracle="""
+WITH RECURSIVE nxt AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         lead(o_orderkey) OVER w AS next_key,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), walk(o_custkey, o_orderkey, step, spend) AS (
+  SELECT o_custkey, o_orderkey, 1,
+         CAST(o_totalprice AS DECIMAL(18,2))
+  FROM nxt WHERE rn = 1
+  UNION ALL
+  SELECT n.o_custkey, n.o_orderkey, w.step + 1,
+         w.spend + CAST(n.o_totalprice AS DECIMAL(18,2))
+  FROM walk w
+  JOIN nxt p ON p.o_custkey = w.o_custkey AND p.o_orderkey = w.o_orderkey
+  JOIN nxt n ON n.o_custkey = w.o_custkey AND n.o_orderkey = p.next_key
+)
+SELECT o_custkey, o_orderkey, step,
+       CAST(spend AS DOUBLE) AS running_spend
+FROM walk
+""",
+    tags=("sql", "recursive-cte", "window"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+WITH RECURSIVE nxt AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         lead(o_orderkey) OVER w AS next_key,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), walk(o_custkey, o_orderkey, step, spend) AS (
+  SELECT o_custkey, o_orderkey, 1,
+         CAST(o_totalprice AS DECIMAL(18,2))
+  FROM nxt WHERE rn = 1
+  UNION ALL
+  SELECT n.o_custkey, n.o_orderkey, w.step + 1,
+         CAST(w.spend + CAST(n.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,2))
+  FROM walk w
+  JOIN nxt p ON p.o_custkey = w.o_custkey AND p.o_orderkey = w.o_orderkey
+  JOIN nxt n ON n.o_custkey = w.o_custkey AND n.o_orderkey = p.next_key
+)
+SELECT o_custkey, o_orderkey, step,
+       CAST(spend AS DOUBLE) AS running_spend
+FROM walk
+"""
+    )
+
+
+@query(
+    "q_json_variant",
+    note="Spark 4 VARIANT semi-structured type: parse_json(props) once "
+    "into a variant column, typed variant_get extraction, integer "
+    "aggregation — the open-schema path that keeps shredding "
+    "engine-side instead of exploding strings per field",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+""",
+    tags=("sql", "variant", "json"),
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )

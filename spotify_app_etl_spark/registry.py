@@ -138,6 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_scan_schema_evolution",
     "q_cdc_point_in_time",
     "q_join_lateral_topk",
+    "q_sql_recursive_cte",
+    "q_json_variant",
 )
 
 
