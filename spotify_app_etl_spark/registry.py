@@ -128,10 +128,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_udtf_sliding_windows",
     "q_agg_mode_argmax",
     "ns_doc_winnowing",
-    "ns_mm_phash_pairs",
     "ns_hybrid_rrf_search",
     "ns_split_leakage_safe",
-    "ns_embed_top_eigvec",
     "ns_dedup_source_matrix",
     "q_events_funnel",
     "q_join_full_outer",
@@ -140,6 +138,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_lateral_topk",
     "q_sql_recursive_cte",
     "q_json_variant",
+    # rows-only (driver row records count only) — window tail
+    "ns_mm_phash_pairs",
+    "ns_embed_top_eigvec",
 )
 
 
