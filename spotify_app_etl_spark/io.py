@@ -128,6 +128,12 @@ def compact_parquet(
     Compaction into a SEPARATE path (default ``path + '.compact'``) and
     an atomic swap by the caller is the crash-safe pattern; compacting
     in place would lose data on a mid-write failure.
+
+    Partitioned layouts: this writes an UNPARTITIONED result (partition
+    directory columns become plain data columns). Compact a partitioned
+    dataset per partition directory — at scale that is also the only
+    way to bound the job (compact the N most-fragmented partitions,
+    not the whole table).
     """
     import os
 

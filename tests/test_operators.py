@@ -346,3 +346,30 @@ def test_power_iteration_converges_on_spiked_data(spark):
     cos = abs(float(np.dot(v, vecs[:, -1])))
     assert cos > 0.999, f"direction cosine {cos}"
     assert abs(eigval - w[-1]) / w[-1] < 0.01
+
+
+def test_jaccard_verify_composes_with_simhash_candidates(spark):
+    """ngram_jaccard_on's contract says ANY (id_a, id_b) candidate
+    frame composes — prove it for SimHash candidates, not just MinHash:
+    verified output must equal exact Jaccard restricted to the
+    candidate set."""
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import dedup as DD
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cand = DD.simhash_candidates(docs, "text", "doc_id", max_hamming=8)
+    verified = DD.ngram_jaccard_on(cand, docs, "text", "doc_id", n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    cand_set = {(r.id_a, r.id_b) for r in cand.select("id_a", "id_b").collect()}
+    DD.release_cached()
+    expected = {p: j for p, j in exact.items() if p in cand_set}
+    assert got == expected and len(got) > 0
