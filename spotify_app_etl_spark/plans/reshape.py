@@ -131,3 +131,69 @@ def q_agg_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.l_quantity").alias("mode_qty"),
         F.col("best.cnt").alias("mode_count"),
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    note="cube with grouping_id(): each output row labeled with its "
+    "aggregation level (detail / per-flag / per-status / grand total), "
+    "filtered to the subtotal levels — the level marker that makes "
+    "cube output machine-consumable; null group keys rendered as "
+    "'ALL' so they cannot collide with real values",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS level_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING GROUPING(l_returnflag) + GROUPING(l_linestatus) > 0
+""",
+    tags=("reshape", "aggregate", "grouping"),
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("level_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        )
+        .filter(F.col("level_id") > 0)
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "level_id",
+            "n",
+            "qty",
+        )
+    )
+
+
+@query(
+    "q_agg_percentile_disc",
+    note="discrete percentiles (actual data elements, no interpolation) "
+    "per return flag — the companion to the continuous interpolated "
+    "q_agg_percentiles; element selection is deterministic so values "
+    "are bit-exact across engines",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.95) AS p95,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("reshape", "aggregate", "percentile"),
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

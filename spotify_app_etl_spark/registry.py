@@ -138,6 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_lateral_topk",
     "q_sql_recursive_cte",
     "q_json_variant",
+    "q_agg_grouping_id",
+    "q_agg_percentile_disc",
     # rows-only (driver row records count only) — window tail
     "ns_mm_phash_pairs",
     "ns_embed_top_eigvec",
