@@ -63,6 +63,12 @@ HEADLINE = [
     "ns_shard_pack",
     "ns_dedup_chunk_shared",
     "q_window_range_frame",
+    # round-3 additions: winnowing fingerprints, hybrid retrieval,
+    # SCD2 history build, multimodal perceptual-hash near-dup
+    "ns_doc_winnowing",
+    "ns_hybrid_rrf_search",
+    "q_cdc_scd2_history",
+    "ns_mm_phash_pairs",
 ]
 
 
@@ -138,6 +144,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # methodology, recorded so cross-round comparisons don't
+                # conflate estimator changes with real plan speedups
+                # (r01/r02 single-run vs later best-of-N; per-query
+                # variance at sf0.1 is ±50%)
+                "repeat": max(args.repeat, 1),
+                "estimator": "min",
             }
         )
     )

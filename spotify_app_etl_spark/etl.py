@@ -62,9 +62,10 @@ def _json_df(spark: SparkSession, items: list[dict]) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def extract_playlists(spark: SparkSession, transport) -> DataFrame:
+def extract_playlists(spark: SparkSession, transport, items=None) -> DataFrame:
     """GET /me/playlists, cursor-paginated (A1) → flatten (:76-84)."""
-    items = rest.fetch_paginated(transport, "/me/playlists?offset=0")
+    if items is None:
+        items = rest.fetch_paginated(transport, "/me/playlists?offset=0")
     parsed = _json_df(spark, items).select(
         F.from_json("payload", schemas.PLAYLIST_JSON).alias("p")
     )
@@ -146,20 +147,22 @@ def extract_playlist_tracks(
     return flat.filter(F.col("id").isNotNull())  # null-track guard (:106)
 
 
-def extract_saved_tracks(spark: SparkSession, transport) -> DataFrame:
+def extract_saved_tracks(spark: SparkSession, transport, items=None) -> DataFrame:
     """GET /me/tracks (A1) → flatten with added_at (:121-127)."""
-    items = rest.fetch_paginated(transport, "/me/tracks?offset=0")
+    if items is None:
+        items = rest.fetch_paginated(transport, "/me/tracks?offset=0")
     parsed = _json_df(spark, items).select(
         F.from_json("payload", schemas.TRACK_ITEM_JSON).alias("t")
     )
     return _flatten_track_items(parsed).select("id", "name", "artist", "album", "added_at")
 
 
-def extract_recent_tracks(spark: SparkSession, transport) -> DataFrame:
+def extract_recent_tracks(spark: SparkSession, transport, items=None) -> DataFrame:
     """GET /me/player/recently-played — single page ≤50 (A2, :177-185)."""
-    items = rest.fetch_paginated(
-        transport, "/me/player/recently-played", max_pages=1
-    )
+    if items is None:
+        items = rest.fetch_paginated(
+            transport, "/me/player/recently-played", max_pages=1
+        )
     parsed = _json_df(spark, items).select(
         F.from_json("payload", schemas.TRACK_ITEM_JSON).alias("t")
     )
@@ -168,14 +171,15 @@ def extract_recent_tracks(spark: SparkSession, transport) -> DataFrame:
     )
 
 
-def extract_followed_artists(spark: SparkSession, transport) -> DataFrame:
+def extract_followed_artists(spark: SparkSession, transport, items=None) -> DataFrame:
     """GET /me/following?type=artist → flatten (:196-202).
 
     genres stays ``array<string>``; the reference's ', '-joined string
     (:199, A7) is derived by the caller via ``concat_ws`` when needed.
     Paginates fully — the reference's one-page truncation is §2.9 bug 4.
     """
-    items = rest.fetch_paginated(transport, "/me/following?type=artist&offset=0")
+    if items is None:
+        items = rest.fetch_paginated(transport, "/me/following?type=artist&offset=0")
     parsed = _json_df(spark, items).select(
         F.from_json("payload", schemas.ARTIST_JSON).alias("a")
     )
@@ -227,18 +231,33 @@ def run_pipeline(
     started = time.monotonic()
     transport = transport or MockSpotifyTransport(sf_dir)
     log.info("etl run starting (sf_dir=%s)", sf_dir)
-    playlists = extract_playlists(spark, transport)
+    # Overlap the four independent endpoint page-chains on driver
+    # threads — extract-phase parity with the reference's
+    # asyncio.gather (spotify-etl.py:230-234, A16). The per-playlist
+    # track fan-out below remains the distributed half.
+    pages = rest.fetch_paginated_many(
+        transport,
+        {
+            "playlists": ("/me/playlists?offset=0", 10_000),
+            "saved": ("/me/tracks?offset=0", 10_000),
+            "recent": ("/me/player/recently-played", 1),
+            "followed": ("/me/following?type=artist&offset=0", 10_000),
+        },
+    )
+    playlists = extract_playlists(spark, transport, items=pages["playlists"])
     # persist: consumed twice (membership output + the distinct-ids feed
     # of the audio-features lookup) — without it the distributed REST
     # fan-out would execute twice
     playlist_tracks = extract_playlist_tracks(spark, playlists, transport).persist()
-    saved = extract_saved_tracks(spark, transport)
+    saved = extract_saved_tracks(spark, transport, items=pages["saved"])
     tables: dict[str, DataFrame] = {
         "playlists": playlists,
         "playlists_tracks": playlist_tracks,
         "saved_tracks": saved,
-        "recent_tracks": extract_recent_tracks(spark, transport),
-        "followed_artists": extract_followed_artists(spark, transport),
+        "recent_tracks": extract_recent_tracks(spark, transport, items=pages["recent"]),
+        "followed_artists": extract_followed_artists(
+            spark, transport, items=pages["followed"]
+        ),
         "audio_features": enrich_audio_features(spark, playlist_tracks, saved),
     }
     if ingest_date:

@@ -217,12 +217,36 @@ def perceptual_hashes(mm: DataFrame) -> DataFrame:
 def phash_near_dup_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup payload pairs at Hamming(phash) ≤ max_hamming.
 
-    Same pigeonhole banding as SimHash (operators/dedup.py): 4 bands of
-    16 bits — any pair at distance ≤ 3 agrees exactly on ≥ 1 band, so
-    the bucket equi-join finds ALL such pairs without an all-pairs
-    comparison; exact distance then filters. One shuffle on
-    (band, chunk).
+    Same pigeonhole banding as SimHash (operators/dedup.py), but the
+    band count is DERIVED from the radius: max_hamming+1 bands over the
+    64 bits — any pair at distance ≤ max_hamming agrees exactly on ≥ 1
+    band (pigeonhole), so the bucket equi-join finds ALL such pairs
+    without an all-pairs comparison; exact distance then filters. A
+    fixed 4-band split would silently lose pairs for max_hamming ≥ 4.
+    One shuffle on (band, chunk). Radius is capped at 15 (16 bands of
+    ≥4 bits) — beyond that the buckets are too coarse to prune and the
+    caller wants a different algorithm, so we fail loudly.
     """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range [0, 15]: banding needs "
+            "max_hamming+1 bands over 64 bits; beyond 16 bands the buckets "
+            "stop pruning — use a multiprobe/BK-tree approach instead"
+        )
+    nbands = max_hamming + 1
+    # Split 64 bits into nbands contiguous bands, widths as even as
+    # possible (remainder bits go to the low bands).
+    widths = [64 // nbands + (1 if b < 64 % nbands else 0) for b in range(nbands)]
+    offsets = [sum(widths[:b]) for b in range(nbands)]
+
+    def _chunk(b: int):
+        if widths[b] == 64:  # max_hamming=0: the band IS the hash
+            return F.col("phash")
+        mask = (1 << widths[b]) - 1
+        return F.shiftrightunsigned(F.col("phash"), offsets[b]).bitwiseAND(
+            F.lit(mask)
+        )
+
     sig = perceptual_hashes(mm)
     chunks = sig.select(
         "doc_id",
@@ -231,12 +255,9 @@ def phash_near_dup_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("phash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
+                        F.lit(b).alias("band"), _chunk(b).alias("chunk")
                     )
-                    for b in range(4)
+                    for b in range(nbands)
                 ]
             )
         ).alias("bc"),

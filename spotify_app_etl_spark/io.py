@@ -134,27 +134,44 @@ def compact_parquet(
     dataset per partition directory — at scale that is also the only
     way to bound the job (compact the N most-fragmented partitions,
     not the whole table).
-    """
-    import os
 
-    total = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    Sizing goes through the Hadoop FileSystem API, so ``path`` may be
+    any scheme the session's Hadoop conf can reach (``s3a://``,
+    ``hdfs://``, ``abfs://``, local) — an ``os.walk`` would silently
+    compute 0 bytes for object-store paths, exactly the setting this op
+    targets.
+    """
+    total = _dataset_bytes(spark, path, suffix=".parquet")
     n_files = max(1, -(-total // target_file_bytes))  # ceil, >= 1
     dest = out_path or path.rstrip("/") + ".compact"
     df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(dest)
-    return len(
-        [
-            f
-            for root, _, files in os.walk(dest)
-            for f in files
-            if f.endswith(".parquet")
-        ]
+    return _dataset_file_count(spark, dest, suffix=".parquet")
+
+
+def _hadoop_list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (path, size) listing via the Hadoop FileSystem API —
+    scheme-agnostic (local, hdfs://, s3a://, ...), no data scan."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        status = it.next()
+        out.append((status.getPath().toString(), status.getLen()))
+    return out
+
+
+def _dataset_bytes(spark: SparkSession, path: str, suffix: str = "") -> int:
+    return sum(
+        size for p, size in _hadoop_list_files(spark, path) if p.endswith(suffix)
     )
+
+
+def _dataset_file_count(spark: SparkSession, path: str, suffix: str = "") -> int:
+    return sum(1 for p, _ in _hadoop_list_files(spark, path) if p.endswith(suffix))
 
 
 def write_jdbc(

@@ -10,14 +10,20 @@ between shuffling the whole fact table and shuffling the few percent
 that survive a selective dim filter.
 
 The filter itself is plain numpy (k hashes via splitmix64 remixes of
-the key), built driver-side from the build keys — the same smallness
-assumption a broadcast join already makes — and applied in an
-Arrow-batched pandas UDF that tests all k probes vectorized.
+the key). The build is DISTRIBUTED: each build-side partition hashes
+its keys into a local bitmap (Arrow-batched ``mapInPandas``), the
+partial bitmaps are OR-merged executor-side per fixed-size chunk, and
+the driver only ever assembles the FINAL m/8-byte bitset — the same
+bytes it must broadcast to the probe side anyway. Build sides far
+beyond broadcast budget therefore work: the driver's memory ceiling is
+the filter size, never the key count. Probing is an Arrow-batched
+pandas UDF that tests all k positions vectorized.
 """
 
 from __future__ import annotations
 
 import math
+from collections.abc import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -49,14 +55,99 @@ def _positions(keys: np.ndarray, n_hashes: int, m_bits: int) -> np.ndarray:
 
 
 def build_bloom(keys: np.ndarray, fpp: float = 0.01) -> tuple[bytes, int, int]:
-    """Build a Bloom filter over integer keys → (bitset bytes, k, m)."""
-    n = max(len(keys), 1)
-    m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
-    n_hashes = max(1, round(m_bits / n * math.log(2)))
+    """Build a Bloom filter over local integer keys → (bitset, k, m).
+
+    Local/test reference path; for a DataFrame build side use
+    :func:`build_bloom_distributed`, which never materializes keys on
+    the driver.
+    """
+    n_hashes, m_bits = _bloom_params(len(keys), fpp)
     bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
     if len(keys):
         pos = _positions(np.asarray(keys), n_hashes, m_bits).ravel()
         np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits.tobytes(), n_hashes, m_bits
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Optimal (n_hashes, m_bits) for n keys at the target fpp."""
+    n = max(n, 1)
+    m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    n_hashes = max(1, round(m_bits / n * math.log(2)))
+    return n_hashes, m_bits
+
+
+def build_bloom_distributed(
+    build: DataFrame,
+    build_key: str,
+    fpp: float = 0.01,
+    max_build_partitions: int = 64,
+    chunk_bytes: int = 1 << 22,
+) -> tuple[bytes, int, int]:
+    """Build a Bloom filter over a DataFrame column executor-side.
+
+    Two stages, no driver-side key materialization:
+
+    1. ``mapInPandas`` over (≤ ``max_build_partitions``) key partitions:
+       each partition hashes its keys into a LOCAL bitmap and emits only
+       its non-empty ``chunk_bytes``-sized slices — sparse partitions
+       ship a few chunks, not the whole m/8 bytes.
+    2. ``groupBy(chunk).applyInPandas`` OR-merges slices per chunk
+       index; the driver collects exactly one row per non-empty chunk
+       (≤ m/8 bytes total — the size of the filter it must broadcast
+       regardless, so this is the floor, not a scalability cap).
+
+    Sizing uses ``approx_count_distinct`` (±~2%), which only perturbs
+    the achieved fpp marginally. The merge shuffle is bounded at
+    ``max_build_partitions × m/8`` bytes by the coalesce — the same
+    network cost Spark's own ``stat.bloomFilter`` treeAggregate pays.
+    """
+    keys_df = build.select(F.col(build_key).cast("long").alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    n = keys_df.agg(F.approx_count_distinct("k").alias("n")).first()["n"]
+    n_hashes, m_bits = _bloom_params(n, fpp)
+    nbytes = (m_bits + 7) // 8
+    n_chunks = -(-nbytes // chunk_bytes)
+    # coalesce never increases partition count; this just caps the
+    # number of partial bitmaps feeding the merge shuffle.
+    keys_df = keys_df.coalesce(max_build_partitions)
+
+    def partial(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        touched = False
+        for pdf in parts:
+            k = pdf["k"].to_numpy(dtype=np.int64)
+            if not len(k):
+                continue
+            touched = True
+            pos = _positions(k, n_hashes, m_bits).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if touched:
+            for ci in range(n_chunks):
+                chunk = bits[ci * chunk_bytes : (ci + 1) * chunk_bytes]
+                if chunk.any():
+                    yield pd.DataFrame({"chunk": [ci], "bits": [chunk.tobytes()]})
+
+    partials = keys_df.mapInPandas(partial, schema="chunk int, bits binary")
+
+    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        for blob in pdf["bits"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr, out=acc)
+        return pd.DataFrame({"chunk": [int(pdf["chunk"].iloc[0])], "bits": [acc.tobytes()]})
+
+    merged = (
+        partials.groupBy("chunk")
+        .applyInPandas(or_merge, schema="chunk int, bits binary")
+        .collect()
+    )
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for row in merged:
+        arr = np.frombuffer(row["bits"], dtype=np.uint8)
+        start = row["chunk"] * chunk_bytes
+        bits[start : start + len(arr)] = arr
     return bits.tobytes(), n_hashes, m_bits
 
 
@@ -87,14 +178,12 @@ def bloom_prefiltered_join(
 ) -> DataFrame:
     """Equi-join with a Bloom prefilter on the probe side.
 
-    ``build`` must be broadcast-small (its keys are collected to the
-    driver — the same budget a broadcast-hash join spends). The join
-    itself still executes, so Bloom false positives never reach the
-    output: results are exactly ``probe ⋈ build``.
+    The filter is built executor-side (:func:`build_bloom_distributed`)
+    so the build side may exceed broadcast budget — the driver holds
+    only the final bitset, which is what gets broadcast to the probe
+    scan. The join itself still executes, so Bloom false positives
+    never reach the output: results are exactly ``probe ⋈ build``.
     """
-    keys = np.array(
-        [r[0] for r in build.select(build_key).distinct().collect()], dtype=np.int64
-    )
-    bloom = build_bloom(keys, fpp=fpp)
+    bloom = build_bloom_distributed(build, build_key, fpp=fpp)
     pruned = probe.filter(might_contain(probe, probe_key, bloom))
     return pruned.join(build, on=pruned[probe_key] == build[build_key], how=how)

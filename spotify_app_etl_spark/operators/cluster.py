@@ -168,13 +168,20 @@ def connected_components_star(
             .localCheckpoint()
         )
         # Fixpoint: every edge already points at its component min —
-        # the rewire is then a no-op (same set).
-        if rewired.count() == edges.count():
-            delta = rewired.exceptAll(edges).limit(1).count()
-            if delta == 0:
-                edges = rewired
-                break
+        # the rewire is then a no-op (same set). Both sides are
+        # distinct, so set equality == empty symmetric difference; the
+        # full-outer join + limit(1) makes it ONE action per round
+        # (previously a count + an exceptAll count).
+        changed = (
+            rewired.withColumn("_r", F.lit(1))
+            .join(edges.withColumn("_e", F.lit(1)), ["u", "v"], "full_outer")
+            .filter(F.col("_r").isNull() | F.col("_e").isNull())
+            .limit(1)
+            .count()
+        )
         edges = rewired
+        if changed == 0:
+            break
     else:
         raise RuntimeError(
             f"connected_components_star: no fixpoint after {max_iter} rounds"

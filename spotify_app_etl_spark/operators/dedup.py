@@ -44,6 +44,23 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _fan_out(base: DataFrame, want: int) -> DataFrame:
+    """Repartition up to ``want`` partitions for the signature kernel.
+
+    Estimates the scan width from ``inputFiles()`` instead of
+    ``.rdd.getNumPartitions()`` — the RDD accessor forces a full
+    DataFrame→RDD plan conversion just to read a count. File sources
+    report their file count (≈ task count for small files, an
+    underestimate when maxPartitionBytes splits large files — then the
+    repartition is merely redundant, and its payload here is the narrow
+    (id, normalized-text) projection). Non-file sources report 0 files
+    and always repartition, the safe direction for the fan-out.
+    """
+    if len(base.inputFiles()) < want:
+        return base.repartition(want)
+    return base
+
+
 def release_cached() -> None:
     """Unpersist every signature/gram table cached by dedup operators.
 
@@ -242,8 +259,7 @@ def minhash_candidates(
     # a real cluster the scan already has >= cores partitions and this
     # is skipped.
     want = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < want:
-        base = base.repartition(want)
+    base = _fan_out(base, want)
     if impl == "arrow":
         # Persist: the band explode and the two verification joins each
         # consume the signatures; without the cache the Arrow kernel
@@ -801,8 +817,7 @@ def minhash_index_write(
         F.col(id_col).alias("__id"), normalized(text_col).alias("__norm")
     )
     want = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < want:
-        base = base.repartition(want)
+    base = _fan_out(base, want)
     sig = base.select(
         "__id",
         _minhash_text_arrow_udf(num_hashes, shingle_k)("__norm").alias("__sig"),
@@ -860,8 +875,7 @@ def minhash_dedup_incremental(
         F.col(id_col).alias("__id"), normalized(text_col).alias("__norm")
     )
     want = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < want:
-        base = base.repartition(want)
+    base = _fan_out(base, want)
     new_sig = _scoped_persist(
         base.select(
             "__id",
@@ -920,11 +934,24 @@ def minhash_dedup_incremental(
     )
     dup_within = est_filter(within).select(F.col("drop_id").alias("__id")).distinct()
 
-    drop = dup_vs_index.unionByName(dup_within).distinct()
+    # Materialize the drop set BEFORE appending to the index: the
+    # returned `kept` plan must not depend on index_path once new
+    # signatures land there, or a caller materializing `kept` after the
+    # append (with a refreshed file listing) would see new docs match
+    # their own just-appended signatures (est_jaccard=1.0) and drop
+    # everything. localCheckpoint severs that lineage eagerly; the
+    # checkpointed set is just the dropped ids — tiny.
+    drop = dup_vs_index.unionByName(dup_within).distinct().localCheckpoint(eager=True)
     kept = new_docs.join(
         drop.withColumnRenamed("__id", id_col), id_col, "left_anti"
     )
     if update_index:
+        # NOTE: the append is NOT idempotent — retrying a failed batch
+        # appends its surviving signatures again. At scale, write each
+        # batch to a staging subdirectory keyed by a batch id (or use a
+        # table format with atomic commits) and promote once; dup
+        # signatures only cost extra candidate checks, never wrong
+        # results, so the simple append is the registered default.
         kept_sig = new_sig.join(
             drop, "__id", "left_anti"
         ).select("__id", "__sig")

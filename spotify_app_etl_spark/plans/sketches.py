@@ -29,17 +29,28 @@ from spotify_app_etl_spark.registry import query
     note="Greenwald-Khanna approximate percentiles (p25/p50/p75/p95) of "
     "l_extendedprice per return flag — mergeable map-side sketches, "
     "no total sort; error bound vs exact asserted in tests "
-    "(rows-only: estimator-defined values)",
+    "(rows-only: estimator-defined values). Output is scalar columns, "
+    "not array<double>: the driver canonicalizer sorts via pandas and "
+    "cannot hash numpy arrays (CORRECTNESS_r03 crash)",
     oracle=None,
     tags=("sketch", "percentile", "aggregate"),
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10_000
-        ).alias("price_quantiles"),
-        F.count(F.lit(1)).alias("n_items"),
+    # One sketch pass for all four quantiles, then unpack — the array
+    # never leaves the plan, so downstream consumers see only scalars.
+    qs = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10_000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("_q"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "l_returnflag",
+            F.element_at("_q", 1).alias("p25"),
+            F.element_at("_q", 2).alias("p50"),
+            F.element_at("_q", 3).alias("p75"),
+            F.element_at("_q", 4).alias("p95"),
+            "n_items",
+        )
     )
 
 

@@ -429,9 +429,13 @@ def supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     )
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # No forced broadcast of bad_suppliers: ~9% of supplier grows with
+    # sf (1e8 rows at the 100 TB point) and a hint bypasses AQE's size
+    # guard. AQE broadcasts the anti build side when the MEASURED size
+    # fits (same reasoning as q03/q05 in plans/relational.py).
     return (
         li.join(
-            F.broadcast(bad_suppliers),
+            bad_suppliers,
             li.l_suppkey == bad_suppliers.s_suppkey,
             "left_anti",
         )
@@ -472,8 +476,10 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Decorrelated: per-part avg over ALL lineitem (matching the SQL
     # correlation grain), semi-joined to the brand's parts first so the
     # threshold agg only shuffles the brand slice at scale.
+    # brand_parts is part/25 — sf-growing, so no forced broadcast; AQE
+    # picks broadcast only while the measured slice fits the budget.
     per_part = (
-        li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+        li.join(brand_parts, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey")
         .agg(
             (F.lit(0.2) * (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"))).alias("qty_threshold")
@@ -640,7 +646,10 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter("is_late")
         .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        # supplier grows with sf — no forced broadcast of the full
+        # projection; AQE broadcasts it only while the measured size
+        # fits, and falls back to a shuffle join at the 100 TB point.
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

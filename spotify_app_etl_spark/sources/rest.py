@@ -133,6 +133,37 @@ def fetch_paginated(
     return items
 
 
+def fetch_paginated_many(
+    transport: Transport,
+    starts: dict[str, tuple[str, int | None]],
+    bucket: TokenBucket | None = None,
+    max_workers: int = 4,
+) -> dict[str, list[dict]]:
+    """Overlap INDEPENDENT endpoint page-chains on driver threads.
+
+    Each chain is inherently sequential (page N+1's URL comes from page
+    N), but separate endpoints have no ordering dependency — the
+    reference overlaps its three endpoint fetches with
+    ``asyncio.gather`` (spotify-etl.py:230-234, operator A16). Driver
+    threads give the same wall-clock overlap for the extract phase; the
+    *distributed* half of A16 (per-playlist and per-batch fan-out)
+    lives in ``mapInPandas`` (see :func:`batched_lookup`), which is the
+    part that must scale past one machine. A shared ``bucket`` keeps
+    the overlapped chains under one global rate cap.
+
+    ``starts`` maps name → (start url, max_pages); returns name →
+    items. Exceptions propagate from whichever chain failed.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, min(max_workers, len(starts)))) as ex:
+        futures = {
+            name: ex.submit(fetch_paginated, transport, url, bucket, max_pages)
+            for name, (url, max_pages) in starts.items()
+        }
+        return {name: f.result() for name, f in futures.items()}
+
+
 def batched_lookup(
     ids: DataFrame,
     fetch_batch: Callable[[list[str]], list[dict]],

@@ -101,3 +101,40 @@ def test_pagination_max_pages_bounds_runaway_chain():
         return {"items": [n], "next": f"/p?offset={n + 1}"}
 
     assert len(rest.fetch_paginated(transport, "/p?offset=0", max_pages=7)) == 7
+
+
+def test_fetch_paginated_many_overlaps_independent_chains():
+    """Two chains whose FIRST pages block on a shared barrier: only
+    concurrent execution can satisfy both (sequential would deadlock —
+    the barrier times out and raises instead)."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=10)
+
+    def transport(url):
+        if url in ("/a?offset=0", "/b?offset=0"):
+            barrier.wait()
+        name = url[1]
+        page = int(url.split("offset=")[1])
+        nxt = f"/{name}?offset={page + 1}" if page < 2 else None
+        return {"items": [f"{name}{page}"], "next": nxt}
+
+    out = rest.fetch_paginated_many(
+        transport,
+        {"a": ("/a?offset=0", 10), "b": ("/b?offset=0", 10)},
+    )
+    assert out == {"a": ["a0", "a1", "a2"], "b": ["b0", "b1", "b2"]}
+
+
+def test_fetch_paginated_many_propagates_chain_failure():
+    def transport(url):
+        if url.startswith("/bad"):
+            raise RuntimeError("boom")
+        return {"items": [1], "next": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        rest.fetch_paginated_many(
+            transport, {"ok": ("/ok", 10), "bad": ("/bad", 10)}
+        )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -140,3 +142,44 @@ def test_phash_query_recall_on_planted(spark):
         .count()
     )
     assert len(found) >= 0.8 * planted, (len(found), planted)
+
+
+def test_phash_banding_complete_beyond_hamming3(spark):
+    """Band count derives from max_hamming: at radius 6 the banded join
+    must find exactly the pairs brute force finds (pigeonhole needs
+    max_hamming+1 bands — a fixed 4-band split would miss pairs)."""
+    import itertools
+
+    rng = np.random.RandomState(11)
+    payloads = [
+        bytes(rng.randint(0, 256, size=600, dtype=np.uint8)) for _ in range(12)
+    ]
+    # plant copies with increasing edit counts → spread of Hamming dists
+    for k in (1, 2, 3, 5, 8):
+        p = bytearray(payloads[0])
+        for j in range(k):
+            p[j * 37] ^= 0xFF
+        payloads.append(bytes(p))
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashes = {i: MM.dhash64(p) for i, p in rows}
+    expect = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 6
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in MM.phash_near_dup_pairs(mm, max_hamming=6).collect()
+    }
+    assert got == expect, (sorted(got ^ expect))
+
+
+def test_phash_max_hamming_guard():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        MM.phash_near_dup_pairs(None, max_hamming=16)
+    with _pytest.raises(ValueError, match="max_hamming"):
+        MM.phash_near_dup_pairs(None, max_hamming=-1)

@@ -373,3 +373,30 @@ def test_jaccard_verify_composes_with_simhash_candidates(spark):
     DD.release_cached()
     expected = {p: j for p, j in exact.items() if p in cand_set}
     assert got == expected and len(got) > 0
+
+
+def test_minhash_incremental_kept_immune_to_index_refresh(spark, tmp_path):
+    """Materializing `kept` AFTER the index append — even with the file
+    listing forcibly refreshed — must not drop the batch against its
+    own just-appended signatures (the drop set is checkpointed before
+    the append severs any dependence on the index files)."""
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import dedup as DD
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "mh_index")
+    DD.minhash_index_write(docs.filter(F.col("doc_id") < 100), "text", "doc_id", idx)
+
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    kept = DD.minhash_dedup_incremental(batch, idx, "text", "doc_id", threshold=0.5)
+    # simulate a re-listed parquet file index after the append
+    spark.catalog.refreshByPath(idx)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    DD.release_cached()
+    # most of the batch is novel vs the index; self-matching would
+    # leave ~0 survivors
+    assert len(kept_ids) >= 40, len(kept_ids)

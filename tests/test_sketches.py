@@ -1,0 +1,91 @@
+"""Error-bound + driver-contract checks for the sketch queries.
+
+The sketch estimators register rows-only (values are implementation-
+defined), so their accuracy is asserted here against the exact answers,
+and their output schemas are checked against the driver canonicalizer's
+contract: scalar columns only (pandas cannot hash numpy arrays — the
+CORRECTNESS_r03 crash on ``q_agg_approx_percentile``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from spotify_app_etl_spark.io import load_table
+from spotify_app_etl_spark.registry import load_all
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _no_complex_columns(df):
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    return bad
+
+
+def test_approx_percentile_scalar_columns_and_bounds(spark):
+    q = load_all()["q_agg_approx_percentile"].fn
+    out = q(spark, SF)
+    assert _no_complex_columns(out) == []
+    rows = {r["l_returnflag"]: r for r in out.collect()}
+
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
+            ).alias("q"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        e = exact[flag]
+        spread = e["hi"] - e["lo"]
+        for i, col in enumerate(["p25", "p50", "p75", "p95"]):
+            # GK with accuracy 10_000 → rank error ≤ n/10_000; on these
+            # row counts that is well under 1% of the value spread.
+            assert abs(r[col] - e["q"][i]) <= 0.01 * spread, (flag, col)
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+
+
+def test_hll_merge_error_bound(spark):
+    q = load_all()["q_hll_sketch_merge"].fn
+    out = q(spark, SF)
+    assert _no_complex_columns(out) == []
+    approx = {r["month"]: r["approx_customers"] for r in out.collect()}
+
+    orders = load_table(spark, SF, "orders")
+    exact = {
+        r["month"]: r["n"]
+        for r in orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for month, n in exact.items():
+        assert abs(approx[month] - n) <= max(0.02 * n, 2), (month, approx[month], n)
+
+
+def test_registered_queries_emit_scalar_columns_only(spark):
+    """Driver contract: no registered query may output array/map/struct
+    columns — the driver's pandas canonicalizer crashes on them."""
+    offenders = {}
+    for name, q in load_all().items():
+        df = q.fn(spark, SF)
+        bad = _no_complex_columns(df)
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}
