@@ -82,8 +82,17 @@ def main() -> None:
         "| query | wall_s | shuffles | broadcasts | codegen | scans | pushed | NLJ | cartesian | py |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
+    # Non-headline queries whose physical plans earned an audit row:
+    # the round-4 broadcast-hint removals (AQE must be choosing the
+    # strategy, not a forced hint) and the executor-side Bloom build.
+    extra = [
+        "q16_supplier_part_count",
+        "q17_small_qty_revenue",
+        "q21_late_sole_supplier",
+        "q_join_bloom_prefilter",
+    ]
     details: list[str] = []
-    for name in HEADLINE:
+    for name in HEADLINE + [n for n in extra if n not in HEADLINE]:
         q = registry[name]
         t0 = time.time()
         df = q.fn(spark, args.sf)
