@@ -75,9 +75,13 @@ def main() -> None:
         "Known-intended exceptions: `ns_sim_topk_bruteforce` carries a",
         "BroadcastNestedLoopJoin BY DESIGN — it is the exact baseline",
         "whose broadcast side is the bounded query set; the LSH/IVF",
-        "variants are the scale path. Python stages (`py` column) appear",
-        "only in Arrow-kernel operators (minhash/hyperplane signatures,",
-        "multimodal decode), never in relational plans.",
+        "variants are the scale path. `ns_hybrid_rrf_search` shows two",
+        "NLJs for the same reason: the 1-row BM25 corpus-stats scalar",
+        "join and the single-query-vector cosine baseline — both",
+        "broadcast sides are O(1) in corpus size. Python stages (`py`",
+        "column) appear only in Arrow-kernel operators (minhash/",
+        "hyperplane signatures, multimodal decode, Bloom probe), never",
+        "in relational plans.",
         "",
         "| query | wall_s | shuffles | broadcasts | codegen | scans | pushed | NLJ | cartesian | py |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",

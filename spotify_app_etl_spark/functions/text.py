@@ -211,11 +211,17 @@ def winnowing_fingerprints(
     compounded to O(windows × grams × k) per row). All JVM column
     expressions; zero shuffle.
     """
-    from spotify_app_etl_spark.operators.dedup import normalized
+    from spotify_app_etl_spark.operators.dedup import _fan_out, normalized
 
     norm = df.select(
         F.col(id_col), normalized(text_col).alias("__norm")
     )
+    # Same fan-out rationale as the minhash Arrow kernel: a small
+    # corpus arrives as ONE parquet file -> one task, serializing the
+    # per-char expression chain (O(len x k) work per doc dominates the
+    # narrow (id, norm) shuffle by orders of magnitude). On a real
+    # cluster the scan already has >= cores partitions and this no-ops.
+    norm = _fan_out(norm, df.sparkSession.sparkContext.defaultParallelism)
     cps = norm.select(
         id_col,
         F.transform(
