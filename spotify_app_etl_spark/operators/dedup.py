@@ -685,11 +685,16 @@ def ngram_jaccard_pairs(
     integers → bit-exact across engines (SQL-oracle-able).
     """
     # persist: consumed by the size agg and both sides of the pair join;
-    # token array projected first (per-element reference, see token_ngrams)
+    # token array projected first (per-element reference, see token_ngrams).
+    # Fan-out first: a one-file corpus scan would otherwise build the
+    # whole persisted gram table in a single task.
     grams = _scoped_persist(
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.split(normalized(text_col), " ").alias("__toks"),
+        _fan_out(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.split(normalized(text_col), " ").alias("__toks"),
+            ),
+            df.sparkSession.sparkContext.defaultParallelism,
         )
         .select(
             "__id",

@@ -254,22 +254,38 @@ GROUP BY bg.doc_id
     tags=("northstar", "quality", "lm"),
 )
 def ns_lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bg = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(_bigrams(tokens("text"))).alias("bigram"))
+    from spotify_app_etl_spark.operators.dedup import _fan_out
+
+    # Fan out the tokenize+explode map stage (single parquet file ->
+    # one task otherwise), then pre-aggregate to (doc_id, bigram, m)
+    # grain BEFORE branching: both downstream consumers (corpus counts
+    # + the re-join) read the same aggregated exchange, so AQE reuses
+    # it and the expensive explode runs ONCE. Instance-grain identities
+    # keep the math exact: n_bigrams = sum(m), mean = sum(m*c)/sum(m),
+    # novel = sum(m where c=1)/sum(m) — all integer sums, one double
+    # division, bit-identical to the instance-level oracle.
+    docs = _fan_out(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark.sparkContext.defaultParallelism,
     )
-    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        docs.select("doc_id", F.explode(_bigrams(tokens("text"))).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cnt = per_doc.groupBy("bigram").agg(F.sum("m").alias("c"))
     return (
-        bg.join(cnt, "bigram")
+        per_doc.join(cnt, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+            F.sum("m").alias("n_bigrams"),
+            (F.sum(F.col("m") * F.col("c")).cast("double") / F.sum("m")).alias(
                 "mean_corpus_freq"
             ),
             (
-                F.count(F.when(F.col("c") == 1, 1)).cast("double")
-                / F.count(F.lit(1))
+                F.sum(F.when(F.col("c") == 1, F.col("m")).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum("m")
             ).alias("novel_frac"),
         )
     )

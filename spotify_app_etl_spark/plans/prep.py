@@ -130,21 +130,42 @@ GROUP BY g.doc_id
     tags=("northstar", "quality", "boilerplate"),
 )
 def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grams = (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(token_ngrams("text", 3)).alias("gram"))
+    from spotify_app_etl_spark.operators.dedup import _fan_out
+
+    # Grams are DISTINCT per doc (token_ngrams is array_distinct), so
+    # (doc_id, gram) is unique and the naive explode → doc-freq → join
+    # -back-to-every-instance plan is overkill: a gram with doc_freq=1
+    # has exactly ONE owner, recoverable as min(doc_id) inside the same
+    # gram-grain aggregate. n_shared(doc) = n_grams(doc) − its count of
+    # globally-unique grams, and n_grams(doc) is just size(gram array)
+    # — no second explode, no instance-grain join. One gram shuffle
+    # (min and count are both map-side combinable) + two doc-grain
+    # aggs; the min_doc_freq=2 threshold is what makes the unique-gram
+    # complement trick exact. Fan-out first: one parquet file -> one
+    # task for the tokenize+explode otherwise.
+    docs = _fan_out(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark.sparkContext.defaultParallelism,
     )
-    doc_freq = grams.groupBy("gram").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
+    grams = docs.select("doc_id", F.explode(token_ngrams("text", 3)).alias("gram"))
+    unique_per_doc = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"), F.min("doc_id").alias("only_doc"))
+        .filter(F.col("doc_freq") < _MIN_DOC_FREQ)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    shared = F.count(F.when(F.col("doc_freq") >= _MIN_DOC_FREQ, 1))
+    per_doc = docs.select(
+        "doc_id", F.size(token_ngrams("text", 3)).cast("long").alias("n_grams")
+    )
+    n_shared = F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))
     return (
-        grams.join(doc_freq, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            shared.alias("n_shared"),
-            (shared.cast("double") / F.count(F.lit(1))).alias("shared_frac"),
+        per_doc.join(unique_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_shared.alias("n_shared"),
+            (n_shared.cast("double") / F.col("n_grams")).alias("shared_frac"),
         )
     )
 
