@@ -108,6 +108,12 @@ _PRIORITY: tuple[str, ...] = (
     "ns_dedup_exact",
     "ns_dedup_ngram_jaccard",
     "ns_dedup_simhash_pairs",
+    "ns_doc_winnowing",
+    "ns_lm_bigram_novelty",
+    "ns_boilerplate_grams",
+    "ns_dedup_source_matrix",
+    "ns_split_leakage_safe",
+    "q_sql_recursive_cte",
     # (5) oldest rows (r01, never re-checked since) — hash-checked
     # oracle queries preferred so the window yields strong proof
     "q01_pricing_summary",
@@ -137,13 +143,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_except",
     "q_drop_duplicates",
     "q_string_funcs",
-    "q_regexp_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_conditional_funcs",
     "q_array_funcs",
-    "q_map_funcs",
-    "q_json_funcs",
+    # (r01 scalar-func canaries q_regexp/date/math/conditional/map/
+    # json_funcs rotate into the r05 window — pure expression queries,
+    # lowest drift risk, displaced by this round's edited queries.)
 )
 
 

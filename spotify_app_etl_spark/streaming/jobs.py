@@ -211,7 +211,11 @@ def enrich_with_static_profile(
     per-batch join exactly like the batch equivalent, so the batch
     query IS the semantics oracle (asserted in tests/test_streaming.py).
     """
-    return events.join(F.broadcast(profile), "user_id", "left").select(
+    # No forced broadcast: the static side is caller-provided and may
+    # be dimension-snapshot-small (Catalyst broadcasts it per batch
+    # when it measures under the threshold) or pre-bucketed/large — a
+    # hint would foreclose the second path and OOM at scale.
+    return events.join(profile, "user_id", "left").select(
         "event_id",
         "user_id",
         "ts",
