@@ -400,3 +400,26 @@ def test_minhash_incremental_kept_immune_to_index_refresh(spark, tmp_path):
     # most of the batch is novel vs the index; self-matching would
     # leave ~0 survivors
     assert len(kept_ids) >= 40, len(kept_ids)
+
+
+def test_fan_out_repartitions_single_file_scans(spark, tmp_path):
+    """_fan_out must widen a one-file scan (whole map stage would
+    otherwise run in a single task) and leave wide inputs alone."""
+    from spotify_app_etl_spark.operators.dedup import _fan_out
+
+    p = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    one = spark.read.parquet(p)
+    assert len(one.inputFiles()) == 1
+    widened = _fan_out(one, 8)
+    # count partitions without .rdd: sum one row per partition id
+    import pyspark.sql.functions as F
+
+    nparts = widened.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert nparts == 8
+
+    wide = str(tmp_path / "many_files")
+    spark.range(1000).repartition(12).write.parquet(wide)
+    many = spark.read.parquet(wide)
+    assert len(many.inputFiles()) >= 8
+    assert _fan_out(many, 8) is many  # no-op, no shuffle inserted
