@@ -1,0 +1,66 @@
+"""Executed-plan scale guard: no O(n²) join strategies sneak into the
+registered surface.
+
+Runs every registered query at sf0.001, finalizes its adaptive plan
+(collect — count()/save() execute a cloned query and leave the plan
+un-finalized), and asserts:
+
+- ZERO ``CartesianProduct`` anywhere, ever;
+- ``BroadcastNestedLoopJoin`` only in the whitelisted queries below,
+  each of which broadcasts a side that is O(1) in corpus/fact size, so
+  the "nested loop" is really a map-side scalar/bounded-set probe.
+
+This is the automated version of the PLANS.md red-flag audit — a
+forced broadcast of an sf-growing relation or a dropped equi-condition
+turns a green sf0.1 run into an OOM at 100×, and this test is where
+that regression surfaces first.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from spotify_app_etl_spark.operators.dedup import release_cached
+from spotify_app_etl_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+#: Queries where a BroadcastNestedLoopJoin is the intended plan, with
+#: the bounded broadcast side that makes it O(n):
+NLJ_ALLOWED = {
+    # 1-row scalar-subquery joins (global counts / totals / thresholds)
+    "q_events_funnel": 2,  # funnel-stage count scalars
+    "q22_dormant_customers": 1,  # avg-balance threshold scalar
+    "q11_important_stock": 1,  # total stock-value scalar
+    "ns_tfidf_topterms": 1,  # corpus doc-count scalar
+    "ns_bm25_search": 1,  # (avgdl, n_docs) scalar
+    "ns_hybrid_rrf_search": 2,  # bm25 scalar + single query vector
+    # bounded query-set broadcasts (exact similarity baselines; the
+    # LSH/IVF variants are the corpus-scale path)
+    "ns_sim_topk_bruteforce": 1,
+    "ns_sim_range_search": 1,
+    "ns_dedup_embedding_cosine": 1,  # exact block-matmul baseline
+}
+
+
+@pytest.mark.slow
+def test_no_unbounded_join_strategies(spark):
+    offenders: dict[str, str] = {}
+    for name, q in load_all().items():
+        df = q.fn(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        cart = len(re.findall(r"CartesianProduct", plan))
+        nlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+        release_cached()
+        if cart:
+            offenders[name] = f"{cart} CartesianProduct"
+        elif nlj > NLJ_ALLOWED.get(name, 0):
+            offenders[name] = (
+                f"{nlj} BroadcastNestedLoopJoin (allowed "
+                f"{NLJ_ALLOWED.get(name, 0)})"
+            )
+    assert offenders == {}, offenders
