@@ -176,45 +176,39 @@ def batched_lookup(
 
     ``ids`` — single-column DataFrame of keys (dedupe upstream, mirroring
     the reference's dedup-before-fetch at spotify-etl.py:250).
-    Plan: global row_number → ``floor(rn / batch_size)`` group →
-    ``collect_list`` (one row per batch) → optional ``repartition(k)``
-    to bound concurrency → ``mapInPandas`` calling ``fetch_batch`` per
-    batch with a per-partition token bucket.
+    Plan: ``repartition(k)`` to bound concurrency (and set the
+    per-partition token-bucket rate) → ``mapInPandas`` slicing each
+    partition's ids into ≤ ``batch_size`` chunks and calling
+    ``fetch_batch`` per chunk.
 
-    The row_number window is a single-partition shuffle over *ids only*
-    (bytes per row: one key) — fine into the billions; beyond that,
-    swap for ``zipWithIndex``-style per-partition offsets.
+    Batch COMPOSITION is partitioning-dependent, but the result rows
+    are per-id and independent of how ids were grouped into requests,
+    so the output is deterministic either way. Chunking inside the
+    partition needs NO global ordering — an earlier version assigned
+    batch ids with an unpartitioned row_number window (a documented
+    single-partition shuffle); per-partition slicing removes that
+    bottleneck entirely at the cost of at most one under-full request
+    per partition.
     """
     id_col = ids.columns[0]
-    from pyspark.sql import Window as W
-
-    batches = (
-        ids.withColumn(
-            "__batch",
-            F.floor(
-                (F.row_number().over(W.orderBy(id_col)) - 1) / F.lit(batch_size)
-            ),
-        )
-        .groupBy("__batch")
-        .agg(F.collect_list(id_col).alias("__ids"))
-    )
     # The per-partition bucket rate divides global_rate by the number of
     # partitions that will actually run concurrently — so ALWAYS pin the
-    # partition count. Without this repartition the batch table inherits
-    # spark.sql.shuffle.partitions (32 under get_spark) and 32 buckets
-    # each sized global_rate/8 would emit ~4x the intended fleet rate.
+    # partition count. Without this repartition the id table could carry
+    # arbitrarily many partitions and the fleet-wide request rate would
+    # multiply accordingly.
     n_parts = max_concurrent_partitions or 8
-    batches = batches.repartition(n_parts)
+    batches = ids.select(F.col(id_col).alias("__id")).repartition(n_parts)
 
     def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = (
             TokenBucket(rate=global_rate / n_parts, burst=2.0) if global_rate else None
         )
         for pdf in parts:
-            for id_list in pdf["__ids"]:
+            vals = pdf["__id"].tolist()
+            for i in range(0, len(vals), batch_size):
                 if bucket is not None:
                     bucket.acquire()
-                rows = fetch_batch(list(id_list))
+                rows = fetch_batch(vals[i : i + batch_size])
                 if rows:
                     yield pd.DataFrame(rows)
 

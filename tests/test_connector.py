@@ -138,3 +138,19 @@ def test_fetch_paginated_many_propagates_chain_failure():
         rest.fetch_paginated_many(
             transport, {"ok": ("/ok", 10), "bad": ("/bad", 10)}
         )
+
+
+def test_batched_lookup_respects_batch_cap_and_covers_all_ids(spark):
+    """Per-partition chunking must never exceed batch_size, and every
+    id is fetched exactly once regardless of partitioning."""
+    ids = spark.range(0, 537).selectExpr("CAST(id AS STRING) AS id")
+
+    def fetch(chunk):
+        return [{"id": x, "batch_len": len(chunk)} for x in chunk]
+
+    out = rest.batched_lookup(
+        ids, fetch, result_schema="id string, batch_len int", batch_size=100
+    ).collect()
+    assert len(out) == 537
+    assert {r.id for r in out} == {str(i) for i in range(537)}
+    assert max(r.batch_len for r in out) <= 100
