@@ -1,0 +1,105 @@
+"""Scalable global ranking: total-order row numbers and ntile without
+a single-partition window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` moves EVERY row to one
+task (Spark warns "No Partition Defined for Window operation") — the
+classic hidden scale cliff: correct and quiet at sf0.1, a one-executor
+sort of the whole table at 100 TB. The exact global rank does not need
+a global sort on one machine:
+
+1. ``repartitionByRange`` on the sort key — the same distributed range
+   sort every ``orderBy`` write uses; each partition holds a
+   contiguous, disjoint key range.
+2. A window PARTITIONED by ``spark_partition_id()`` ranks within each
+   range partition — parallel, memory-bounded.
+3. Per-partition row counts (one long per partition — O(partitions)
+   driver state, same coordination budget as KMeans/power iteration)
+   turn local ranks into global ranks by prefix-sum offset, joined
+   back as a broadcast.
+
+The rank is exact and boundary-invariant: range boundaries only decide
+WHERE the total order is cut, never the order itself, so sampling
+nondeterminism inside ``repartitionByRange`` cannot change the result
+(requires a total order — pass a unique tie-break column, or equal
+keys get arbitrary but still deterministic-given-partitioning ranks;
+every caller here orders by a key ending in a unique id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out: str = "rn",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Add an exact 1-based global row number under ``order_cols``.
+
+    One range shuffle + one parallel per-partition window + an
+    O(partitions) count collect. Compare: the naive
+    ``row_number().over(Window.orderBy(...))`` is one shuffle to a
+    SINGLE partition and a serial sort of the entire table.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lrn",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+    )
+    # Partition counts: tiny (one row per partition). localCheckpoint
+    # pins the partitioning so the counts and the ranked rows can't
+    # disagree if an upstream recompute re-samples range boundaries.
+    local = local.localCheckpoint(eager=True)
+    counts = {r["__pid"]: r["n"] for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    n_tiles: int,
+    out: str = "bin",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``ntile(n)`` semantics from the scalable global rank.
+
+    Standard ntile: with N rows, the first ``N % n`` tiles get
+    ``N // n + 1`` rows, the rest ``N // n`` — derived arithmetically
+    from the global row number, so this matches the window function
+    bit-for-bit while staying parallel.
+    """
+    rn = "__ntile_rn"
+    ranked = global_row_number(df, order_cols, out=rn, num_ranges=num_ranges)
+    # One count over already-checkpointed rows (cheap); N as a literal
+    # keeps the tile arithmetic a pure projection.
+    n_rows = ranked.count()
+    big = n_rows % n_tiles  # tiles that get one extra row
+    size_big = n_rows // n_tiles + 1
+    size_small = n_rows // n_tiles
+    cutoff = big * size_big  # rows covered by the big tiles
+    r = F.col(rn)
+    bin_col = F.when(
+        F.lit(big > 0) & (r <= F.lit(cutoff)),
+        F.floor((r - 1) / F.lit(max(size_big, 1))) + 1,
+    ).otherwise(
+        F.lit(big) + F.floor((r - 1 - F.lit(cutoff)) / F.lit(max(size_small, 1))) + 1
+    )
+    return ranked.withColumn(out, bin_col.cast("int")).drop(rn)

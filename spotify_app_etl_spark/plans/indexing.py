@@ -457,15 +457,20 @@ def ns_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
+    # limit-first: TakeOrderedAndProject selects the top-depth rows
+    # distributed, so the global rank window only ever sees ≤ depth
+    # rows (ranking the full scored corpus in one window partition was
+    # the naive shape).
     lex = (
         _bm25_scores(docs)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_DEPTH)
         .select(
             "doc_id",
             F.row_number()
             .over(Window.orderBy(F.desc("bm25"), "doc_id"))
             .alias("r_lex"),
         )
-        .filter(F.col("r_lex") <= _RRF_DEPTH)
     )
     sem = (
         cosine_topk_bruteforce(

@@ -177,9 +177,10 @@ def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_curriculum_bins",
-    note="global ntile(10) by (n_chars, doc_id) — range-partition sort "
-    "at scale; emits the per-doc bin plus per-bin stats downstream "
-    "schedulers consume",
+    note="global ntile(10) by (n_chars, doc_id) via operators.rank."
+    "global_ntile — range-repartition + per-range window + "
+    "prefix-sum offsets, NOT a single-partition global window; emits "
+    "the per-doc bin plus per-bin stats downstream schedulers consume",
     oracle="""
 SELECT doc_id, lang, n_chars,
        CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS bin
@@ -188,9 +189,11 @@ FROM documents
     tags=("northstar", "curriculum", "window"),
 )
 def ns_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("n_chars", "doc_id")
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", F.ntile(10).over(w).alias("bin")
+    from spotify_app_etl_spark.operators.rank import global_ntile
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return global_ntile(docs, ["n_chars", "doc_id"], 10, out="bin").select(
+        "doc_id", "lang", "n_chars", "bin"
     )
 
 
@@ -215,7 +218,11 @@ FROM documents
     tags=("northstar", "sampling", "shuffle"),
 )
 def ns_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy(SA.sample_key("doc_id", _SEED_SHUFFLE), "doc_id")
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
+    from spotify_app_etl_spark.operators.rank import global_row_number
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", SA.sample_key("doc_id", _SEED_SHUFFLE).alias("__key")
+    )
+    return global_row_number(docs, ["__key", "doc_id"], out="shuffle_pos").select(
+        "doc_id", F.col("shuffle_pos").cast("bigint").alias("shuffle_pos")
     )

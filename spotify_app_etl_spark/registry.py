@@ -114,6 +114,9 @@ _PRIORITY: tuple[str, ...] = (
     "ns_dedup_source_matrix",
     "ns_split_leakage_safe",
     "q_sql_recursive_cte",
+    "ns_curriculum_bins",
+    "ns_corpus_shuffle",
+    "ns_hybrid_rrf_search",
     # (5) oldest rows (r01, never re-checked since) — hash-checked
     # oracle queries preferred so the window yields strong proof
     "q01_pricing_summary",
@@ -139,14 +142,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_window_moving_avg",
     "q_window_analytic_extras",
     "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_drop_duplicates",
     "q_string_funcs",
     "q_array_funcs",
-    # (r01 scalar-func canaries q_regexp/date/math/conditional/map/
-    # json_funcs rotate into the r05 window — pure expression queries,
-    # lowest drift risk, displaced by this round's edited queries.)
+    # (r01 canaries q_intersect/except/drop_duplicates and
+    # q_regexp/date/math/conditional/map/json_funcs rotate into the
+    # r05 window — pure set-op/expression queries, lowest drift risk,
+    # displaced by this round's edited queries.)
 )
 
 
