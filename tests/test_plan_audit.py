@@ -44,6 +44,19 @@ NLJ_ALLOWED = {
     "ns_dedup_embedding_cosine": 1,  # exact block-matmul baseline
 }
 
+#: A Window fed by an Exchange SinglePartition pulls EVERY row into one
+#: task. Allowed only where a distributed top-k (TakeOrderedAndProject)
+#: bounds the window's input first:
+GLOBAL_WINDOW_ALLOWED = {
+    "ns_hybrid_rrf_search": 1,  # rank over the ≤50-row lexical top-k
+}
+
+#: Window (possibly via AQE's ShuffleQueryStage indirection) whose
+#: child exchange is SinglePartition.
+_GLOBAL_WINDOW_RE = re.compile(
+    r"Window\b[^\n]*\n(?:[^\n]*\n){0,3}?[^\n]*Exchange SinglePartition"
+)
+
 
 @pytest.mark.slow
 def test_no_unbounded_join_strategies(spark):
@@ -55,6 +68,7 @@ def test_no_unbounded_join_strategies(spark):
         plan = plan.split("== Initial Plan ==")[0]
         cart = len(re.findall(r"CartesianProduct", plan))
         nlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+        gwin = len(_GLOBAL_WINDOW_RE.findall(plan))
         release_cached()
         if cart:
             offenders[name] = f"{cart} CartesianProduct"
@@ -62,5 +76,10 @@ def test_no_unbounded_join_strategies(spark):
             offenders[name] = (
                 f"{nlj} BroadcastNestedLoopJoin (allowed "
                 f"{NLJ_ALLOWED.get(name, 0)})"
+            )
+        elif gwin > GLOBAL_WINDOW_ALLOWED.get(name, 0):
+            offenders[name] = (
+                f"{gwin} single-partition global Window (allowed "
+                f"{GLOBAL_WINDOW_ALLOWED.get(name, 0)})"
             )
     assert offenders == {}, offenders
