@@ -117,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "ns_curriculum_bins",
     "ns_corpus_shuffle",
     "ns_hybrid_rrf_search",
+    "ns_dedup_embedding_cosine",
+    "ns_embed_semantic_clusters",
     # (5) oldest rows (r01, never re-checked since) — hash-checked
     # oracle queries preferred so the window yields strong proof
     "q01_pricing_summary",
@@ -138,9 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_range_nonequi",
     "q_topk_per_group",
     "q_window_rank",
-    "q_window_running",
     "q_window_moving_avg",
-    "q_window_analytic_extras",
     "q_union_distinct",
     "q_string_funcs",
     "q_array_funcs",
