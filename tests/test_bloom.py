@@ -81,3 +81,18 @@ def test_empty_build_side_filters_everything(spark):
     build = spark.range(0, 10).select(F.col("id").alias("bk")).filter("bk < 0")
     out = bloom.bloom_prefiltered_join(probe, build, "pk", "bk")
     assert out.count() == 0
+
+
+def test_distributed_build_multi_chunk_merge(spark):
+    """Tiny chunk_bytes forces the filter across many chunks: the
+    chunked OR-merge and reassembly must be byte-identical to the
+    single-chunk build, and sparse partitions must be allowed to skip
+    all-zero chunks."""
+    keys = (np.arange(0, 3000, dtype=np.int64) * 6367) % 899_981
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long").repartition(16)
+    one_blob, k1, m1 = bloom.build_bloom_distributed(df, "k", fpp=0.01)
+    chunked_blob, k2, m2 = bloom.build_bloom_distributed(
+        df, "k", fpp=0.01, chunk_bytes=64
+    )
+    assert (k1, m1) == (k2, m2)
+    assert one_blob == chunked_blob

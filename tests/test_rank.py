@@ -55,3 +55,15 @@ def test_global_row_number_is_parallel(spark):
     # "Window [... ORDER BY ...]" with SinglePartition would show an
     # Exchange SinglePartition feeding it
     assert "SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_global_rank_edge_cases(spark):
+    empty = spark.range(0).select(F.col("id").alias("k"), "id")
+    assert global_row_number(empty, ["k", "id"]).count() == 0
+    assert global_ntile(empty, ["k", "id"], 10).count() == 0
+
+    all_equal = spark.range(100).select(F.lit(1).alias("k"), "id")
+    rns = sorted(
+        r["rn"] for r in global_row_number(all_equal, ["k", "id"]).collect()
+    )
+    assert rns == list(range(1, 101))
