@@ -425,3 +425,149 @@ def cosine_range_search(
         )
         .select(query_id, corpus_id, "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: build the sign-LSH tables once, probe many times.
+# ---------------------------------------------------------------------------
+
+
+def _probe_structs(tables: int, planes: int, multiprobe: bool) -> list[Column]:
+    """Probe (tbl, bkt) structs for a query row holding its bucket array
+    in ``__bks`` — the exact bucket per table plus, with multiprobe, the
+    ``planes`` Hamming-1 neighbors per table."""
+    out: list[Column] = []
+    for tb in range(tables):
+        b0 = F.element_at(F.col("__bks"), tb + 1).cast("int")
+        out.append(F.struct(F.lit(tb).alias("tbl"), b0.alias("bkt")))
+        if multiprobe:
+            for p in range(planes):
+                out.append(
+                    F.struct(
+                        F.lit(tb).alias("tbl"),
+                        b0.bitwiseXOR(F.lit(1 << p)).alias("bkt"),
+                    )
+                )
+    return out
+
+
+def signlsh_index_write(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 7,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the sign-LSH ANN index for a corpus.
+
+    The production retrieval shape at 100 TB: hyperplane signatures are
+    computed ONCE per corpus vector (the Arrow matmul kernel), and two
+    parquet tables persist as the index — ``buckets`` (corpus_id, tbl,
+    bkt; the inverted file) and ``vectors`` (corpus_id, normalized
+    vector + norm; the scoring payload) — plus a 1-row ``meta`` table
+    pinning (planes, tables, seed). Every future query batch probes the
+    stored buckets without touching raw corpus embeddings again;
+    ``mode='append'`` is the ingest path for new corpus batches (the
+    hash family is deterministic per (seed, dim), so appended batches
+    land in compatible buckets). Appending with different params than
+    the stored meta raises — mixed-family buckets silently lose recall.
+    """
+    spark = corpus.sparkSession
+    if mode == "append":
+        try:
+            meta = spark.read.parquet(f"{path}/meta").first()
+        except Exception:
+            meta = None
+        if meta is not None and (
+            (meta["planes"], meta["tables"], meta["seed"]) != (planes, tables, seed)
+        ):
+            raise ValueError(
+                f"index at {path} was built with planes={meta['planes']} "
+                f"tables={meta['tables']} seed={meta['seed']}; refusing to "
+                f"append planes={planes} tables={tables} seed={seed}"
+            )
+    bks = _hyperplane_buckets_arrow(tables, planes, seed)
+    c0 = (
+        corpus.select(
+            F.col(corpus_id).alias("corpus_id"), _as_double(F.col(vec)).alias("v")
+        )
+        .withColumn("__bks", bks(F.col("v")))
+        .withColumn("norm", l2_norm(F.col("v")))
+    )
+    buckets = c0.select(
+        "corpus_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.element_at(F.col("__bks"), t + 1).cast("int").alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("corpus_id", "tb.tbl", "tb.bkt")
+    buckets.write.mode(mode).parquet(f"{path}/buckets")
+    c0.select("corpus_id", "v", "norm").write.mode(mode).parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(planes, tables, seed)], "planes int, tables int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def signlsh_index_search(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    query_id: str = "query_id",
+    vec: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Top-k ANN against a persisted sign-LSH index.
+
+    Hash params come from the index's meta table, so a query batch can
+    never probe with a mismatched family. Plan shape matches the
+    in-memory :func:`cosine_topk_lsh`: broadcast the (small) probe
+    set against the bucket table, dedup candidates, score against the
+    stored normalized vectors, per-query top-k window. The corpus-side
+    cost is ONE scan of the bucket/vector parquet — no re-hashing.
+    """
+    meta = spark.read.parquet(f"{path}/meta").first()
+    planes, tables, seed = meta["planes"], meta["tables"], meta["seed"]
+    buckets = spark.read.parquet(f"{path}/buckets")
+    vectors = spark.read.parquet(f"{path}/vectors")
+
+    bks = _hyperplane_buckets_arrow(tables, planes, seed)
+    q0 = (
+        queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
+        .withColumn("__bks", bks(F.col("__qv")))
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+    )
+    probes = q0.select(
+        query_id,
+        F.explode(
+            F.array_distinct(F.array(*_probe_structs(tables, planes, multiprobe)))
+        ).alias("tb"),
+    ).select(query_id, "tb.tbl", "tb.bkt")
+    candidates = (
+        buckets.join(F.broadcast(probes), ["tbl", "bkt"])
+        .select(query_id, "corpus_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(
+            F.broadcast(q0.select(query_id, "__qv", "__qn")), query_id
+        )
+        .join(vectors, "corpus_id")
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("norm")), 8),
+        )
+        .drop("__qv", "__qn", "v", "norm")
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

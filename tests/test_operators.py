@@ -423,3 +423,58 @@ def test_fan_out_repartitions_single_file_scans(spark, tmp_path):
     many = spark.read.parquet(wide)
     assert len(many.inputFiles()) >= 8
     assert _fan_out(many, 8) is many  # no-op, no shuffle inserted
+
+
+def test_signlsh_persisted_index_matches_in_memory(spark, tmp_path):
+    """Index write → search must return exactly what the in-memory LSH
+    top-k returns for the same (planes, tables, seed) family."""
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import similarity as SM
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "lsh_index")
+    SM.signlsh_index_write(corpus, idx)
+
+    got = sorted(
+        (r.query_id, r.corpus_id, r.cos_sim, r.rank)
+        for r in SM.signlsh_index_search(spark, queries, idx, k=5).collect()
+    )
+    want = sorted(
+        (r.query_id, r.corpus_id, r.cos_sim, r.rank)
+        for r in SM.cosine_topk_lsh(queries, corpus, k=5).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_signlsh_index_append_and_param_guard(spark, tmp_path):
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import similarity as SM
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    batch2 = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    idx = str(tmp_path / "lsh_index")
+    SM.signlsh_index_write(batch1, idx)
+    SM.signlsh_index_write(batch2, idx, mode="append")
+
+    # a query vector FROM batch2 must find itself (cos 1.0, rank 1)
+    probe_id = batch2.select(F.min("corpus_id")).first()[0]
+    queries = emb.filter(F.col("vec_id") == probe_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = SM.signlsh_index_search(spark, queries, idx, k=1).collect()
+    assert top[0].corpus_id == probe_id and top[0].cos_sim == 1.0
+
+    with _pytest.raises(ValueError, match="refusing to append"):
+        SM.signlsh_index_write(batch2, idx, planes=16, mode="append")
