@@ -174,6 +174,67 @@ def _dataset_file_count(spark: SparkSession, path: str, suffix: str = "") -> int
     return sum(1 for p, _ in _hadoop_list_files(spark, path) if p.endswith(suffix))
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_partitions: int = 10,
+    min_files_to_compact: int = 4,
+) -> dict[str, int]:
+    """Compact the most-fragmented partition directories of a
+    hive-partitioned parquet dataset; returns {partition dir: new file
+    count} for the partitions rewritten.
+
+    The bounded form of :func:`compact_parquet` for partitioned
+    layouts: list partition directories via the Hadoop FileSystem API
+    (scheme-agnostic), rank by fragment count, and rewrite only the
+    ``max_partitions`` worst offenders with at least
+    ``min_files_to_compact`` files — at 100 TB compacting the whole
+    table in one job is neither possible nor useful; the hot recent
+    partitions are where streaming/incremental writers shed small
+    files. Each partition is staged fully into a HIDDEN sibling
+    (``.<dir>.compact`` — dot-prefixed paths are invisible to
+    Spark/Hadoop partition discovery, so a crashed run can never leak
+    half-written data into reads), then swapped by delete+rename; a
+    crash between delete and rename loses no data since the staging
+    copy is complete and readable.
+    """
+    from collections import defaultdict
+
+    frag: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    base = path.rstrip("/")
+    for fpath, size in _hadoop_list_files(spark, base):
+        if not fpath.endswith(".parquet"):
+            continue
+        rel = fpath.split(base + "/", 1)[-1]
+        if "/" not in rel:
+            continue  # unpartitioned stray file at the root
+        part_dir = rel.rsplit("/", 1)[0]
+        frag[part_dir].append((fpath, size))
+
+    worst = sorted(frag.items(), key=lambda kv: -len(kv[1]))[:max_partitions]
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    done: dict[str, int] = {}
+    for part_dir, files in worst:
+        if len(files) < min_files_to_compact:
+            continue
+        src = f"{base}/{part_dir}"
+        parent, _, leaf = src.rpartition("/")
+        staging = f"{parent}/.{leaf}.compact"
+        total = sum(sz for _, sz in files)
+        n_files = max(1, -(-total // target_file_bytes))
+        spark.read.parquet(src).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        src_p = jvm.org.apache.hadoop.fs.Path(src)
+        fs = src_p.getFileSystem(hconf)
+        fs.delete(src_p, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), src_p)
+        done[part_dir] = _dataset_file_count(spark, src, suffix=".parquet")
+    return done
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

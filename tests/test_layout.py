@@ -139,3 +139,45 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     # random: each file covers a fraction of the 30-day hour range
     full_hour_span = ev.agg(F.max("hour") - F.min("hour")).first()[0]
     assert mean_file_span(z_path, "hour") < 0.6 * full_hour_span
+
+
+def test_compact_partitioned_most_fragmented_first(spark, tmp_path):
+    """Only the worst-fragmented partitions are rewritten (bounded job),
+    data survives byte-identical, and the partition layout is intact."""
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark.io import compact_partitioned
+
+    path = str(tmp_path / "events_by_day")
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("day"), F.col("id").alias("v")
+    )
+    # day 0: heavily fragmented; day 1: moderately; day 2: already compact
+    df.filter("day = 0").repartition(20).write.partitionBy("day").mode(
+        "append"
+    ).parquet(path)
+    df.filter("day = 1").repartition(6).write.partitionBy("day").mode(
+        "append"
+    ).parquet(path)
+    df.filter("day = 2").repartition(1).write.partitionBy("day").mode(
+        "append"
+    ).parquet(path)
+
+    before = spark.read.parquet(path)
+    before_rows = sorted((r.day, r.v) for r in before.collect())
+
+    done = compact_partitioned(
+        spark, path, target_file_bytes=1 << 30, max_partitions=1
+    )
+    # exactly the single most-fragmented partition compacted, to 1 file
+    assert done == {"day=0": 1}
+
+    after = spark.read.parquet(path)
+    assert sorted((r.day, r.v) for r in after.collect()) == before_rows
+
+    # second pass takes the next offender; day=2 is below the
+    # min-files threshold and is never rewritten
+    done2 = compact_partitioned(
+        spark, path, target_file_bytes=1 << 30, max_partitions=10
+    )
+    assert done2 == {"day=1": 1}
