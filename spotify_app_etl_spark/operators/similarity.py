@@ -571,3 +571,144 @@ def signlsh_index_search(
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF ANN index: centroids + cell assignments.
+
+    IVF is the index family where persistence pays most — the KMeans
+    fit is several corpus passes, so rebuilding it per query batch (as
+    the in-memory :func:`cosine_topk_ivf` must) is exactly what a
+    production pipeline avoids. Stored tables: ``centroids`` (cell id +
+    center vector), ``assigned`` (corpus_id, cell, normalized vector +
+    norm). ``mode='append'`` assigns a NEW corpus batch to the
+    EXISTING centroids (no refit — cells drift only if the data
+    distribution does; periodic full rebuild is the remedy, same as
+    every IVF system) and refuses a cell-count mismatch.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    c_feat = corpus.select(
+        F.col(corpus_id).alias("corpus_id"), _as_double(F.col(vec)).alias("v")
+    ).withColumn("__features", array_to_vector(F.col("v")))
+
+    if mode == "append":
+        stored = spark.read.parquet(f"{path}/centroids").collect()
+        if len(stored) != n_cells:
+            raise ValueError(
+                f"index at {path} has {len(stored)} cells; refusing to "
+                f"append with n_cells={n_cells}"
+            )
+        centers = [list(r["center"]) for r in sorted(stored, key=lambda r: r["cell"])]
+
+        def nearest(v: Column) -> Column:
+            dists = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                v,
+                                F.array(*[F.lit(float(x)) for x in centers[i]]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i in range(len(centers))
+                ]
+            )
+            return F.element_at(F.array_sort(dists), 1)["cell"]
+
+        assigned = c_feat.select(
+            "corpus_id", "v", nearest(F.col("v")).cast("int").alias("cell")
+        )
+    else:
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=8, featuresCol="__features"
+        ).fit(c_feat)
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        spark.createDataFrame(
+            [(i, centers[i]) for i in range(len(centers))],
+            "cell int, center array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        assigned = model.transform(c_feat).select(
+            "corpus_id", "v", F.col("prediction").cast("int").alias("cell")
+        )
+
+    assigned.withColumn("norm", l2_norm(F.col("v"))).select(
+        "corpus_id", "cell", "v", "norm"
+    ).write.mode("append" if mode == "append" else "overwrite").parquet(
+        f"{path}/assigned"
+    )
+
+
+def ivf_index_search(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k ANN against a persisted IVF index.
+
+    Centroids load once (n_cells × dim — literal-sized) and rank cells
+    per query as a pure projection; only the ``n_probe`` nearest
+    cells' stored members are scored. With ``n_probe == n_cells`` the
+    search is exhaustive over the indexed corpus.
+    """
+    stored = spark.read.parquet(f"{path}/centroids").collect()
+    centers = {r["cell"]: list(r["center"]) for r in stored}
+    assigned = spark.read.parquet(f"{path}/assigned")
+
+    q0 = queries.select(
+        F.col(query_id), _as_double(F.col(vec)).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    dist_structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.array(*[F.lit(float(x)) for x in centers[i]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(i).alias("cell"),
+        )
+        for i in sorted(centers)
+    ]
+    q = q0.withColumn(
+        "__cells",
+        F.slice(
+            F.transform(F.array_sort(F.array(*dist_structs)), lambda s: s["cell"]),
+            1,
+            n_probe,
+        ),
+    )
+    probes = q.select(query_id, F.explode("__cells").alias("cell"))
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q0.select(query_id, "__qv", "__qn")), query_id)
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("norm")), 8),
+        )
+        .drop("__qv", "__qn", "v", "norm", "cell")
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("corpus_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

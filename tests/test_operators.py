@@ -478,3 +478,58 @@ def test_signlsh_index_append_and_param_guard(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="refusing to append"):
         SM.signlsh_index_write(batch2, idx, planes=16, mode="append")
+
+
+def test_ivf_persisted_index_matches_in_memory(spark, tmp_path):
+    """Full-probe search over the persisted index must equal brute
+    force exactly (the same guarantee the in-memory IVF asserts)."""
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import similarity as SM
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_index")
+    SM.ivf_index_write(corpus, idx, n_cells=8)
+
+    got = sorted(
+        (r.query_id, r.corpus_id, r.cos_sim, r.rank)
+        for r in SM.ivf_index_search(spark, queries, idx, k=3, n_probe=8).collect()
+    )
+    want = sorted(
+        (r.query_id, r.corpus_id, r.cos_sim, r.rank)
+        for r in SM.cosine_topk_bruteforce(queries, corpus, k=3).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivf_index_append_assigns_to_existing_cells(spark, tmp_path):
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import similarity as SM
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    batch2 = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_index")
+    SM.ivf_index_write(batch1, idx, n_cells=8)
+    SM.ivf_index_write(batch2, idx, n_cells=8, mode="append")
+
+    probe_id = batch2.select(F.min("corpus_id")).first()[0]
+    queries = emb.filter(F.col("vec_id") == probe_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # full probe: the appended vector must find itself at cos 1.0
+    top = SM.ivf_index_search(spark, queries, idx, k=1, n_probe=8).collect()
+    assert top[0].corpus_id == probe_id and top[0].cos_sim == 1.0
+
+    with _pytest.raises(ValueError, match="refusing to append"):
+        SM.ivf_index_write(batch2, idx, n_cells=4, mode="append")
