@@ -371,3 +371,48 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_dedup_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    available_now: bool = False,
+):
+    """Streaming corpus ingest with near-dup filtering against the
+    persisted MinHash index (operators.dedup.minhash_dedup_incremental).
+
+    Each micro-batch dedups against (a) all previously indexed
+    documents and (b) itself, appends the survivors' signatures to the
+    index, and writes the surviving documents to ``out_path`` — the
+    continuous form of the batch ingest pipeline, with the checkpoint
+    providing exactly-once micro-batches. State lives in the index
+    parquet, NOT the streaming state store: the stream restarts cold
+    with full dedup history, and batch jobs share the same index.
+
+    Retry caveat (same as the batch operator): a batch retried AFTER
+    its index append re-appends surviving signatures — duplicate index
+    rows cost extra candidate checks but never change results.
+    """
+    from spotify_app_etl_spark.operators import dedup as DD
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        kept = DD.minhash_dedup_incremental(
+            batch_df, index_path, text_col, id_col, threshold=threshold
+        )
+        kept.write.mode("append").parquet(out_path)
+        DD.release_cached()
+
+    return stream_to_batch_sink(
+        docs_stream,
+        process,
+        checkpoint_dir,
+        output_mode="append",
+        available_now=available_now,
+    )

@@ -337,3 +337,67 @@ def test_transform_with_state_totals(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_ingest_against_persisted_index(spark, tmp_path):
+    """Micro-batches dedup against the persisted MinHash index AND
+    themselves; survivors land in the sink and grow the index so later
+    batches see them."""
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import dedup as DD
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "mh_index")
+    DD.minhash_index_write(docs.filter(F.col("doc_id") < 100), "text", "doc_id", idx)
+
+    # stream source: one parquet file per micro-batch
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch A: 20 novel docs + 10 near-copies of indexed docs
+    novel_a = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    copies = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 50_000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    novel_a.unionByName(copies).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "a.parquet")
+    )
+    # batch B: exact copies of batch A's novel docs (must be caught via
+    # the signatures batch A appended) + 10 genuinely new docs
+    copies_b = novel_a.select((F.col("doc_id") + 60_000).alias("doc_id"), "text")
+    novel_b = docs.filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 130))
+    copies_b.unionByName(novel_b).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    q = jobs.streaming_dedup_ingest(
+        stream,
+        idx,
+        str(tmp_path / "kept"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
+    # novel docs survive (tolerate a few organic near-dups in the corpus)
+    assert sum(1 for i in range(100, 120) if i in kept) >= 18
+    assert sum(1 for i in range(120, 130) if i in kept) >= 8
+    # near-copies of the pre-indexed docs are dropped
+    assert sum(1 for i in range(50_000, 50_010) if i in kept) <= 1
+    # exact copies of batch A's survivors are dropped via the appended index
+    assert sum(1 for i in range(60_100, 60_120) if i in kept) <= 1
+    # index grew beyond the initial 100 signatures
+    assert spark.read.parquet(idx).count() >= 100 + len(kept)
