@@ -238,6 +238,7 @@ def minhash_candidates(
     impl: str = "arrow",
     parallelism: int | None = None,
     shingle_k: int = 9,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash.
 
@@ -247,6 +248,17 @@ def minhash_candidates(
     estimate Jaccard as the fraction of agreeing signature slots.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and
     est_jaccard ≥ threshold.
+
+    ``max_bucket_size`` is the 100 TB safety valve: a boilerplate-heavy
+    corpus puts millions of near-identical docs into ONE band bucket,
+    and the within-bucket self-join is O(B²) per bucket — a single
+    degenerate bucket kills the job. With a cap, buckets above it are
+    EXCLUDED from pair generation (one cheap count over the banded
+    stream first). Recall note: members of a dropped bucket usually
+    still pair through their other ``bands - 1`` buckets; mass-identical
+    content should be removed by :func:`exact_dedup` BEFORE LSH — that
+    is the documented order of operations. Default None preserves exact
+    candidate semantics for the oracle-checked queries.
     """
     rows_per_band = num_hashes // bands
     # __norm is projected first so downstream shingle logic reads a
@@ -318,6 +330,20 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bh")
+    if max_bucket_size is not None:
+        # Window over the (band, bh) key: per-bucket member count
+        # computed in the same shuffle the bucket join needs anyway;
+        # buckets over the cap never enter the self-join.
+        from pyspark.sql import Window as _W
+
+        banded = (
+            banded.withColumn(
+                "__bsz",
+                F.count(F.lit(1)).over(_W.partitionBy("band", "bh")),
+            )
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     pairs = (
         banded.alias("a")
         .join(

@@ -533,3 +533,48 @@ def test_ivf_index_append_assigns_to_existing_cells(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="refusing to append"):
         SM.ivf_index_write(batch2, idx, n_cells=4, mode="append")
+
+
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    """A planted mass-duplicate document family creates one giant LSH
+    bucket per band; with max_bucket_size the O(B^2) self-join never
+    sees it, while ordinary near-dup pairs are unaffected."""
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import dedup as DD
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 100)
+    # 200 exact copies of one boilerplate string -> every band bucket
+    # for that text has 200 members
+    boiler = spark.range(200).select(
+        (F.col("id") + 900_000).alias("doc_id"),
+        F.lit("same boilerplate navigation footer text " * 10).alias("text"),
+    )
+    corpus = docs.unionByName(boiler)
+
+    uncapped = DD.minhash_candidates(corpus, "text", "doc_id", threshold=0.5)
+    n_unc = uncapped.count()
+    DD.release_cached()
+    capped = DD.minhash_candidates(
+        corpus, "text", "doc_id", threshold=0.5, max_bucket_size=50
+    )
+    rows = capped.collect()
+    DD.release_cached()
+
+    boiler_pairs = sum(1 for r in rows if r.id_a >= 900_000 and r.id_b >= 900_000)
+    assert boiler_pairs == 0  # the degenerate family never enters the join
+    # the 200-copy family alone contributes C(200,2)=19900 pairs uncapped
+    assert n_unc >= 19_900
+    # organic pairs among the real docs are preserved
+    organic_unc = {
+        (r.id_a, r.id_b)
+        for r in uncapped.collect()
+        if r.id_a < 900_000 and r.id_b < 900_000
+    }
+    organic_cap = {
+        (r.id_a, r.id_b) for r in rows if r.id_a < 900_000 and r.id_b < 900_000
+    }
+    assert organic_cap == organic_unc
