@@ -61,6 +61,26 @@ def _fan_out(base: DataFrame, want: int) -> DataFrame:
     return base
 
 
+def _cap_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` before a
+    within-bucket self-join (None = keep all). The per-bucket count
+    rides the same shuffle the join needs; see minhash_candidates'
+    docstring for the recall reasoning."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window as _W
+
+    return (
+        banded.withColumn(
+            "__bsz", F.count(F.lit(1)).over(_W.partitionBy(*key_cols))
+        )
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def release_cached() -> None:
     """Unpersist every signature/gram table cached by dedup operators.
 
@@ -330,20 +350,7 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bh")
-    if max_bucket_size is not None:
-        # Window over the (band, bh) key: per-bucket member count
-        # computed in the same shuffle the bucket join needs anyway;
-        # buckets over the cap never enter the self-join.
-        from pyspark.sql import Window as _W
-
-        banded = (
-            banded.withColumn(
-                "__bsz",
-                F.count(F.lit(1)).over(_W.partitionBy("band", "bh")),
-            )
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     pairs = (
         banded.alias("a")
         .join(
@@ -456,13 +463,21 @@ def _simhash_arrow_udf(bits: int = 64):
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3, impl: str = "arrow"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    impl: str = "arrow",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Banding: with 4 bands of 16 bits, any pair at Hamming ≤ 3 agrees
     exactly on ≥ 1 band (pigeonhole) → bucket join on (band, 16-bit
     chunk) finds ALL such pairs; exact distance then filters.
+    ``max_bucket_size`` caps degenerate buckets exactly as in
+    :func:`minhash_candidates` (opt-in; breaks the ≤3-completeness
+    guarantee only for members of dropped buckets).
     """
     # persist: the signature expression would otherwise be inlined
     # into all 4 chunk expressions and both self-join sides
@@ -499,6 +514,7 @@ def simhash_candidates(
             )
         ).alias("bc"),
     ).select("__id", "__sim", "bc.band", "bc.chunk")
+    chunks = _cap_buckets(chunks, ["band", "chunk"], max_bucket_size)
     return (
         chunks.alias("a")
         .join(
@@ -630,6 +646,7 @@ def embedding_cosine_pairs_lsh(
     threshold: float = 0.95,
     planes: int = 8,
     tables: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold, confined to sign-LSH buckets.
 
@@ -672,6 +689,7 @@ def embedding_cosine_pairs_lsh(
             )
         ).alias("tb"),
     ).select("__id", "tb.tbl", "tb.bkt")
+    idx = _cap_buckets(idx, ["tbl", "bkt"], max_bucket_size)
     cand = (
         idx.alias("a")
         .join(
