@@ -2,10 +2,10 @@
 # its ETL script on python:3.9-slim — /root/reference/Dockerfile:1-22).
 #
 # Spark needs a JVM, so the base is a JRE image with Python installed
-# rather than python-slim with a JRE bolted on. The image runs the test
-# suite at build time only if BUILD_TEST=1 (tests need the generated
-# parquet testdata mounted at /testdata — see TESTDATA.md), and launches
-# the smoke entry by default.
+# rather than python-slim with a JRE bolted on. Tests are NOT run at
+# build time (they need the generated parquet testdata mounted at
+# /testdata — see TESTDATA.md); run them by overriding the CMD as shown
+# under Verify below. The image launches the smoke entry by default.
 #
 # Build:   docker build -t spotify-app-etl-spark .
 # Run:     docker run -v /path/to/testdata:/testdata \

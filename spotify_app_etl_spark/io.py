@@ -194,15 +194,47 @@ def compact_partitioned(
     partitions are where streaming/incremental writers shed small
     files. Each partition is staged fully into a HIDDEN sibling
     (``.<dir>.compact`` — dot-prefixed paths are invisible to
-    Spark/Hadoop partition discovery, so a crashed run can never leak
-    half-written data into reads), then swapped by delete+rename; a
-    crash between delete and rename loses no data since the staging
-    copy is complete and readable.
+    Spark/Hadoop partition discovery, so a crashed STAGING write never
+    leaks half-written data into reads), then swapped by
+    delete+rename.
+
+    Swap semantics, honestly stated: the swap itself is NOT atomic for
+    readers. Between delete and rename the partition is briefly absent
+    (a concurrent aggregate silently misses it), and on object stores
+    (s3a) rename is a per-file copy, so a crash mid-rename leaves a
+    partial live partition. Run it when the partition has no
+    concurrent readers (the hot-partition compaction it targets runs
+    in the ingest pipeline's own maintenance step), or on a table
+    format with atomic commits. No bytes are ever lost: the staging
+    copy is complete before anything is deleted, and a crashed swap is
+    resumed on the next invocation (staging present + live dir missing
+    → promote staging before rescanning).
     """
     from collections import defaultdict
 
-    frag: dict[str, list[tuple[str, int]]] = defaultdict(list)
+    jvm0 = spark.sparkContext._jvm
+    hconf0 = spark.sparkContext._jsc.hadoopConfiguration()
     base = path.rstrip("/")
+
+    # Crash recovery BEFORE rescanning: a previous run that died
+    # between delete and rename left `.{leaf}.compact` staged and the
+    # live dir missing — promote the complete staging copy first.
+    for fpath, _ in _hadoop_list_files(spark, base):
+        rel = fpath.split(base + "/", 1)[-1]
+        for seg_idx, seg in enumerate(rel.split("/")):
+            if seg.startswith(".") and seg.endswith(".compact"):
+                staged_rel = "/".join(rel.split("/")[: seg_idx + 1])
+                live_rel = staged_rel.rsplit("/", 1)[-1][1 : -len(".compact")]
+                live_parent = staged_rel.rsplit("/", 1)[0] if "/" in staged_rel else ""
+                live = f"{base}/{live_parent}/{live_rel}".replace("//", "/")
+                staged_p = jvm0.org.apache.hadoop.fs.Path(f"{base}/{staged_rel}")
+                live_p = jvm0.org.apache.hadoop.fs.Path(live)
+                fs0 = staged_p.getFileSystem(hconf0)
+                if not fs0.exists(live_p):
+                    fs0.rename(staged_p, live_p)
+                break
+
+    frag: dict[str, list[tuple[str, int]]] = defaultdict(list)
     for fpath, size in _hadoop_list_files(spark, base):
         if not fpath.endswith(".parquet"):
             continue
@@ -210,6 +242,8 @@ def compact_partitioned(
         if "/" not in rel:
             continue  # unpartitioned stray file at the root
         part_dir = rel.rsplit("/", 1)[0]
+        if any(seg.startswith(".") for seg in part_dir.split("/")):
+            continue  # leftover staging from a crash AFTER rename raced
         frag[part_dir].append((fpath, size))
 
     worst = sorted(frag.items(), key=lambda kv: -len(kv[1]))[:max_partitions]

@@ -577,7 +577,12 @@ def embedding_cosine_pairs(
     if blocks is None:
         n = side.count()
         par = df.sparkSession.sparkContext.defaultParallelism
-        by_cores = math.ceil((math.isqrt(8 * par + 1) - 1) / 2)  # b(b+1)/2 >= par
+        # smallest b with b(b+1)/2 >= par; isqrt FLOORS, so bump once
+        # if the floored estimate undershoots (par=4 or 16 otherwise
+        # leaves a core idle for the whole kernel)
+        by_cores = max(1, math.ceil((math.isqrt(8 * par + 1) - 1) / 2))
+        if by_cores * (by_cores + 1) // 2 < par:
+            by_cores += 1
         by_memory = math.ceil(n / 10_000)
         blocks = max(1, min(max(by_cores, by_memory), 256))
     side = side.withColumn("__b", F.pmod(F.xxhash64("__id"), F.lit(blocks)))

@@ -477,9 +477,15 @@ def signlsh_index_write(
     """
     spark = corpus.sparkSession
     if mode == "append":
+        from pyspark.errors import AnalysisException
+
         try:
             meta = spark.read.parquet(f"{path}/meta").first()
-        except Exception:
+        except AnalysisException:
+            # missing index → first write; any OTHER failure (IO,
+            # permissions, corrupt footer) must propagate — swallowing
+            # it would skip the param guard and then overwrite meta,
+            # silently mixing hash families
             meta = None
         if meta is not None and (
             (meta["planes"], meta["tables"], meta["seed"]) != (planes, tables, seed)

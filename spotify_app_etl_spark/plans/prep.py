@@ -143,6 +143,11 @@ def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggs; the min_doc_freq=2 threshold is what makes the unique-gram
     # complement trick exact. Fan-out first: one parquet file -> one
     # task for the tokenize+explode otherwise.
+    # The complement trick below attributes each below-threshold gram
+    # to its single owner via min(doc_id) — exact ONLY because
+    # doc_freq < 2 implies exactly one owner. Raising the constant
+    # without generalizing this would silently undercount.
+    assert _MIN_DOC_FREQ == 2, "unique-gram complement requires _MIN_DOC_FREQ == 2"
     docs = _fan_out(
         t(spark, sf_dir, "documents").select("doc_id", "text"),
         spark.sparkContext.defaultParallelism,

@@ -153,6 +153,11 @@ def fetch_paginated_many(
 
     ``starts`` maps name → (start url, max_pages); returns name →
     items. Exceptions propagate from whichever chain failed.
+
+    PRECONDITION: ``transport`` is called concurrently from these
+    threads and must be thread-safe (the mock transport locks its
+    request counter; an HTTP transport must not share one
+    non-thread-safe session object across chains).
     """
     from concurrent.futures import ThreadPoolExecutor
 

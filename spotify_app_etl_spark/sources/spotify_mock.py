@@ -59,10 +59,17 @@ class MockSpotifyTransport:
     """
 
     def __init__(self, sf_dir: str, throttle_every: int | None = 7):
+        import threading
+
         self.sf_dir = sf_dir
         self.throttle_every = throttle_every
         self._cache = _PROCESS_CACHE.setdefault(sf_dir, {})
         self._requests = 0
+        # fetch_paginated_many drives one shared transport from several
+        # driver threads: the request counter and lazy cache builds
+        # must not race (unsynchronized += lost updates made the
+        # throttle cadence nondeterministic under concurrency)
+        self._lock = threading.Lock()
 
     def __getstate__(self):
         return {"sf_dir": self.sf_dir, "throttle_every": self.throttle_every}
@@ -71,6 +78,12 @@ class MockSpotifyTransport:
         self.__init__(**state)
 
     # -- duckdb helpers ----------------------------------------------------
+    # Thread-safety note: each _sql call opens its own duckdb
+    # connection, and the lazy _cache builders are idempotent (same
+    # deterministic rows), so a first-call race between driver threads
+    # at worst duplicates one scan; dict assignment is atomic in
+    # CPython. The request counter is the only mutation that must not
+    # race (lock in __call__).
 
     def _sql(self, sql: str) -> list[tuple]:
         import duckdb
@@ -197,8 +210,12 @@ class MockSpotifyTransport:
     # -- request handling --------------------------------------------------
 
     def __call__(self, url: str) -> dict:
-        self._requests += 1
-        if self.throttle_every and self._requests % self.throttle_every == 0:
+        with self._lock:
+            self._requests += 1
+            throttled = (
+                self.throttle_every and self._requests % self.throttle_every == 0
+            )
+        if throttled:
             return {"status": 429, "retry_after": 0.0}
 
         parsed = urlparse(url)

@@ -387,26 +387,40 @@ def streaming_dedup_ingest(
     persisted MinHash index (operators.dedup.minhash_dedup_incremental).
 
     Each micro-batch dedups against (a) all previously indexed
-    documents and (b) itself, appends the survivors' signatures to the
-    index, and writes the surviving documents to ``out_path`` — the
-    continuous form of the batch ingest pipeline, with the checkpoint
-    providing exactly-once micro-batches. State lives in the index
-    parquet, NOT the streaming state store: the stream restarts cold
-    with full dedup history, and batch jobs share the same index.
+    documents and (b) itself, writes the surviving documents to
+    ``out_path``, and only THEN appends the survivors' signatures to
+    the index. State lives in the index parquet, NOT the streaming
+    state store: the stream restarts cold with full dedup history, and
+    batch jobs share the same index.
 
-    Retry caveat (same as the batch operator): a batch retried AFTER
-    its index append re-appends surviving signatures — duplicate index
-    rows cost extra candidate checks but never change results.
+    Ordering is load-bearing for retries: if the index append ran
+    FIRST and the sink write failed, the re-run would find every
+    surviving doc self-matching its own just-appended signature
+    (est_jaccard = 1.0), drop the entire batch, and the documents
+    would be lost permanently. Sink-before-index makes a retry after a
+    mid-batch crash converge to the right END state instead; the
+    residual risks are duplicate sink rows (crash between sink write
+    and index append — the standard foreachBatch caveat; key the sink
+    on batch_id for exactly-once) and duplicate index signatures
+    (extra candidate checks, never wrong results).
     """
     from spotify_app_etl_spark.operators import dedup as DD
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
+        # localCheckpoint: `kept` feeds the sink write AND the index
+        # append; pinning it also guarantees both see identical rows.
         kept = DD.minhash_dedup_incremental(
-            batch_df, index_path, text_col, id_col, threshold=threshold
-        )
+            batch_df,
+            index_path,
+            text_col,
+            id_col,
+            threshold=threshold,
+            update_index=False,
+        ).localCheckpoint(eager=True)
         kept.write.mode("append").parquet(out_path)
+        DD.minhash_index_write(kept, text_col, id_col, index_path, mode="append")
         DD.release_cached()
 
     return stream_to_batch_sink(

@@ -181,3 +181,29 @@ def test_compact_partitioned_most_fragmented_first(spark, tmp_path):
         spark, path, target_file_bytes=1 << 30, max_partitions=10
     )
     assert done2 == {"day=1": 1}
+
+
+def test_compact_partitioned_resumes_crashed_swap(spark, tmp_path):
+    """Staging present + live dir missing (a crash between delete and
+    rename) must be promoted on the next invocation before rescanning."""
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark.io import compact_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 200).select((F.col("id") % 2).alias("day"), F.col("id").alias("v"))
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+    rows_before = sorted((r.day, r.v) for r in spark.read.parquet(path).collect())
+
+    # simulate the crash window: day=0 fully staged, live dir deleted
+    import shutil
+
+    spark.read.parquet(f"{path}/day=0").coalesce(1).write.parquet(
+        f"{path}/.day=0.compact"
+    )
+    shutil.rmtree(f"{path}/day=0")
+
+    compact_partitioned(spark, path, target_file_bytes=1 << 30, max_partitions=0)
+    assert sorted(
+        (r.day, r.v) for r in spark.read.parquet(path).collect()
+    ) == rows_before

@@ -13,6 +13,7 @@ import os
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
+import pytest
 
 from spotify_app_etl_spark.io import load_table
 from spotify_app_etl_spark.registry import load_all
@@ -79,13 +80,23 @@ def test_hll_merge_error_bound(spark):
         assert abs(approx[month] - n) <= max(0.02 * n, 2), (month, approx[month], n)
 
 
+@pytest.mark.slow
 def test_registered_queries_emit_scalar_columns_only(spark):
     """Driver contract: no registered query may output array/map/struct
-    columns — the driver's pandas canonicalizer crashes on them."""
+    columns — the driver's pandas canonicalizer crashes on them.
+
+    Building every query plan executes driver actions for the
+    iterative operators (CC fixpoint, power iteration, KMeans), so
+    this is a full-surface sweep — marked slow, and caches released
+    per query so 153 plans don't accumulate storage in one session.
+    """
+    from spotify_app_etl_spark.operators.dedup import release_cached
+
     offenders = {}
     for name, q in load_all().items():
         df = q.fn(spark, SF)
         bad = _no_complex_columns(df)
+        release_cached()
         if bad:
             offenders[name] = bad
     assert offenders == {}
