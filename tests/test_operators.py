@@ -578,3 +578,33 @@ def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
         (r.id_a, r.id_b) for r in rows if r.id_a < 900_000 and r.id_b < 900_000
     }
     assert organic_cap == organic_unc
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer et al.'s core guarantee: any shared substring of
+    length >= k + window - 1 (= 11 here) yields at least one shared
+    fingerprint — checked across 30 planted pairs whose only overlap
+    is the shared passage."""
+    import random
+
+    from spotify_app_etl_spark.functions.text import winnowing_fingerprints
+
+    rng = random.Random(42)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+
+    def noise(n):
+        return "".join(rng.choice(letters) for _ in range(n))
+
+    rows = []
+    for i in range(30):
+        shared = noise(rng.randint(11, 40))  # >= k + window - 1
+        rows.append((2 * i, f"{noise(60)} {shared} {noise(60)}"))
+        rows.append((2 * i + 1, f"{noise(80)} {shared} {noise(30)}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = winnowing_fingerprints(df, "text", "doc_id", k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for i in range(30):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fingerprint"
