@@ -214,7 +214,9 @@ def perceptual_hashes(mm: DataFrame) -> DataFrame:
     return mm.select("doc_id", "payload").mapInPandas(run, schema="doc_id long, phash long")
 
 
-def phash_near_dup_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
+def phash_near_dup_pairs(
+    mm: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-dup payload pairs at Hamming(phash) ≤ max_hamming.
 
     Same pigeonhole banding as SimHash (operators/dedup.py), but the
@@ -226,6 +228,13 @@ def phash_near_dup_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
     One shuffle on (band, chunk). Radius is capped at 15 (16 bands of
     ≥4 bits) — beyond that the buckets are too coarse to prune and the
     caller wants a different algorithm, so we fail loudly.
+
+    ``max_bucket_size`` is the same 100 TB safety valve as the MinHash/
+    SimHash/embedding-LSH candidate joins (operators/dedup.py
+    ``_cap_buckets``): N copies of one thumbnail share every band
+    bucket, and the self-join emits ~N²/2 rows per band. Capping trades
+    recall INSIDE oversized buckets for a bound on join fan-out; None
+    (default) keeps exact recall.
     """
     if not 0 <= max_hamming <= 15:
         raise ValueError(
@@ -262,6 +271,9 @@ def phash_near_dup_pairs(mm: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("bc"),
     ).select("doc_id", "phash", "bc.band", "bc.chunk")
+    from spotify_app_etl_spark.operators.dedup import _cap_buckets
+
+    chunks = _cap_buckets(chunks, ["band", "chunk"], max_bucket_size)
     return (
         chunks.alias("a")
         .join(

@@ -214,7 +214,18 @@ def compact_partitioned(
 
     jvm0 = spark.sparkContext._jvm
     hconf0 = spark.sparkContext._jsc.hadoopConfiguration()
-    base = path.rstrip("/")
+    hpath = jvm0.org.apache.hadoop.fs.Path
+    # Qualify the base through the target FileSystem so it carries the
+    # SAME scheme://authority form `fs.listFiles` statuses do — relative
+    # paths then strip cleanly by prefix. String-splitting on the raw
+    # caller path breaks whenever qualification differs ("/tmp/t" vs
+    # "file:/tmp/t", "hdfs://nn/p" vs "hdfs://nn:8020/p"), and any
+    # `"//" → "/"` cleanup would destroy the URI authority
+    # ("s3a://bucket" → "s3a:/bucket") — so all path construction below
+    # goes through Hadoop Path objects, never string surgery.
+    fs0 = hpath(path).getFileSystem(hconf0)
+    base_p = fs0.makeQualified(hpath(path))
+    base = base_p.toString().rstrip("/")
 
     # Crash recovery BEFORE rescanning: a previous run that died
     # between delete and rename left `.{leaf}.compact` staged and the
@@ -224,12 +235,9 @@ def compact_partitioned(
         for seg_idx, seg in enumerate(rel.split("/")):
             if seg.startswith(".") and seg.endswith(".compact"):
                 staged_rel = "/".join(rel.split("/")[: seg_idx + 1])
-                live_rel = staged_rel.rsplit("/", 1)[-1][1 : -len(".compact")]
-                live_parent = staged_rel.rsplit("/", 1)[0] if "/" in staged_rel else ""
-                live = f"{base}/{live_parent}/{live_rel}".replace("//", "/")
-                staged_p = jvm0.org.apache.hadoop.fs.Path(f"{base}/{staged_rel}")
-                live_p = jvm0.org.apache.hadoop.fs.Path(live)
-                fs0 = staged_p.getFileSystem(hconf0)
+                live_leaf = seg[1 : -len(".compact")]
+                staged_p = hpath(base_p, staged_rel)
+                live_p = hpath(staged_p.getParent(), live_leaf)
                 if not fs0.exists(live_p):
                     fs0.rename(staged_p, live_p)
                 break
@@ -247,25 +255,22 @@ def compact_partitioned(
         frag[part_dir].append((fpath, size))
 
     worst = sorted(frag.items(), key=lambda kv: -len(kv[1]))[:max_partitions]
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
     done: dict[str, int] = {}
     for part_dir, files in worst:
         if len(files) < min_files_to_compact:
             continue
-        src = f"{base}/{part_dir}"
-        parent, _, leaf = src.rpartition("/")
-        staging = f"{parent}/.{leaf}.compact"
+        src_p = hpath(base_p, part_dir)
+        staging_p = hpath(src_p.getParent(), f".{src_p.getName()}.compact")
         total = sum(sz for _, sz in files)
         n_files = max(1, -(-total // target_file_bytes))
-        spark.read.parquet(src).repartition(n_files).write.mode(
+        spark.read.parquet(src_p.toString()).repartition(n_files).write.mode(
             "overwrite"
-        ).parquet(staging)
-        src_p = jvm.org.apache.hadoop.fs.Path(src)
-        fs = src_p.getFileSystem(hconf)
-        fs.delete(src_p, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), src_p)
-        done[part_dir] = _dataset_file_count(spark, src, suffix=".parquet")
+        ).parquet(staging_p.toString())
+        fs0.delete(src_p, True)
+        fs0.rename(staging_p, src_p)
+        done[part_dir] = _dataset_file_count(
+            spark, src_p.toString(), suffix=".parquet"
+        )
     return done
 
 

@@ -160,9 +160,20 @@ def might_contain(df: DataFrame, key_col: str | Column, bloom: tuple[bytes, int,
     @pandas_udf("boolean")
     def probe(keys: pd.Series) -> pd.Series:
         bits = bc.value
-        pos = _positions(keys.to_numpy(dtype=np.int64), n_hashes, m_bits)
-        hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-        return pd.Series(hit.all(axis=1))
+        # NULL keys: equality never matches, so "might contain" is
+        # False — and they must not reach the int64 conversion (Arrow
+        # hands NULL-bearing int columns over as float64 with NaN,
+        # which to_numpy(dtype=int64) rejects with a task-killing
+        # ValueError).
+        valid = keys.notna().to_numpy()
+        out = np.zeros(len(keys), dtype=bool)
+        if valid.any():
+            pos = _positions(
+                keys[valid].to_numpy(dtype=np.int64), n_hashes, m_bits
+            )
+            hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+            out[valid] = hit.all(axis=1)
+        return pd.Series(out)
 
     key_col = F.col(key_col) if isinstance(key_col, str) else key_col
     return probe(key_col)
@@ -183,7 +194,18 @@ def bloom_prefiltered_join(
     only the final bitset, which is what gets broadcast to the probe
     scan. The join itself still executes, so Bloom false positives
     never reach the output: results are exactly ``probe ⋈ build``.
+
+    Only probe-discarding join types are allowed: the prefilter drops
+    probe rows that cannot match, which a probe-preserving join
+    (``left``/``full``) is required to KEEP — silently losing them is
+    a wrong answer, so those types are rejected loudly.
     """
+    if how.replace("_", "").lower() not in ("inner", "semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefiltered_join(how={how!r}): a Bloom prefilter is "
+            "only sound for probe-discarding joins (inner/semi); a "
+            "probe-preserving join must keep non-matching probe rows"
+        )
     bloom = build_bloom_distributed(build, build_key, fpp=fpp)
     pruned = probe.filter(might_contain(probe, probe_key, bloom))
     return pruned.join(build, on=pruned[probe_key] == build[build_key], how=how)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 # ---------------------------------------------------------------------------
 # Scoped persist: the signature/gram tables below are cached because
@@ -920,7 +920,80 @@ def minhash_dedup_incremental(
     Hash parameters must equal the index's build parameters — at scale
     store them beside the index and validate at read (here documented;
     the signature LENGTH mismatch fails loudly in the band substring).
+
+    Cold start: a missing/empty ``index_path`` is treated as an empty
+    index (within-batch dedup only) and, under ``update_index``, the
+    first batch's surviving signatures bootstrap it — a fresh
+    deployment must not crash on batch 0.
     """
+    kept, kept_sig = _minhash_dedup_incremental_core(
+        new_docs, index_path, text_col, id_col, num_hashes, bands,
+        threshold, shingle_k,
+    )
+    if update_index:
+        # NOTE: the append is NOT idempotent — retrying a failed batch
+        # appends its surviving signatures again. At scale, write each
+        # batch to a staging subdirectory keyed by a batch id (or use a
+        # table format with atomic commits) and promote once; dup
+        # signatures only cost extra candidate checks, never wrong
+        # results, so the simple append is the registered default.
+        kept_sig.write.mode("append").parquet(index_path)
+    return kept
+
+
+def minhash_dedup_incremental_with_sigs(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle_k: int = 9,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`minhash_dedup_incremental` variant returning
+    ``(kept, kept_sig)`` WITHOUT appending to the index.
+
+    For callers that need sink-before-index ordering (the streaming
+    ingest): the survivors' signatures were already computed for the
+    dedup itself, so handing them back lets the caller append them
+    after its sink write instead of re-running the shingling/MinHash
+    Arrow kernel over the surviving text — the dominant per-batch cost,
+    paid once instead of twice. ``kept_sig`` rides on the scoped
+    signature persist; append it before :func:`release_cached`.
+    """
+    return _minhash_dedup_incremental_core(
+        new_docs, index_path, text_col, id_col, num_hashes, bands,
+        threshold, shingle_k,
+    )
+
+
+def _index_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic existence check via the Hadoop FileSystem API."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        return False
+    # an empty directory (e.g. a touched prefix) is still "no index"
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
+def _minhash_dedup_incremental_core(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
     spark = new_docs.sparkSession
     rows_per_band = num_hashes // bands
     band_of = lambda b: F.substring(  # noqa: E731
@@ -953,7 +1026,8 @@ def minhash_dedup_incremental(
         )
     )
     new_sig.count()
-    index_sig = spark.read.parquet(index_path)
+    have_index = _index_exists(spark, index_path)
+    index_sig = spark.read.parquet(index_path) if have_index else None
 
     slot_eq = lambda x, y: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -968,22 +1042,30 @@ def minhash_dedup_incremental(
             / F.lit(float(num_hashes)),
         ).filter(F.col("est_jaccard") >= threshold)
 
-    # vs index: every (new, indexed) bucket collision, est-verified
-    vs_index = (
-        banded(new_sig)
-        .alias("n")
-        .join(
-            banded(index_sig).alias("i"),
-            (F.col("n.band") == F.col("i.band")) & (F.col("n.bh") == F.col("i.bh")),
+    # vs index: every (new, indexed) bucket collision, est-verified.
+    # No index yet (fresh deployment, batch 0) → nothing to collide
+    # with; the within-batch pass below still runs.
+    if have_index:
+        vs_index = (
+            banded(new_sig)
+            .alias("n")
+            .join(
+                banded(index_sig).alias("i"),
+                (F.col("n.band") == F.col("i.band"))
+                & (F.col("n.bh") == F.col("i.bh")),
+            )
+            .select(
+                F.col("n.__id").alias("new_id"),
+                F.col("n.__sig").alias("sig_a"),
+                F.col("i.__sig").alias("sig_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("n.__id").alias("new_id"),
-            F.col("n.__sig").alias("sig_a"),
-            F.col("i.__sig").alias("sig_b"),
+        dup_vs_index = (
+            est_filter(vs_index).select(F.col("new_id").alias("__id")).distinct()
         )
-        .distinct()
-    )
-    dup_vs_index = est_filter(vs_index).select(F.col("new_id").alias("__id")).distinct()
+    else:
+        dup_vs_index = new_sig.select("__id").limit(0)
 
     # within-batch: standard LSH pairs, drop the higher id of each pair
     nb = banded(new_sig)
@@ -1015,15 +1097,5 @@ def minhash_dedup_incremental(
     kept = new_docs.join(
         drop.withColumnRenamed("__id", id_col), id_col, "left_anti"
     )
-    if update_index:
-        # NOTE: the append is NOT idempotent — retrying a failed batch
-        # appends its surviving signatures again. At scale, write each
-        # batch to a staging subdirectory keyed by a batch id (or use a
-        # table format with atomic commits) and promote once; dup
-        # signatures only cost extra candidate checks, never wrong
-        # results, so the simple append is the registered default.
-        kept_sig = new_sig.join(
-            drop, "__id", "left_anti"
-        ).select("__id", "__sig")
-        kept_sig.write.mode("append").parquet(index_path)
-    return kept
+    kept_sig = new_sig.join(drop, "__id", "left_anti").select("__id", "__sig")
+    return kept, kept_sig

@@ -52,10 +52,23 @@ def global_row_number(
         "__lrn",
         F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
     )
-    # Partition counts: tiny (one row per partition). localCheckpoint
-    # pins the partitioning so the counts and the ranked rows can't
-    # disagree if an upstream recompute re-samples range boundaries.
-    local = local.localCheckpoint(eager=True)
+    # Two consumers read `local` (the counts action below and the
+    # returned plan), and both must see the SAME range boundaries.
+    # persist — not localCheckpoint — pins that: the counts action
+    # materializes every partition, the final join reads the cached
+    # blocks, and lineage survives, so a lost executor recomputes its
+    # partitions instead of killing the job (checkpoint severs lineage
+    # and makes any block loss fatal). The default DataFrame level
+    # spills oversized partitions to disk rather than OOMing; the
+    # storage bill is the ranked table either way — the price of
+    # consistency, paid in evictable cache instead of mandatory
+    # checkpoint blocks. (RangePartitioner samples with per-partition
+    # fixed seeds, so even a recompute of a lost block re-derives
+    # identical boundaries for deterministic input.) Registered with
+    # the session-wide scoped-cache list so release_cached() frees it.
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    local = _scoped_persist(local)
     counts = {r["__pid"]: r["n"] for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

@@ -517,8 +517,17 @@ def signlsh_index_write(
             )
         ).alias("tb"),
     ).select("corpus_id", "tb.tbl", "tb.bkt")
-    buckets.write.mode(mode).parquet(f"{path}/buckets")
+    # Write order is the commit protocol: vectors FIRST, buckets LAST.
+    # The two writes are separate parquet commits (nothing atomic spans
+    # them), and a doc is only reachable through its bucket rows — so
+    # buckets-last means a crash between the writes leaves orphan
+    # VECTOR rows (unreachable, storage-only waste) instead of bucket
+    # rows pointing at nothing (docs silently unsearchable forever).
+    # A retried append then re-writes both; the duplicate rows it
+    # leaves are absorbed by the search-side candidate dedup, so
+    # retries converge instead of corrupting results.
     c0.select("corpus_id", "v", "norm").write.mode(mode).parquet(f"{path}/vectors")
+    buckets.write.mode(mode).parquet(f"{path}/buckets")
     spark.createDataFrame(
         [(planes, tables, seed)], "planes int, tables int, seed int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -574,6 +583,10 @@ def signlsh_index_search(
             F.round(dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("norm")), 8),
         )
         .drop("__qv", "__qn", "v", "norm")
+        # a retried append leaves duplicate vector rows; dedup the
+        # candidate-sized scored set so they never surface as repeated
+        # top-k entries (the dup rows carry identical scores)
+        .dropDuplicates([query_id, "corpus_id"])
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -715,6 +728,8 @@ def ivf_index_search(
             F.round(dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("norm")), 8),
         )
         .drop("__qv", "__qn", "v", "norm", "cell")
+        # same retry-duplicate absorption as signlsh_index_search
+        .dropDuplicates([query_id, "corpus_id"])
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -409,18 +409,19 @@ def streaming_dedup_ingest(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        # localCheckpoint: `kept` feeds the sink write AND the index
-        # append; pinning it also guarantees both see identical rows.
-        kept = DD.minhash_dedup_incremental(
-            batch_df,
-            index_path,
-            text_col,
-            id_col,
-            threshold=threshold,
-            update_index=False,
-        ).localCheckpoint(eager=True)
+        # The dedup already computed every survivor's signature (the
+        # dominant per-batch cost: shingling + 64-hash MinHash over full
+        # text); take them back instead of re-deriving from raw text.
+        # A fresh deployment's batch 0 bootstraps the index (missing
+        # path == empty index inside the dedup core).
+        kept, kept_sig = DD.minhash_dedup_incremental_with_sigs(
+            batch_df, index_path, text_col, id_col, threshold=threshold
+        )
+        # kept and kept_sig agree by construction: both derive from the
+        # same eagerly-checkpointed drop set and the persisted batch
+        # signatures, so no extra pinning join is needed between them.
         kept.write.mode("append").parquet(out_path)
-        DD.minhash_index_write(kept, text_col, id_col, index_path, mode="append")
+        kept_sig.write.mode("append").parquet(index_path)
         DD.release_cached()
 
     return stream_to_batch_sink(

@@ -96,3 +96,33 @@ def test_distributed_build_multi_chunk_merge(spark):
     )
     assert (k1, m1) == (k2, m2)
     assert one_blob == chunked_blob
+
+
+def test_null_probe_keys_filtered_not_crashed(spark):
+    """NULL probe keys (e.g. left-join-produced fact keys) must behave
+    like the plain inner join — dropped, not a task-killing ValueError
+    from the NaN-bearing Arrow batch."""
+    probe = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 100).alias("pk"),
+        F.col("id").alias("payload"),
+    )
+    build = spark.range(0, 50).select(F.col("id").alias("bk"))
+    got = (
+        bloom.bloom_prefiltered_join(probe, build, "pk", "bk")
+        .select("pk", "payload")
+        .collect()
+    )
+    want = probe.join(build, probe.pk == build.bk).select("pk", "payload").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_probe_preserving_join_rejected(spark):
+    """how='left' must be rejected: the prefilter drops probe rows a
+    left join is required to keep."""
+    import pytest
+
+    probe = spark.range(0, 10).select(F.col("id").alias("pk"))
+    build = spark.range(0, 5).select(F.col("id").alias("bk"))
+    with pytest.raises(ValueError, match="probe-preserving"):
+        bloom.bloom_prefiltered_join(probe, build, "pk", "bk", how="left")

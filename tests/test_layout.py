@@ -207,3 +207,41 @@ def test_compact_partitioned_resumes_crashed_swap(spark, tmp_path):
     assert sorted(
         (r.day, r.v) for r in spark.read.parquet(path).collect()
     ) == rows_before
+
+
+def test_compact_partitioned_scheme_qualified_path(spark, tmp_path):
+    """A scheme-qualified base path (``file://...``, standing in for
+    ``s3a://`` / ``hdfs://``) must compact and crash-recover the same as
+    a bare local path: Hadoop's listing returns fully-qualified URIs
+    (``file:/...``) that never string-match the raw caller path, and any
+    ``"//" → "/"`` cleanup would corrupt the URI authority."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark.io import compact_partitioned
+
+    path = f"file://{tmp_path}/t"
+    local = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        (F.col("id") % 2).alias("day"), F.col("id").alias("v")
+    )
+    df.repartition(8).write.partitionBy("day").mode("overwrite").parquet(path)
+    rows_before = sorted((r.day, r.v) for r in spark.read.parquet(path).collect())
+
+    done = compact_partitioned(spark, path, target_file_bytes=1 << 30)
+    assert set(done) == {"day=0", "day=1"} and all(n == 1 for n in done.values())
+    assert sorted(
+        (r.day, r.v) for r in spark.read.parquet(path).collect()
+    ) == rows_before
+
+    # crash-window recovery under the qualified path: staged copy
+    # present, live dir gone → promoted to the RIGHT location
+    spark.read.parquet(f"{path}/day=0").coalesce(1).write.parquet(
+        f"{path}/.day=0.compact"
+    )
+    shutil.rmtree(f"{local}/day=0")
+    compact_partitioned(spark, path, target_file_bytes=1 << 30, max_partitions=0)
+    assert sorted(
+        (r.day, r.v) for r in spark.read.parquet(path).collect()
+    ) == rows_before

@@ -126,6 +126,25 @@ def test_phash_pairs_find_planted_near_dups(spark):
     assert all(4 not in p for p in pairs)
 
 
+def test_phash_bucket_cap_bounds_degenerate_fanout(spark):
+    """N copies of one thumbnail share every band bucket (identical
+    phash) — the O(N²) blow-up the cap exists for. Capped: those
+    buckets are dropped; distinct payloads below the cap still pair."""
+    base = ("spark shuffles partition the keyspace " * 40).encode()
+    other = b"completely different payload " * 50
+    rows = [(i, bytes(base)) for i in range(20)] + [(100, other), (101, other)]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in MM.phash_near_dup_pairs(mm, max_bucket_size=5).collect()
+    }
+    assert (100, 101) in capped  # small bucket survives
+    assert not any(a < 20 and b < 20 for a, b in capped)  # degenerate dropped
+    # default (None) keeps exact recall: all 190 clone pairs present
+    full = MM.phash_near_dup_pairs(mm).count()
+    assert full == 190 + 1
+
+
 def test_phash_query_recall_on_planted(spark):
     """The registered query's planted near-dups (same-length edits)
     must overwhelmingly pair with their originals within Hamming 3."""

@@ -535,6 +535,45 @@ def test_ivf_index_append_assigns_to_existing_cells(spark, tmp_path):
         SM.ivf_index_write(batch2, idx, n_cells=4, mode="append")
 
 
+def test_index_search_absorbs_retried_append_duplicates(spark, tmp_path):
+    """A crashed-then-retried append leaves duplicate index rows; both
+    searches must still return each corpus_id at most once per query,
+    identical to the clean single-append index."""
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import similarity as SM
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    batch = emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 260)).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id").isin(0, 210)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    lsh_clean, lsh_dup = str(tmp_path / "l0"), str(tmp_path / "l1")
+    for p in (lsh_clean, lsh_dup):
+        SM.signlsh_index_write(corpus, p)
+        SM.signlsh_index_write(batch, p, mode="append")
+    SM.signlsh_index_write(batch, lsh_dup, mode="append")  # the retry
+    key = lambda r: (r.query_id, r.corpus_id, r.cos_sim, r.rank)  # noqa: E731
+    got = sorted(map(key, SM.signlsh_index_search(spark, queries, lsh_dup, k=5).collect()))
+    want = sorted(map(key, SM.signlsh_index_search(spark, queries, lsh_clean, k=5).collect()))
+    assert got == want and len(got) > 0
+
+    ivf_clean, ivf_dup = str(tmp_path / "i0"), str(tmp_path / "i1")
+    for p in (ivf_clean, ivf_dup):
+        SM.ivf_index_write(corpus, p, n_cells=8)
+        SM.ivf_index_write(batch, p, n_cells=8, mode="append")
+    SM.ivf_index_write(batch, ivf_dup, n_cells=8, mode="append")  # the retry
+    got = sorted(map(key, SM.ivf_index_search(spark, queries, ivf_dup, k=5, n_probe=8).collect()))
+    want = sorted(map(key, SM.ivf_index_search(spark, queries, ivf_clean, k=5, n_probe=8).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
     """A planted mass-duplicate document family creates one giant LSH
     bucket per band; with max_bucket_size the O(B^2) self-join never

@@ -401,3 +401,49 @@ def test_streaming_dedup_ingest_against_persisted_index(spark, tmp_path):
     assert sum(1 for i in range(60_100, 60_120) if i in kept) <= 1
     # index grew beyond the initial 100 signatures
     assert spark.read.parquet(idx).count() >= 100 + len(kept)
+
+
+def test_streaming_dedup_ingest_cold_start_bootstraps_index(spark, tmp_path):
+    """A fresh deployment — index path never written — must not crash
+    on batch 0: the first batch dedups against itself only and its
+    survivors' signatures bootstrap the index for later batches."""
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "mh_index_fresh")  # never created
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch A: 20 docs, two of them exact dups within the batch
+    batch_a = docs.filter(F.col("doc_id") < 20).unionByName(
+        docs.filter(F.col("doc_id") < 2).select(
+            (F.col("doc_id") + 70_000).alias("doc_id"), "text"
+        )
+    )
+    batch_a.coalesce(1).write.mode("overwrite").parquet(str(src / "a.parquet"))
+    # batch B: exact copies of batch A docs — caught only if batch A
+    # actually bootstrapped the index
+    docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 80_000).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    q = jobs.streaming_dedup_ingest(
+        stream, idx, str(tmp_path / "kept"), str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
+    assert sum(1 for i in range(0, 20) if i in kept) >= 18  # batch A survives
+    assert not any(i in kept for i in range(70_000, 70_002))  # within-batch dups
+    assert sum(1 for i in range(80_000, 80_010) if i in kept) <= 1  # vs bootstrap
+    # index exists now and holds one signature per survivor
+    assert spark.read.parquet(idx).count() == len(kept)
