@@ -54,8 +54,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Node universe from the UNFILTERED pairs: a node appearing only in
+    # self-loop rows (e.g. an upstream stage emitting reflexive pairs)
+    # has no surviving edge, but the contract promises a row for every
+    # node in `pairs` — it gets a singleton component below because the
+    # neighbor join simply never updates it.
     labels = (
-        edges.select(F.col("src").alias("node"))
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
@@ -135,16 +141,20 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # Node universe from the UNFILTERED pairs (see connected_components:
+    # self-loop-only nodes must still get a singleton row).
     all_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
         .distinct()
         .localCheckpoint()
     )
 
-    def nbr_min(e: DataFrame) -> DataFrame:
+    def bidirectional(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def nbr_min(bidir: DataFrame) -> DataFrame:
         """m(u) = min over Γ(u) ∪ {u} on the bidirectional closure."""
-        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         return (
             bidir.groupBy("u")
             .agg(F.min("v").alias("m"))
@@ -152,10 +162,11 @@ def connected_components_star(
         )
 
     for _ in range(max_iter):
-        bidir = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        m = nbr_min(edges)
+        # One bidirectional view per round, shared by the min-aggregate
+        # and the rewire join (previously built twice — double the
+        # edge-scan work in every iteration).
+        bidir = bidirectional(edges)
+        m = nbr_min(bidir)
         # large-star: for every neighbor v > u, edge (v, m(u));
         # small-star: for every neighbor v <= u (on the directed view
         # v < u), edge (v, m(u)). Together: every neighbor rewires to
@@ -189,7 +200,7 @@ def connected_components_star(
 
     # At fixpoint each component is a star rooted at its min id: the
     # label of u is min(m(u), u); isolated original nodes keep selves.
-    labels = nbr_min(edges).select(
+    labels = nbr_min(bidirectional(edges)).select(
         F.col("u").alias("node"), F.col("m").alias("component")
     )
     return all_nodes.join(labels, "node", "left").select(

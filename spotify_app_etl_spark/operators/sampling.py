@@ -42,23 +42,42 @@ def threshold_hex(rate: float) -> str:
     """Hex threshold such that P[prefix < threshold] == rate (±2^-32)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    if rate == 1.0:
-        # 'g' sorts after every hex digit in both engines → keep-all.
+    if int(round(rate * _SPACE)) >= _SPACE:
+        # Covers rate == 1.0 AND rates that ROUND to the full space
+        # (anything within 2^-33 of 1.0): the unclamped format would be
+        # 9 chars ('100000000'), and an 8-char prefix compares against
+        # it lexicographically — keeping only prefixes <= '10000000',
+        # ~6% of rows, silently. 'g' sorts after every hex digit in
+        # both engines → keep-all.
         return "g" * _PREFIX
     return format(int(round(rate * _SPACE)), f"0{_PREFIX}x")
 
 
 def sample_key(key: str | Column, seed: int) -> Column:
-    """The 8-hex-char decision prefix for ``(seed, key)``."""
+    """The 8-hex-char decision prefix for ``(seed, key)``.
+
+    NULL keys have no identity to sample on, so the hash is built with
+    null-PROPAGATING concat (not concat_ws, which silently skips nulls
+    and would collapse every null-key row onto the single hash of the
+    seed — one giant all-kept-or-all-dropped block): a NULL key yields
+    a NULL prefix, three-valued comparison makes the sampler filters
+    DROP such rows, and :func:`split_assign` routes them to 'train'.
+    For non-null keys the bytes hashed are identical to the previous
+    concat_ws form.
+    """
     col = F.col(key) if isinstance(key, str) else key
     return F.substring(
-        F.sha2(F.concat_ws("|", F.lit(str(seed)), col.cast("string")), 256), 1, _PREFIX
+        F.sha2(F.concat(F.lit(str(seed)), F.lit("|"), col.cast("string")), 256),
+        1,
+        _PREFIX,
     )
 
 
 def sql_sample_key(key_sql: str, seed: int) -> str:
-    """DuckDB mirror of :func:`sample_key` (lowercase hex on both engines)."""
-    return f"substr(sha256(concat_ws('|', '{seed}', CAST({key_sql} AS VARCHAR))), 1, {_PREFIX})"
+    """DuckDB mirror of :func:`sample_key` (lowercase hex on both
+    engines; ``||`` is DuckDB's null-propagating concat, matching
+    Spark's ``concat``)."""
+    return f"substr(sha256('{seed}' || '|' || CAST({key_sql} AS VARCHAR)), 1, {_PREFIX})"
 
 
 def hash_sample(df: DataFrame, key: str, rate: float, *, seed: int = 42) -> DataFrame:

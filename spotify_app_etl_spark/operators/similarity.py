@@ -222,6 +222,31 @@ def cosine_topk_ivf(
     cn = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")).withColumn(
         "__cn", l2_norm(F.col("__cv"))
     )
+    return _score_topk(candidates, qn, cn, k, query_id, corpus_id)
+
+
+def _score_topk(
+    candidates: DataFrame,
+    qn: DataFrame,
+    cn: DataFrame,
+    k: int,
+    query_id: str,
+    corpus_id: str,
+    dedup: bool = False,
+) -> DataFrame:
+    """Shared scoring tail for every candidate-based kernel: join the
+    (small, broadcast) query vectors and the corpus vectors onto the
+    candidate pairs, compute rounded cosine, keep each query's top-k
+    (ties broken on corpus id).
+
+    ``qn`` must carry (query_id, __qv, __qn), ``cn`` (corpus_id, __cv,
+    __cn). One definition so tie-breaking, rounding, and dedup
+    semantics cannot drift between the five kernels that previously
+    each carried a copy of this block. ``dedup`` drops repeated
+    (query, corpus) rows BEFORE ranking — required for the persisted
+    indexes, where a crashed-then-retried append leaves duplicate rows
+    (identical scores, so dropping any one is exact).
+    """
     scored = (
         candidates.join(F.broadcast(qn), query_id)
         .join(cn, corpus_id)
@@ -233,6 +258,8 @@ def cosine_topk_ivf(
         )
         .drop("__qv", "__cv", "__qn", "__cn")
     )
+    if dedup:
+        scored = scored.dropDuplicates([query_id, corpus_id])
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -260,6 +287,13 @@ def _hyperplane_buckets_arrow(tables: int, planes: int, seed: int = 7):
         out = []
         w = None
         for v in vecs:
+            if v is None:
+                # NULL embedding → NULL bucket array, matching the
+                # column-expression path's null tolerance; the
+                # np.asarray(None) TypeError would otherwise kill the
+                # whole task from deep inside a Python worker.
+                out.append(None)
+                continue
             x = np.asarray(v, dtype=np.float64)
             if w is None or w.shape[1] != x.size:
                 w = plane_matrix(x.size)
@@ -364,19 +398,7 @@ def cosine_topk_lsh(
     cn = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")).withColumn(
         "__cn", l2_norm(F.col("__cv"))
     )
-    scored = (
-        candidates.join(F.broadcast(qn), query_id)
-        .join(cn, corpus_id)
-        .withColumn(
-            "cos_sim",
-            F.round(
-                dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 8
-            ),
-        )
-        .drop("__qv", "__cv", "__qn", "__cn")
-    )
-    w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(corpus_id))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_topk(candidates, qn, cn, k, query_id, corpus_id)
 
 
 # ---------------------------------------------------------------------------
@@ -391,10 +413,20 @@ def cosine_range_search(
     query_id: str = "query_id",
     corpus_id: str = "corpus_id",
     vec: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """All (query, corpus) pairs with cosine ≥ threshold — range search,
     the retrieval mode where the neighbor COUNT is the unknown (top-k
     fixes count, range search fixes quality).
+
+    ``exclude_self`` drops pairs whose ids are EQUAL — the right default
+    for the self-join shape (corpus searched against itself, where
+    (x, x) at cosine 1.0 is noise), but pass ``False`` when queries and
+    corpus are distinct tables whose id namespaces merely overlap:
+    there, query 7 and document 7 are unrelated rows and silently
+    dropping their pair would be a wrong answer. The top-k kernels
+    never id-filter; this flag is the explicit, caller-owned version of
+    that choice.
 
     Same exact kernel as :func:`cosine_topk_bruteforce` (broadcast
     query side, pre-hoisted norms, left-fold dot product → bit-exact
@@ -412,7 +444,7 @@ def cosine_range_search(
         F.col(corpus_id),
         _as_double(F.col(vec)).alias("__cv"),
     ).withColumn("__cn", l2_norm(F.col("__cv")))
-    return (
+    out = (
         c.join(F.broadcast(q))
         .withColumn(
             "cos_sim",
@@ -420,11 +452,11 @@ def cosine_range_search(
                 dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 8
             ),
         )
-        .filter(
-            (F.col("cos_sim") >= threshold) & (F.col(query_id) != F.col(corpus_id))
-        )
-        .select(query_id, corpus_id, "cos_sim")
+        .filter(F.col("cos_sim") >= threshold)
     )
+    if exclude_self:
+        out = out.filter(F.col(query_id) != F.col(corpus_id))
+    return out.select(query_id, corpus_id, "cos_sim")
 
 
 # ---------------------------------------------------------------------------
@@ -468,36 +500,54 @@ def signlsh_index_write(
     parquet tables persist as the index — ``buckets`` (corpus_id, tbl,
     bkt; the inverted file) and ``vectors`` (corpus_id, normalized
     vector + norm; the scoring payload) — plus a 1-row ``meta`` table
-    pinning (planes, tables, seed). Every future query batch probes the
-    stored buckets without touching raw corpus embeddings again;
-    ``mode='append'`` is the ingest path for new corpus batches (the
-    hash family is deterministic per (seed, dim), so appended batches
-    land in compatible buckets). Appending with different params than
-    the stored meta raises — mixed-family buckets silently lose recall.
+    pinning (planes, tables, seed) and the live GENERATION. Every
+    future query batch probes the stored buckets without touching raw
+    corpus embeddings again; ``mode='append'`` is the ingest path for
+    new corpus batches (the hash family is deterministic per
+    (seed, dim), so appended batches land in compatible buckets).
+    Appending with different params than the stored meta raises —
+    mixed-family buckets silently lose recall.
+
+    Commit protocol (both index families share it):
+
+    * **Rebuild (overwrite) = new generation.** Tables are written
+      under ``{path}/gen=N/`` and the 1-row meta overwrite is the ONLY
+      commit point: a crash anywhere mid-rebuild leaves meta pointing
+      at the previous, fully-consistent generation — never at a mix of
+      new buckets and old vectors (or vice versa), which would be
+      searchable but silently wrong. A retried rebuild recomputes the
+      same N and overwrites the orphan. Residual window: the meta
+      overwrite itself (one tiny file; on a table format with atomic
+      commits this disappears).
+    * **Append = into the CURRENT generation, vectors first, buckets
+      last.** A doc is only reachable through its bucket rows, so a
+      crash between the writes leaves orphan vector rows (storage
+      waste) rather than bucket rows pointing at nothing; a retry
+      re-appends both and the search-side candidate dedup absorbs the
+      duplicates. Meta is untouched, so params can't drift.
+
+    NULL embeddings are dropped at build: they have no direction to
+    hash or score, and the Arrow kernel's null bucket array would
+    otherwise silently produce an unreachable vectors row anyway.
     """
     spark = corpus.sparkSession
-    if mode == "append":
-        from pyspark.errors import AnalysisException
-
-        try:
-            meta = spark.read.parquet(f"{path}/meta").first()
-        except AnalysisException:
-            # missing index → first write; any OTHER failure (IO,
-            # permissions, corrupt footer) must propagate — swallowing
-            # it would skip the param guard and then overwrite meta,
-            # silently mixing hash families
-            meta = None
-        if meta is not None and (
-            (meta["planes"], meta["tables"], meta["seed"]) != (planes, tables, seed)
-        ):
+    meta = _read_index_meta(spark, path)
+    if mode == "append" and meta is not None:
+        if (meta["planes"], meta["tables"], meta["seed"]) != (planes, tables, seed):
             raise ValueError(
                 f"index at {path} was built with planes={meta['planes']} "
                 f"tables={meta['tables']} seed={meta['seed']}; refusing to "
                 f"append planes={planes} tables={tables} seed={seed}"
             )
+        gen, fresh = meta["gen"], False
+    else:
+        # overwrite, or append-bootstrap onto a missing index
+        gen, fresh = (meta["gen"] + 1 if meta is not None else 1), True
+    gdir = f"{path}/gen={gen}"
     bks = _hyperplane_buckets_arrow(tables, planes, seed)
     c0 = (
-        corpus.select(
+        corpus.filter(F.col(vec).isNotNull())
+        .select(
             F.col(corpus_id).alias("corpus_id"), _as_double(F.col(vec)).alias("v")
         )
         .withColumn("__bks", bks(F.col("v")))
@@ -517,20 +567,30 @@ def signlsh_index_write(
             )
         ).alias("tb"),
     ).select("corpus_id", "tb.tbl", "tb.bkt")
-    # Write order is the commit protocol: vectors FIRST, buckets LAST.
-    # The two writes are separate parquet commits (nothing atomic spans
-    # them), and a doc is only reachable through its bucket rows — so
-    # buckets-last means a crash between the writes leaves orphan
-    # VECTOR rows (unreachable, storage-only waste) instead of bucket
-    # rows pointing at nothing (docs silently unsearchable forever).
-    # A retried append then re-writes both; the duplicate rows it
-    # leaves are absorbed by the search-side candidate dedup, so
-    # retries converge instead of corrupting results.
-    c0.select("corpus_id", "v", "norm").write.mode(mode).parquet(f"{path}/vectors")
-    buckets.write.mode(mode).parquet(f"{path}/buckets")
-    spark.createDataFrame(
-        [(planes, tables, seed)], "planes int, tables int, seed int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    wmode = "overwrite" if fresh else "append"
+    c0.select("corpus_id", "v", "norm").write.mode(wmode).parquet(f"{gdir}/vectors")
+    buckets.write.mode(wmode).parquet(f"{gdir}/buckets")
+    if fresh:
+        spark.createDataFrame(
+            [(planes, tables, seed, gen)],
+            "planes int, tables int, seed int, gen int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_index_meta(spark, path: str):
+    """The index's 1-row meta, or None if the index doesn't exist yet.
+
+    Only a missing path maps to None; any OTHER failure (IO,
+    permissions, corrupt footer) propagates — swallowing it would skip
+    the param guard and then overwrite meta, silently mixing hash
+    families.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/meta").first()
+    except AnalysisException:
+        return None
 
 
 def signlsh_index_search(
@@ -544,17 +604,23 @@ def signlsh_index_search(
 ) -> DataFrame:
     """Top-k ANN against a persisted sign-LSH index.
 
-    Hash params come from the index's meta table, so a query batch can
-    never probe with a mismatched family. Plan shape matches the
-    in-memory :func:`cosine_topk_lsh`: broadcast the (small) probe
-    set against the bucket table, dedup candidates, score against the
-    stored normalized vectors, per-query top-k window. The corpus-side
-    cost is ONE scan of the bucket/vector parquet — no re-hashing.
+    Hash params and the live generation come from the index's meta
+    table, so a query batch can never probe with a mismatched family or
+    read a half-committed rebuild. Plan shape matches the in-memory
+    :func:`cosine_topk_lsh`: broadcast the (small) probe set against
+    the bucket table, dedup candidates, score against the stored
+    normalized vectors, per-query top-k window. The corpus-side cost is
+    ONE scan of the bucket/vector parquet — no re-hashing. Candidate
+    dedup absorbs the duplicate rows a crashed-then-retried append
+    leaves (identical scores, exact to drop).
     """
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no sign-LSH index at {path}")
     planes, tables, seed = meta["planes"], meta["tables"], meta["seed"]
-    buckets = spark.read.parquet(f"{path}/buckets")
-    vectors = spark.read.parquet(f"{path}/vectors")
+    gdir = f"{path}/gen={meta['gen']}"
+    buckets = spark.read.parquet(f"{gdir}/buckets")
+    vectors = spark.read.parquet(f"{gdir}/vectors")
 
     bks = _hyperplane_buckets_arrow(tables, planes, seed)
     q0 = (
@@ -573,23 +639,11 @@ def signlsh_index_search(
         .select(query_id, "corpus_id")
         .distinct()
     )
-    scored = (
-        candidates.join(
-            F.broadcast(q0.select(query_id, "__qv", "__qn")), query_id
-        )
-        .join(vectors, "corpus_id")
-        .withColumn(
-            "cos_sim",
-            F.round(dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("norm")), 8),
-        )
-        .drop("__qv", "__qn", "v", "norm")
-        # a retried append leaves duplicate vector rows; dedup the
-        # candidate-sized scored set so they never surface as repeated
-        # top-k entries (the dup rows carry identical scores)
-        .dropDuplicates([query_id, "corpus_id"])
+    qn = q0.select(query_id, "__qv", "__qn")
+    cn = vectors.select(
+        "corpus_id", F.col("v").alias("__cv"), F.col("norm").alias("__cn")
     )
-    w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("corpus_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _score_topk(candidates, qn, cn, k, query_id, "corpus_id", dedup=True)
 
 
 def ivf_index_write(
@@ -608,26 +662,38 @@ def ivf_index_write(
     the in-memory :func:`cosine_topk_ivf` must) is exactly what a
     production pipeline avoids. Stored tables: ``centroids`` (cell id +
     center vector), ``assigned`` (corpus_id, cell, normalized vector +
-    norm). ``mode='append'`` assigns a NEW corpus batch to the
-    EXISTING centroids (no refit — cells drift only if the data
-    distribution does; periodic full rebuild is the remedy, same as
-    every IVF system) and refuses a cell-count mismatch.
+    norm), under a GENERATION directory committed by the 1-row meta
+    overwrite — same protocol as :func:`signlsh_index_write`: a crash
+    mid-rebuild can never leave new centroids paired with old
+    assignments (cells ranked by one clustering, members fetched from
+    another — silently wrong neighbors); meta still points at the old,
+    consistent generation. ``mode='append'`` assigns a NEW corpus batch
+    to the CURRENT generation's centroids (no refit — cells drift only
+    if the data distribution does; periodic full rebuild is the remedy,
+    same as every IVF system) and refuses a cell-count mismatch; a
+    retried append's duplicate rows are absorbed by search-side dedup.
+    NULL embeddings are dropped at build (nothing to assign or score).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    c_feat = corpus.select(
+    c_feat = corpus.filter(F.col(vec).isNotNull()).select(
         F.col(corpus_id).alias("corpus_id"), _as_double(F.col(vec)).alias("v")
     ).withColumn("__features", array_to_vector(F.col("v")))
 
+    meta = _read_index_meta(spark, path)
     if mode == "append":
-        stored = spark.read.parquet(f"{path}/centroids").collect()
-        if len(stored) != n_cells:
+        if meta is None:
+            raise ValueError(f"no IVF index at {path} to append to")
+        if meta["n_cells"] != n_cells:
             raise ValueError(
-                f"index at {path} has {len(stored)} cells; refusing to "
+                f"index at {path} has {meta['n_cells']} cells; refusing to "
                 f"append with n_cells={n_cells}"
             )
+        gen = meta["gen"]
+        gdir = f"{path}/gen={gen}"
+        stored = spark.read.parquet(f"{gdir}/centroids").collect()
         centers = [list(r["center"]) for r in sorted(stored, key=lambda r: r["cell"])]
 
         def nearest(v: Column) -> Column:
@@ -654,6 +720,8 @@ def ivf_index_write(
             "corpus_id", "v", nearest(F.col("v")).cast("int").alias("cell")
         )
     else:
+        gen = meta["gen"] + 1 if meta is not None else 1
+        gdir = f"{path}/gen={gen}"
         model = KMeans(
             k=n_cells, seed=seed, maxIter=8, featuresCol="__features"
         ).fit(c_feat)
@@ -661,7 +729,7 @@ def ivf_index_write(
         spark.createDataFrame(
             [(i, centers[i]) for i in range(len(centers))],
             "cell int, center array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{gdir}/centroids")
         assigned = model.transform(c_feat).select(
             "corpus_id", "v", F.col("prediction").cast("int").alias("cell")
         )
@@ -669,8 +737,14 @@ def ivf_index_write(
     assigned.withColumn("norm", l2_norm(F.col("v"))).select(
         "corpus_id", "cell", "v", "norm"
     ).write.mode("append" if mode == "append" else "overwrite").parquet(
-        f"{path}/assigned"
+        f"{gdir}/assigned"
     )
+    if mode != "append":
+        # the commit point: meta flips to the new generation only after
+        # BOTH tables exist and are internally consistent
+        spark.createDataFrame(
+            [(n_cells, seed, gen)], "n_cells int, seed int, gen int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def ivf_index_search(
@@ -687,11 +761,17 @@ def ivf_index_search(
     Centroids load once (n_cells × dim — literal-sized) and rank cells
     per query as a pure projection; only the ``n_probe`` nearest
     cells' stored members are scored. With ``n_probe == n_cells`` the
-    search is exhaustive over the indexed corpus.
+    search is exhaustive over the indexed corpus. The generation read
+    comes from meta, so a mid-rebuild crash can never serve mixed
+    centroid/assignment state.
     """
-    stored = spark.read.parquet(f"{path}/centroids").collect()
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no IVF index at {path}")
+    gdir = f"{path}/gen={meta['gen']}"
+    stored = spark.read.parquet(f"{gdir}/centroids").collect()
     centers = {r["cell"]: list(r["center"]) for r in stored}
-    assigned = spark.read.parquet(f"{path}/assigned")
+    assigned = spark.read.parquet(f"{gdir}/assigned")
 
     q0 = queries.select(
         F.col(query_id), _as_double(F.col(vec)).alias("__qv")
@@ -720,6 +800,10 @@ def ivf_index_search(
         ),
     )
     probes = q.select(query_id, F.explode("__cells").alias("cell"))
+    # Not _score_topk: the assigned table already carries (v, norm), so
+    # the vectors ride the ONE probes join — a candidates/cn split
+    # would scan the assigned parquet twice. Same rounding/tie-break/
+    # dedup semantics as the helper.
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .join(F.broadcast(q0.select(query_id, "__qv", "__qn")), query_id)
@@ -728,7 +812,7 @@ def ivf_index_search(
             F.round(dot(F.col("__qv"), F.col("v")) / (F.col("__qn") * F.col("norm")), 8),
         )
         .drop("__qv", "__qn", "v", "norm", "cell")
-        # same retry-duplicate absorption as signlsh_index_search
+        # retry-duplicate absorption, as in _score_topk(dedup=True)
         .dropDuplicates([query_id, "corpus_id"])
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("corpus_id"))

@@ -28,6 +28,15 @@ def test_self_loops_and_duplicate_edges_ignored(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_self_loop_only_node_gets_singleton_component(spark):
+    """A node that appears ONLY in self-loop pairs has no surviving
+    edge after the src != dst filter, but the contract promises a row
+    for every node in `pairs` — it must come back as a singleton."""
+    got = _cc(spark, [(42, 42), (1, 2)])
+    assert got == {42: 42, 1: 1, 2: 1}
+    assert _cc_star(spark, [(42, 42), (1, 2)]) == {42: 42, 1: 1, 2: 1}
+
+
 def test_long_chain_converges_within_diameter_rounds(spark):
     # Diameter 12 chain: min-label propagation needs ~12 rounds.
     edges = [(i, i + 1) for i in range(12)]

@@ -574,6 +574,57 @@ def test_index_search_absorbs_retried_append_duplicates(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_index_rebuild_crash_leaves_old_generation_live(spark, tmp_path):
+    """A rebuild that dies before the meta commit must be invisible:
+    searches keep serving the previous, fully-consistent generation —
+    never a mix of new and old tables."""
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators import similarity as SM
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda r: (r.query_id, r.corpus_id, r.cos_sim, r.rank)  # noqa: E731
+
+    lsh = str(tmp_path / "lsh")
+    SM.signlsh_index_write(corpus, lsh)
+    before = sorted(map(key, SM.signlsh_index_search(spark, queries, lsh, k=5).collect()))
+    # simulate a crashed rebuild: gen=2 gets a PARTIAL write (vectors
+    # only, from a different corpus) and no meta flip
+    other = emb.filter(F.col("vec_id") >= 500).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    other.select(
+        "corpus_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.lit(1.0).alias("norm"),
+    ).write.parquet(f"{lsh}/gen=2/vectors")
+    after = sorted(map(key, SM.signlsh_index_search(spark, queries, lsh, k=5).collect()))
+    assert after == before
+
+    ivf = str(tmp_path / "ivf")
+    SM.ivf_index_write(corpus, ivf, n_cells=8)
+    before = sorted(
+        map(key, SM.ivf_index_search(spark, queries, ivf, k=5, n_probe=8).collect())
+    )
+    # crashed rebuild: new centroids written under gen=2, no assigned,
+    # no meta flip — the exact torn state that used to serve wrong
+    # neighbors when centroids lived at a fixed path
+    spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(8)], "cell int, center array<double>"
+    ).write.parquet(f"{ivf}/gen=2/centroids")
+    after = sorted(
+        map(key, SM.ivf_index_search(spark, queries, ivf, k=5, n_probe=8).collect())
+    )
+    assert after == before
+
+
 def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
     """A planted mass-duplicate document family creates one giant LSH
     bucket per band; with max_bucket_size the O(B^2) self-join never

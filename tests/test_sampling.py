@@ -20,8 +20,32 @@ def test_threshold_hex_bounds():
     assert SA.threshold_hex(0.0) == "00000000"
     assert SA.threshold_hex(0.5) == "80000000"
     assert SA.threshold_hex(1.0) == "g" * 8  # sorts after every hex prefix
+    # rates that ROUND to the full space must clamp to keep-all, not
+    # overflow to a 9-char threshold that keeps ~6% of rows
+    assert SA.threshold_hex(1 - 1e-11) == "g" * 8
+    assert len(SA.threshold_hex(1 - 1e-9)) == 8  # below rounding → normal
     with pytest.raises(ValueError):
         SA.threshold_hex(1.5)
+
+
+def test_near_one_rate_keeps_everything(spark, docs):
+    assert SA.hash_sample(docs, "doc_id", 1 - 1e-11, seed=3).count() == docs.count()
+
+
+def test_null_keys_dropped_not_collapsed(spark):
+    """NULL keys have no identity: samplers must drop them (three-valued
+    comparison), never collapse them onto one all-or-nothing hash block."""
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") % 2 == 0, F.col("id")).otherwise(None).alias("k")
+    )
+    kept = SA.hash_sample(df, "k", 0.5, seed=11)
+    assert kept.filter(F.col("k").isNull()).count() == 0
+    n = kept.count()  # ~250 of the 500 non-null keys
+    assert 150 <= n <= 350
+    # split_assign stays exhaustive: null-key rows all land in 'train'
+    split = SA.split_assign(df, "k", eval_frac=0.2, seed=11)
+    assert split.filter(F.col("k").isNull() & (F.col("split") != "train")).count() == 0
+    assert split.count() == 1000
 
 
 def test_hash_sample_rate_and_determinism(spark, docs):
