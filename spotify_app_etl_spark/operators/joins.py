@@ -42,35 +42,45 @@ def asof_join(
     Forward is the same one-shuffle window plan with the time axis
     reversed (orderBy DESC) — not a second algorithm.
 
-    ``right_cols`` — right payload columns to carry (default: all
-    non-key/ts). Right duplicates on (key, ts) must be pre-aggregated
-    by the caller for deterministic results.
+    ``right_cols`` — right payload columns to carry (``None`` = all
+    non-key/ts; an explicit ``[]`` carries none). Right duplicates on
+    (key, ts) must be pre-aggregated by the caller for deterministic
+    results.
+
+    NULL timestamps follow the SQL comparison rules DuckDB's ASOF JOIN
+    applies: a right row with NULL ts can never satisfy <=/>= and is
+    dropped from the merge; a left row with NULL ts matches nothing
+    (NULL payload) — enforced by sorting such left rows BEFORE every
+    right row (nulls-first on both time axes), where the carry is still
+    empty.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, ts)]
 
     l_tag = left.withColumn("__is_left", F.lit(1))
-    r_tag = right.select(
-        key, ts, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
-    ).withColumn("__is_left", F.lit(0))
+    r_tag = (
+        right.filter(F.col(ts).isNotNull())
+        .select(key, ts, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols])
+        .withColumn("__is_left", F.lit(0))
+    )
 
     carried = [f"{c}{suffix}" for c in right_cols]
-    unioned = l_tag.unionByName(
-        r_tag.select(
-            *[
-                F.lit(None).cast(l_tag.schema[c].dataType).alias(c)
-                if c not in r_tag.columns
-                else F.col(c)
-                for c in l_tag.columns
-            ],
-            *carried,
-        ),
-        allowMissingColumns=True,
-    )
+    # allowMissingColumns fills each side's absent columns with
+    # correctly-typed nulls — left rows get NULL carried columns, right
+    # rows NULL left-payload columns.
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # right rows first at equal ts → "<=" (resp. ">=") match semantics;
-    # forward = identical plan over the reversed time axis
-    ts_order = F.col(ts) if direction == "backward" else F.col(ts).desc()
+    # forward = identical plan over the reversed time axis. nulls_first
+    # on BOTH axes so NULL-ts left rows precede every right row and
+    # carry nothing (desc's default NULLS LAST would instead hand them
+    # the final carried payload — a false match).
+    ts_order = (
+        F.col(ts).asc_nulls_first()
+        if direction == "backward"
+        else F.col(ts).desc_nulls_first()
+    )
     w = (
         W.partitionBy(key)
         .orderBy(ts_order, F.col("__is_left"))

@@ -50,7 +50,10 @@ def salted_agg(
     """
     salted = df.withColumn("__salt", _salt(df, salt_cols, salt_buckets))
     partial = salted.groupBy(*group_cols, "__salt").agg(*partial_aggs)
-    return partial.groupBy(*group_cols).agg(*final_aggs(partial)).drop("__salt")
+    # __salt cannot appear in the output: the final groupBy's schema is
+    # group_cols + the final_aggs aliases (final_aggs must simply not
+    # re-project it).
+    return partial.groupBy(*group_cols).agg(*final_aggs(partial))
 
 
 def salted_join(

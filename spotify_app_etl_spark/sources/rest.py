@@ -55,6 +55,16 @@ class TokenBucket:
     One instance per partition; callers size ``rate`` as
     global_rate / num_partitions so the fleet-wide request rate is
     bounded without any cross-executor coordination.
+
+    ``acquire`` is thread-safe (one lock around the read-modify-write):
+    :func:`fetch_paginated_many` shares a single bucket across its
+    driver threads, and without the lock two concurrent acquires both
+    observe the same token count and both proceed — the cap the bucket
+    exists to enforce silently stops binding. The lock is held through
+    the sleep, which is exactly the semantics a shared budget needs
+    (the next caller's wait starts after this one's token grant). The
+    lock is deliberately non-pickled state: executors get their own
+    per-partition instances, never a shared one.
     """
 
     rate: float  # tokens per second
@@ -62,19 +72,38 @@ class TokenBucket:
     _tokens: float = field(default=0.0, init=False)
     _last: float = field(default=0.0, init=False)
 
+    def __post_init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        del state["_lock"]  # locks don't pickle; executors re-init
+        return state
+
+    def __setstate__(self, state):
+        import threading
+
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
     def acquire(self) -> None:
-        now = time.monotonic()
-        if self._last == 0.0:
+        with self._lock:
+            now = time.monotonic()
+            if self._last == 0.0:
+                self._last = now
+                self._tokens = self.burst
+            self._tokens = min(
+                self.burst, self._tokens + (now - self._last) * self.rate
+            )
             self._last = now
-            self._tokens = self.burst
-        self._tokens = min(self.burst, self._tokens + (now - self._last) * self.rate)
-        self._last = now
-        if self._tokens < 1.0:
-            wait = (1.0 - self._tokens) / self.rate
-            time.sleep(wait)
-            self._tokens = 1.0
-            self._last = time.monotonic()
-        self._tokens -= 1.0
+            if self._tokens < 1.0:
+                wait = (1.0 - self._tokens) / self.rate
+                time.sleep(wait)
+                self._tokens = 1.0
+                self._last = time.monotonic()
+            self._tokens -= 1.0
 
 
 def request_with_retry(

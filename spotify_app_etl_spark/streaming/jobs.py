@@ -276,7 +276,7 @@ def run_to_memory_sink(
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode(output_mode or ("complete" if stream_df.isStreaming else "append"))
+        .outputMode(output_mode or "complete")
         .trigger(availableNow=True)
         .start()
     )
@@ -414,15 +414,21 @@ def streaming_dedup_ingest(
         # text); take them back instead of re-deriving from raw text.
         # A fresh deployment's batch 0 bootstraps the index (missing
         # path == empty index inside the dedup core).
-        kept, kept_sig = DD.minhash_dedup_incremental_with_sigs(
-            batch_df, index_path, text_col, id_col, threshold=threshold
-        )
-        # kept and kept_sig agree by construction: both derive from the
-        # same eagerly-checkpointed drop set and the persisted batch
-        # signatures, so no extra pinning join is needed between them.
-        kept.write.mode("append").parquet(out_path)
-        kept_sig.write.mode("append").parquet(index_path)
-        DD.release_cached()
+        try:
+            kept, kept_sig = DD.minhash_dedup_incremental_with_sigs(
+                batch_df, index_path, text_col, id_col, threshold=threshold
+            )
+            # kept and kept_sig agree by construction: both derive from
+            # the same eagerly-checkpointed drop set and the persisted
+            # batch signatures, so no extra pinning join is needed.
+            kept.write.mode("append").parquet(out_path)
+            kept_sig.write.mode("append").parquet(index_path)
+        finally:
+            # even on a failed sink/index write: the dedup core already
+            # persisted+materialized this batch's signature table, and
+            # each foreachBatch RETRY would persist another — cache
+            # growth per failure, unbounded across a flaky outage
+            DD.release_cached()
 
     return stream_to_batch_sink(
         docs_stream,

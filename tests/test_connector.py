@@ -19,6 +19,32 @@ def test_token_bucket_enforces_rate():
     assert elapsed >= 0.2, elapsed
 
 
+def test_token_bucket_cap_binds_across_threads():
+    """fetch_paginated_many shares ONE bucket across driver threads;
+    without the acquire lock, concurrent acquires both read the same
+    token count and the cap silently stops binding."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    bucket = rest.TokenBucket(rate=25.0, burst=1.0)
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(lambda _: bucket.acquire(), range(8)))
+    elapsed = time.monotonic() - t0
+    # 8 acquires at 25/s, burst 1 → ≥ 7 grants spaced 40ms
+    assert elapsed >= 0.22, elapsed
+
+
+def test_token_bucket_pickles_without_lock():
+    """Executors get their own instances via pickle (mapInPandas);
+    the lock must not break that and must be re-created on load."""
+    import pickle
+
+    bucket = rest.TokenBucket(rate=5.0)
+    bucket.acquire()
+    clone = pickle.loads(pickle.dumps(bucket))
+    clone.acquire()  # usable: lock re-initialized on unpickle
+
+
 def test_retry_honors_retry_after_then_succeeds():
     calls = []
 
