@@ -247,8 +247,14 @@ def run_pipeline(
     playlists = extract_playlists(spark, transport, items=pages["playlists"])
     # persist: consumed twice (membership output + the distinct-ids feed
     # of the audio-features lookup) — without it the distributed REST
-    # fan-out would execute twice
-    playlist_tracks = extract_playlist_tracks(spark, playlists, transport).persist()
+    # fan-out would execute twice. Registered with the session-wide
+    # scoped-cache list (operators.dedup._PERSISTED) so a driver loop
+    # calling run_pipeline repeatedly doesn't accumulate one cached
+    # fan-out table per invocation — release_cached() (called by bench
+    # and any long-lived harness) frees it once the sinks materialize.
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    playlist_tracks = _scoped_persist(extract_playlist_tracks(spark, playlists, transport))
     saved = extract_saved_tracks(spark, transport, items=pages["saved"])
     tables: dict[str, DataFrame] = {
         "playlists": playlists,

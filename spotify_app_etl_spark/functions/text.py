@@ -24,7 +24,16 @@ STOPWORDS = {
 
 
 def tokens(text: str | Column) -> Column:
-    return F.split(normalized(text), " ")
+    """Whitespace tokens of the normalized text; empty text → [].
+
+    The empty-token filter matters only for empty/whitespace-only
+    documents: split('', ' ') yields [''] — one phantom token — which
+    inflates token_count to 1 and makes empty docs unfilterable by
+    ``token_count >= 1``. Normalization collapses+trims whitespace, so
+    non-empty text never produces '' tokens and is unaffected. Mirrored
+    in every SQL oracle via list_filter over the same split.
+    """
+    return F.filter(F.split(normalized(text), " "), lambda tk: tk != "")
 
 
 def token_count(text: str | Column) -> Column:
@@ -49,22 +58,20 @@ def language_id(text: str | Column) -> Column:
     return expr
 
 
-#: BPE-ish pre-tokenizer: word pieces with leading space, numbers,
-#: punctuation runs — an approximation of the GPT-2 split pattern using
-#: capabilities common to Spark's and DuckDB's regex engines (no \p
-#: classes, no lookahead), so counts are oracle-exact.
-BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+|\s+"
+#: BPE-ish pre-tokenizer: the COUNTED pieces — letter runs, single
+#: digits, punctuation runs (whitespace is the separator, never a
+#: token, mirroring how GPT-2-family tokenizers fold it into the next
+#: word's leading space). An approximation of the GPT-2 split pattern
+#: using capabilities common to Spark's and DuckDB's regex engines
+#: (no \p classes, no lookahead), so counts are oracle-exact.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"
 
 
 def bpe_ish_token_count(text: str | Column) -> Column:
-    """Approximate subword-token count: number of BPE-ish pattern
-    matches, digits counted singly (as GPT-2-family tokenizers do).
-    Whitespace runs collapse to the following word's leading space, so
-    they are not counted separately."""
+    """Approximate subword-token count: number of ``BPE_ISH_PATTERN``
+    matches, digits counted singly (as GPT-2-family tokenizers do)."""
     col = F.col(text) if isinstance(text, str) else text
-    # count matches by deleting them and measuring what disappeared:
-    # regexp_count exists in Spark 4 and DuckDB — use it directly
-    return F.regexp_count(col, F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"))
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
 
 
 def punct_count(text: str | Column) -> Column:
@@ -222,13 +229,17 @@ def winnowing_fingerprints(
     # narrow (id, norm) shuffle by orders of magnitude). On a real
     # cluster the scan already has >= cores partitions and this no-ops.
     norm = _fan_out(norm, df.sparkSession.sparkContext.defaultParallelism)
+    # Codepoints via split(norm, '') — ONE O(L) pass, the same idiom
+    # fingerprint() documents: per-index substring(norm, i, 1) is an
+    # O(L) UTF-8 seek per character on non-ASCII text, turning this
+    # stage O(L²) per document (and long documents are the winnowing
+    # use case). split('', '') yields [''] with ascii('') = 0, matching
+    # the old sequence(1, greatest(len, 1)) empty-doc shape exactly.
     cps = norm.select(
         id_col,
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("__norm"), F.lit(1))),
-            lambda i: F.greatest(
-                F.ascii(F.substring(F.col("__norm"), i, F.lit(1))), F.lit(0)
-            ).cast("long"),
+            F.split("__norm", ""),
+            lambda ch: F.greatest(F.ascii(ch), F.lit(0)).cast("long"),
         ).alias("__cp"),
     )
     gh = cps.select(

@@ -316,8 +316,14 @@ def morton_key(a, b, bits: int = 16):
     interleaved bits alternate meaningfully — a 4-bit-wide dimension
     under a 10-bit-wide one would only vary within fine Z segments.
     """
-    a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
+    # Cast to long BEFORE shifting: shiftleft on an IntegerType column
+    # wraps at bit 31 — with the default bits=16, any int-typed b with
+    # bit 15 set evaluates shiftleft(<int>1, 31) = INT_MIN, whose sign
+    # bit then extends through the OR into the long key and sends half
+    # of a properly-scaled domain into one degenerate sort tail
+    # (silently destroying the per-file rectangle clustering).
+    a = (F.col(a) if isinstance(a, str) else a).cast("long")
+    b = (F.col(b) if isinstance(b, str) else b).cast("long")
     key = F.lit(0).cast("long")
     for i in range(bits):
         key = key.bitwiseOR(

@@ -58,13 +58,17 @@ def apply_changes(
     ``op_col`` and be pre-compacted to one row per key (use
     :func:`compact_latest`). Semantics per key:
 
-    - no change row           → snapshot row kept
-    - op == delete_op         → row dropped (even if absent: no-op)
-    - any other op (I/U/...)  → change's values win (insert-or-update)
+    - no change row              → snapshot row kept
+    - op == delete_op            → row dropped (even if absent: no-op)
+    - any other op (I/U/NULL/…)  → change's values win (insert-or-update)
 
     One shuffle: full-outer equi-join on ``keys`` (key columns are
-    coalesced by the join itself). The op test uses null-safe logic so
-    snapshot-only rows (op IS NULL) survive.
+    coalesced by the join itself). Row existence is tracked with an
+    explicit marker column, NOT ``op IS NOT NULL``: a feed row whose op
+    value happens to be NULL is still a present row (treated as an
+    upsert, the "any other op" rule), whereas the op-null test would
+    silently drop its update — or, for a key absent from the snapshot,
+    emit a phantom all-NULL row.
     """
     keys = list(keys)
     data_cols = [c for c in snapshot.columns if c not in keys]
@@ -72,15 +76,17 @@ def apply_changes(
     if missing:
         raise ValueError(f"changes feed missing columns: {missing}")
 
-    s, c = snapshot.alias("s"), changes.alias("c")
+    s = snapshot.alias("s")
+    c = changes.withColumn("__present", F.lit(True)).alias("c")
     joined = s.join(c, on=keys, how="full_outer")
     op = F.col(f"c.{op_col}")
-    has_change = op.isNotNull()
+    has_change = F.col("c.__present").eqNullSafe(F.lit(True))
+    is_delete = has_change & op.eqNullSafe(F.lit(delete_op))
 
     def pick(col: str) -> Column:
         return F.when(has_change, F.col(f"c.{col}")).otherwise(F.col(f"s.{col}"))
 
-    return joined.filter(~has_change | (op != F.lit(delete_op))).select(
+    return joined.filter(~is_delete).select(
         *keys, *[pick(col).alias(col) for col in data_cols]
     )
 

@@ -92,6 +92,70 @@ def release_cached() -> None:
 
 
 # ---------------------------------------------------------------------------
+# Banded-LSH building blocks shared by the batch candidates path and the
+# persisted-index incremental path. ONE definition: the band layout and
+# slot-equality rule ARE the index format — if the two paths drifted
+# (different band seed, different substring layout), an index written by
+# one would silently stop matching candidates from the other.
+# ---------------------------------------------------------------------------
+
+
+def _check_band_params(num_hashes: int, bands: int) -> None:
+    """bands must evenly divide num_hashes, else fail loudly.
+
+    bands > num_hashes makes rows_per_band = 0: every band substring is
+    empty, every doc collides in every bucket, and the within-bucket
+    self-join degenerates to the global O(n²) cross product this module
+    exists to avoid — triggered silently by a parameter typo. A
+    non-dividing combo silently ignores trailing signature slots.
+    """
+    if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be in [1, num_hashes] and divide "
+            f"num_hashes={num_hashes} evenly (rows_per_band = "
+            f"num_hashes/bands signature slots per band)"
+        )
+
+
+def _binary_band_of(num_hashes: int, bands: int):
+    """Band b of a packed binary signature (8 bytes per hash slot)."""
+    rows_per_band = num_hashes // bands
+    return lambda b: F.substring(
+        F.col("__sig"), b * (rows_per_band * 8) + 1, F.lit(rows_per_band * 8)
+    )
+
+
+def _binary_slot_eq(num_hashes: int):
+    """Per-slot equality array between two packed binary signatures."""
+    return lambda x, y: F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.substring(x, j * 8 + 1, F.lit(8))
+        == F.substring(y, j * 8 + 1, F.lit(8)),
+    )
+
+
+def _banded_binary(
+    sig: DataFrame, num_hashes: int, bands: int, keep_sig: bool = False
+) -> DataFrame:
+    """(__id[, __sig], band, bh) — one row per (doc, band), bh = seeded
+    hash of the band's signature bytes."""
+    band_of = _binary_band_of(num_hashes, bands)
+    extra = ["__sig"] if keep_sig else []
+    return sig.select(
+        "__id",
+        *extra,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.xxhash64(band_of(b), b).alias("bh")
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", *extra, "bb.band", "bb.bh")
+
+
+# ---------------------------------------------------------------------------
 # Shingling / tokenization building blocks (pure column expressions).
 # ---------------------------------------------------------------------------
 
@@ -280,6 +344,7 @@ def minhash_candidates(
     is the documented order of operations. Default None preserves exact
     candidate semantics for the oracle-checked queries.
     """
+    _check_band_params(num_hashes, bands)
     rows_per_band = num_hashes // bands
     # __norm is projected first so downstream shingle logic reads a
     # plain attribute instead of re-running the normalization regexp
@@ -325,31 +390,27 @@ def minhash_candidates(
                 ).alias("__sig"),
             )
         )
-    if impl == "arrow":  # binary signature: bands are byte substrings
-        band_of = lambda b: F.substring(  # noqa: E731
-            F.col("__sig"), b * (rows_per_band * 8) + 1, F.lit(rows_per_band * 8)
-        )
-        slot_eq = lambda x, y: F.transform(  # noqa: E731
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda j: F.substring(x, j * 8 + 1, F.lit(8)) == F.substring(y, j * 8 + 1, F.lit(8)),
-        )
+    if impl == "arrow":  # binary signature: shared banding helpers
+        band_of = _binary_band_of(num_hashes, bands)
+        slot_eq = _binary_slot_eq(num_hashes)
+        banded = _banded_binary(sig, num_hashes, bands)
     else:  # array<long> signature
         band_of = lambda b: F.slice(  # noqa: E731
             F.col("__sig"), b * rows_per_band + 1, rows_per_band
         )
         slot_eq = lambda x, y: F.zip_with(x, y, lambda p, q: p == q)  # noqa: E731
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(band_of(b), b).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bh")
+        banded = sig.select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(band_of(b), b).alias("bh"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("__id", "bb.band", "bb.bh")
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     pairs = (
         banded.alias("a")
@@ -569,8 +630,22 @@ def embedding_cosine_pairs(
     """
     import math
 
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
     from spotify_app_etl_spark.operators.similarity import _as_double
 
+    # The numpy kernel packs ids as int64 (np.fromiter + 'id_a long'
+    # schema); a string-id corpus — valid input to every OTHER dedup
+    # operator — would die with an opaque executor ValueError, so
+    # reject it loudly at plan-build time instead.
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"embedding_cosine_pairs requires an integer id column; "
+            f"{id_col} is {id_type.simpleString()}. Use "
+            f"embedding_cosine_pairs_lsh (id-type-preserving) or map ids "
+            f"to longs first."
+        )
     side = df.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
@@ -617,10 +692,17 @@ def embedding_cosine_pairs(
                 cos = np.round(ma @ mb.T, 8)
                 ia, ib = np.nonzero(cos >= threshold)
                 if same:
-                    # same block on both sides (identical row order):
-                    # upper triangle enumerates each unordered pair
-                    # once and drops the self-pair diagonal
-                    m = ia < ib
+                    # Same block on both sides: keep one orientation of
+                    # each unordered pair and drop the self-diagonal —
+                    # masked BY ID, not by position. rows_a and rows_b
+                    # come from two independent evaluations of the
+                    # unpersisted collect_list aggregate (the self-join
+                    # re-executes it), and Spark does not guarantee the
+                    # two lists share element order; a positional
+                    # ia < ib mask under permuted orders can emit a
+                    # pair twice, miss it entirely, or emit a spurious
+                    # (x, x, 1.0) self-pair.
+                    m = ids_a[ia] < ids_b[ib]
                     ia, ib = ia[m], ib[m]
                 c = cos[ia, ib]
                 # canonical id_a < id_b (ids are globally unique, so
@@ -995,24 +1077,12 @@ def _minhash_dedup_incremental_core(
     shingle_k: int,
 ) -> tuple[DataFrame, DataFrame]:
     spark = new_docs.sparkSession
-    rows_per_band = num_hashes // bands
-    band_of = lambda b: F.substring(  # noqa: E731
-        F.col("__sig"), b * (rows_per_band * 8) + 1, F.lit(rows_per_band * 8)
-    )
+    _check_band_params(num_hashes, bands)
 
     def banded(sig: DataFrame) -> DataFrame:
-        return sig.select(
-            "__id",
-            "__sig",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"), F.xxhash64(band_of(b), b).alias("bh")
-                    ),
-                )
-            ).alias("bb"),
-        ).select("__id", "__sig", "bb.band", "bb.bh")
+        # the SHARED banding helper: index interop requires the
+        # incremental path to band exactly like minhash_candidates
+        return _banded_binary(sig, num_hashes, bands, keep_sig=True)
 
     base = new_docs.select(
         F.col(id_col).alias("__id"), normalized(text_col).alias("__norm")
@@ -1029,11 +1099,7 @@ def _minhash_dedup_incremental_core(
     have_index = _index_exists(spark, index_path)
     index_sig = spark.read.parquet(index_path) if have_index else None
 
-    slot_eq = lambda x, y: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.substring(x, j * 8 + 1, F.lit(8))
-        == F.substring(y, j * 8 + 1, F.lit(8)),
-    )
+    slot_eq = _binary_slot_eq(num_hashes)
 
     def est_filter(pairs: DataFrame) -> DataFrame:
         return pairs.withColumn(

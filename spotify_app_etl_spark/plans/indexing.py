@@ -41,7 +41,10 @@ from spotify_app_etl_spark.plans.common import t
 from spotify_app_etl_spark.registry import query
 
 #: DuckDB mirror of functions.text.tokens() — keep in sync.
-_TOKS = "str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+_TOKS = (
+    "list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
+    " ' '), tk -> tk <> '')"
+)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,10 @@ from spotify_app_etl_spark.plans.common import t
 from spotify_app_etl_spark.registry import query
 
 #: SQL fragment: normalized token list (mirror of dedup.normalized + split)
-_TOKS = "str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+_TOKS = (
+    "list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
+    " ' '), tk -> tk <> '')"
+)
 
 
 @query(

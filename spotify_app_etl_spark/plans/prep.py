@@ -100,7 +100,10 @@ def ns_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: A gram is "boilerplate" when it appears in at least this many docs.
 _MIN_DOC_FREQ = 2
 
-_TOKS = "str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+_TOKS = (
+    "list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
+    " ' '), tk -> tk <> '')"
+)
 _GRAMS3 = """list_distinct(list_transform(
     range(1, greatest(len(toks) - 2, 1) + 1),
     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"""

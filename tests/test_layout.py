@@ -245,3 +245,26 @@ def test_compact_partitioned_scheme_qualified_path(spark, tmp_path):
     assert sorted(
         (r.day, r.v) for r in spark.read.parquet(path).collect()
     ) == rows_before
+
+
+def test_morton_key_int_columns_no_sign_corruption(spark):
+    """shiftleft on IntegerType wraps at bit 31: an int-typed column
+    with bit 15 set used to sign-extend garbage into the long key. The
+    key must be identical whether the inputs are int or long."""
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark.io import morton_key
+
+    df = spark.range(0, 70_000, 4096).select(
+        F.col("id").cast("int").alias("ai"),
+        F.col("id").cast("int").alias("bi"),
+        F.col("id").alias("al"),
+        F.col("id").alias("bl"),
+    )
+    out = df.select(
+        morton_key("ai", "bi", bits=16).alias("ki"),
+        morton_key("al", "bl", bits=16).alias("kl"),
+    )
+    rows = out.collect()
+    assert all(r.ki == r.kl for r in rows)
+    assert all(r.ki >= 0 for r in rows)

@@ -698,3 +698,30 @@ def test_winnowing_shared_substring_guarantee(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     for i in range(30):
         assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fingerprint"
+
+
+def test_empty_text_has_zero_tokens(spark):
+    """split('', ' ') yields [''] — the phantom token must not count:
+    empty/whitespace-only docs need token_count 0 to be filterable."""
+    from spotify_app_etl_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("", 1), ("   \t\n ", 2), ("two tokens", 3)], "text string, i int"
+    )
+    got = {r.i: r.n for r in df.select("i", TX.token_count("text").alias("n")).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
+
+
+def test_cdc_null_op_is_upsert_not_phantom(spark):
+    """A feed row with NULL op is a PRESENT row (upsert), not 'no
+    change': previously it produced a phantom all-NULL row for new keys
+    and silently dropped updates for existing keys."""
+    from spotify_app_etl_spark.operators import cdc
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    feed = spark.createDataFrame(
+        [(2, None, "b2"), (3, None, "c"), (1, "D", None)],
+        "k int, op string, v string",
+    )
+    got = {r.k: r.v for r in cdc.apply_changes(snap, feed, ["k"]).collect()}
+    assert got == {2: "b2", 3: "c"}  # 1 deleted, 2 updated, 3 inserted
