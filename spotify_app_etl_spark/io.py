@@ -199,16 +199,21 @@ def compact_partitioned(
     delete+rename.
 
     Swap semantics, honestly stated: the swap itself is NOT atomic for
-    readers. Between delete and rename the partition is briefly absent
+    readers. Between the two renames the partition is briefly absent
     (a concurrent aggregate silently misses it), and on object stores
-    (s3a) rename is a per-file copy, so a crash mid-rename leaves a
-    partial live partition. Run it when the partition has no
+    (s3a) rename is a per-file copy, so a crash mid-rename can leave a
+    partial live partition there. Run it when the partition has no
     concurrent readers (the hot-partition compaction it targets runs
     in the ingest pipeline's own maintenance step), or on a table
-    format with atomic commits. No bytes are ever lost: the staging
-    copy is complete before anything is deleted, and a crashed swap is
-    resumed on the next invocation (staging present + live dir missing
-    → promote staging before rescanning).
+    format with atomic commits. No bytes are ever lost on a
+    directory-atomic-rename filesystem (HDFS/local): the live dir is
+    never deleted in place — it is RENAMED aside to a hidden
+    ``.<dir>.trash`` (one metadata op, no partial-delete window), the
+    complete staging copy is renamed in, and only then is the trash
+    dropped. Every crash window therefore leaves either a complete
+    live dir, or a complete staging copy (promoted on the next
+    invocation), or a complete trash copy (restored on the next
+    invocation).
     """
     from collections import defaultdict
 
@@ -227,20 +232,43 @@ def compact_partitioned(
     base_p = fs0.makeQualified(hpath(path))
     base = base_p.toString().rstrip("/")
 
-    # Crash recovery BEFORE rescanning: a previous run that died
-    # between delete and rename left `.{leaf}.compact` staged and the
-    # live dir missing — promote the complete staging copy first.
+    # Crash recovery BEFORE rescanning. The swap below is
+    # staging-write → rename(live, .trash) → rename(.compact, live) →
+    # delete(.trash); a crash in any window leaves hidden dirs that
+    # resolve unambiguously:
+    #   live missing + .compact present → died between the renames:
+    #     promote the complete staging copy;
+    #   live missing + only .trash present → staging promote somehow
+    #     failed to start: restore the untouched original;
+    #   live present + .trash present → died before the trash cleanup:
+    #     the promote completed, drop the stale copy;
+    #   live present + .compact present → died before the swap began:
+    #     the staging copy may be partial — drop it, live is intact.
+    hidden: dict[str, set[str]] = {}
     for fpath, _ in _hadoop_list_files(spark, base):
         rel = fpath.split(base + "/", 1)[-1]
         for seg_idx, seg in enumerate(rel.split("/")):
-            if seg.startswith(".") and seg.endswith(".compact"):
-                staged_rel = "/".join(rel.split("/")[: seg_idx + 1])
-                live_leaf = seg[1 : -len(".compact")]
-                staged_p = hpath(base_p, staged_rel)
-                live_p = hpath(staged_p.getParent(), live_leaf)
-                if not fs0.exists(live_p):
-                    fs0.rename(staged_p, live_p)
+            if seg.startswith(".") and (
+                seg.endswith(".compact") or seg.endswith(".trash")
+            ):
+                hidden.setdefault("/".join(rel.split("/")[: seg_idx + 1]), set())
                 break
+    for hidden_rel in sorted(hidden):
+        hid_p = hpath(base_p, hidden_rel)
+        if not fs0.exists(hid_p):  # already handled via a sibling entry
+            continue
+        seg = hid_p.getName()
+        suffix = ".compact" if seg.endswith(".compact") else ".trash"
+        live_p = hpath(hid_p.getParent(), seg[1 : -len(suffix)])
+        if fs0.exists(live_p):
+            fs0.delete(hid_p, True)  # live intact → hidden copy is stale
+        elif suffix == ".compact":
+            fs0.rename(hid_p, live_p)  # complete staging → promote
+            trash_p = hpath(hid_p.getParent(), seg[: -len(".compact")] + ".trash")
+            if fs0.exists(trash_p):
+                fs0.delete(trash_p, True)
+        else:
+            fs0.rename(hid_p, live_p)  # no staging → restore the original
 
     frag: dict[str, list[tuple[str, int]]] = defaultdict(list)
     for fpath, size in _hadoop_list_files(spark, base):
@@ -261,13 +289,22 @@ def compact_partitioned(
             continue
         src_p = hpath(base_p, part_dir)
         staging_p = hpath(src_p.getParent(), f".{src_p.getName()}.compact")
+        trash_p = hpath(src_p.getParent(), f".{src_p.getName()}.trash")
         total = sum(sz for _, sz in files)
         n_files = max(1, -(-total // target_file_bytes))
         spark.read.parquet(src_p.toString()).repartition(n_files).write.mode(
             "overwrite"
         ).parquet(staging_p.toString())
-        fs0.delete(src_p, True)
+        # Swap via two directory renames, never an in-place delete: a
+        # partial recursive delete has no recovery marker, while a
+        # rename is one metadata op on HDFS/local and every crash
+        # window here leaves a complete copy under a recoverable name
+        # (see the recovery block above).
+        if fs0.exists(trash_p):
+            fs0.delete(trash_p, True)  # stale from a pre-cleanup crash
+        fs0.rename(src_p, trash_p)
         fs0.rename(staging_p, src_p)
+        fs0.delete(trash_p, True)
         done[part_dir] = _dataset_file_count(
             spark, src_p.toString(), suffix=".parquet"
         )

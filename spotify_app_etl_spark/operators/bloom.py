@@ -160,23 +160,36 @@ def might_contain(df: DataFrame, key_col: str | Column, bloom: tuple[bytes, int,
     @pandas_udf("boolean")
     def probe(keys: pd.Series) -> pd.Series:
         bits = bc.value
-        # NULL keys: equality never matches, so "might contain" is
-        # False — and they must not reach the int64 conversion (Arrow
-        # hands NULL-bearing int columns over as float64 with NaN,
-        # which to_numpy(dtype=int64) rejects with a task-killing
-        # ValueError).
-        valid = keys.notna().to_numpy()
-        out = np.zeros(len(keys), dtype=bool)
-        if valid.any():
-            pos = _positions(
-                keys[valid].to_numpy(dtype=np.int64), n_hashes, m_bits
+        if not len(keys):
+            return pd.Series(np.zeros(0, dtype=bool))
+        arr = keys.to_numpy()
+        if not np.issubdtype(arr.dtype, np.integer):
+            # A non-integer batch means a NULL slipped past the
+            # coalesce guard below: Arrow hands a NULL-bearing int
+            # column to pandas as float64, which silently rounds keys
+            # above 2^53 — a corrupted key hashes to different bit
+            # positions than the build side set, i.e. a Bloom FALSE
+            # NEGATIVE that drops genuinely matching join rows. Fail
+            # loudly rather than return a wrong answer.
+            raise TypeError(
+                f"bloom probe expected an integer batch, got {arr.dtype}: "
+                "NULL keys must be coalesced out before the Arrow transfer "
+                "(use might_contain, which guards this)"
             )
-            hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
-            out[valid] = hit.all(axis=1)
-        return pd.Series(out)
+        pos = _positions(arr.astype(np.int64, copy=False), n_hashes, m_bits)
+        hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return pd.Series(hit.all(axis=1))
 
     key_col = F.col(key_col) if isinstance(key_col, str) else key_col
-    return probe(key_col)
+    # NULL keys can never equi-match, so they are masked to False — but
+    # the masking must happen JVM-side, not in the UDF: one NULL in an
+    # Arrow batch turns the whole int64 batch into float64, corrupting
+    # every key above 2^53 (observed: 1152921504606846977 →
+    # …976 → false negative → silently dropped join rows). Coalescing
+    # to 0 BEFORE the transfer keeps the batch integer end-to-end; the
+    # `& isNotNull()` restores NULL → False regardless of what bit
+    # pattern key 0 happens to probe.
+    return probe(F.coalesce(key_col.cast("long"), F.lit(0))) & key_col.isNotNull()
 
 
 def bloom_prefiltered_join(

@@ -23,6 +23,9 @@ data pipeline needs, each designed for 100 TB:
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -36,27 +39,93 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 # plans call release_cached() after materializing each one.
 # ---------------------------------------------------------------------------
 
-_PERSISTED: list[DataFrame] = []
+_PERSISTED: list[tuple[object, DataFrame]] = []
+_PERSIST_LOCK = threading.Lock()
+_SCOPE_TL = threading.local()
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df.persist())
+    token = getattr(_SCOPE_TL, "token", None)
+    with _PERSIST_LOCK:
+        _PERSISTED.append((token, df.persist()))
     return df
+
+
+@contextlib.contextmanager
+def cache_scope():
+    """Release ONLY the caches registered inside this block at exit.
+
+    For consumers that share the process with other running jobs — a
+    ``foreachBatch`` callback on the streaming thread, a driver loop
+    overlapping an ETL run: the global :func:`release_cached` is a
+    whole-process janitor and would unpersist the OTHER job's pinned
+    tables mid-plan (e.g. ``rank.global_row_number``'s range-partitioned
+    table between its counts collect and the final join, voiding its
+    same-boundaries guarantee). Scope tracking is thread-local, so a
+    concurrent thread's ``_scoped_persist`` calls are never captured by
+    this block."""
+    token = object()
+    prev = getattr(_SCOPE_TL, "token", None)
+    _SCOPE_TL.token = token
+    try:
+        yield
+    finally:
+        _SCOPE_TL.token = prev
+        with _PERSIST_LOCK:
+            mine = [df for t, df in _PERSISTED if t is token]
+            _PERSISTED[:] = [(t, df) for t, df in _PERSISTED if t is not token]
+        for df in mine:
+            df.unpersist()
+
+
+def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """A byte-valued SQLConf as an int ("134217728b", "128m", "4MB")."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suffix in ("kb", "mb", "gb", "tb"):
+        if raw.endswith(suffix):
+            return int(float(raw[:-2]) * units[suffix[0]])
+    if raw and raw[-1] in units:
+        return int(float(raw[:-1]) * units[raw[-1]])
+    try:
+        return int(raw)
+    except ValueError:
+        return default
 
 
 def _fan_out(base: DataFrame, want: int) -> DataFrame:
     """Repartition up to ``want`` partitions for the signature kernel.
 
-    Estimates the scan width from ``inputFiles()`` instead of
-    ``.rdd.getNumPartitions()`` — the RDD accessor forces a full
-    DataFrame→RDD plan conversion just to read a count. File sources
-    report their file count (≈ task count for small files, an
-    underestimate when maxPartitionBytes splits large files — then the
-    repartition is merely redundant, and its payload here is the narrow
-    (id, normalized-text) projection). Non-file sources report 0 files
-    and always repartition, the safe direction for the fan-out.
+    Estimates the scan width WITHOUT ``.rdd.getNumPartitions()`` (the
+    RDD accessor forces a full DataFrame→RDD plan conversion just to
+    read a count). ``inputFiles()`` alone is not enough: Spark
+    bin-packs files into ``FilePartition``s of
+    ``min(maxPartitionBytes, max(openCostInBytes, paddedBytes/cores))``
+    each, so many small files can still scan as few tasks when
+    ``openCostInBytes`` is tuned low (or ``want`` exceeds the
+    parallelism the packing targets). The guard below mirrors that
+    formula with file sizes taken as 0 — a monotone LOWER bound on the
+    real partition count (padded bytes only ever push the estimate up),
+    so the only error direction is a redundant repartition, and the
+    repartition payload here is the narrow (id, normalized-text)
+    projection. Non-file sources report 0 files and always repartition,
+    the safe direction for the fan-out.
     """
-    if len(base.inputFiles()) < want:
+    n_files = len(base.inputFiles())
+    if n_files < want:
+        return base.repartition(want)
+    spark = base.sparkSession
+    open_cost = _size_conf_bytes(
+        spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+    )
+    max_pb = _size_conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    cores = max(1, spark.sparkContext.defaultParallelism)
+    padded_floor = n_files * open_cost
+    target = min(max_pb, max(open_cost, padded_floor // cores))
+    est_partitions = padded_floor // target if target else 0
+    if est_partitions < want:
         return base.repartition(want)
     return base
 
@@ -82,13 +151,21 @@ def _cap_buckets(
 
 
 def release_cached() -> None:
-    """Unpersist every signature/gram table cached by dedup operators.
+    """Unpersist EVERY table cached via ``_scoped_persist``, regardless
+    of scope — the whole-process janitor for single-tenant loops (bench
+    sweeps, test teardown, the explain audit) where nothing else is
+    running. A consumer sharing the process with other live jobs must
+    use :func:`cache_scope` instead: this releases other jobs' pinned
+    tables too.
 
-    Safe at any time: an unpersisted plan stays correct (it recomputes),
-    so call this once the plans built since the last release have been
-    materialized."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    Safe at any time for correctness: an unpersisted plan stays correct
+    (it recomputes), so call this once the plans built since the last
+    release have been materialized."""
+    with _PERSIST_LOCK:
+        all_entries = list(_PERSISTED)
+        _PERSISTED.clear()
+    for _, df in all_entries:
+        df.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1051,19 +1128,19 @@ def minhash_dedup_incremental_with_sigs(
 
 
 def _index_exists(spark: SparkSession, path: str) -> bool:
-    """Scheme-agnostic existence check via the Hadoop FileSystem API."""
+    """Scheme-agnostic "index has data" check: path exists AND holds at
+    least one parquet file (an empty directory — e.g. a touched prefix —
+    is still "no index"). Delegates to io's Hadoop FileSystem helpers so
+    the package has exactly ONE recursive-listing implementation to keep
+    correct across schemes."""
+    from spotify_app_etl_spark.io import _dataset_file_count
+
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
-    if not fs.exists(jpath):
+    if not jpath.getFileSystem(hconf).exists(jpath):
         return False
-    # an empty directory (e.g. a touched prefix) is still "no index"
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            return True
-    return False
+    return _dataset_file_count(spark, path, suffix=".parquet") > 0
 
 
 def _minhash_dedup_incremental_core(

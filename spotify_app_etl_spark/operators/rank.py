@@ -43,6 +43,19 @@ def global_row_number(
     ``row_number().over(Window.orderBy(...))`` is one shuffle to a
     SINGLE partition and a serial sort of the entire table.
     """
+    ranked, _ = _global_row_number_with_total(df, order_cols, out, num_ranges)
+    return ranked
+
+
+def _global_row_number_with_total(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out: str = "rn",
+    num_ranges: int | None = None,
+) -> tuple[DataFrame, int]:
+    """(ranked df, total row count) — the counts collect that builds
+    the prefix-sum offsets already knows N, so consumers that need it
+    (ntile) must not launch a second full count() job over the table."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *cols).withColumn(
@@ -78,11 +91,12 @@ def global_row_number(
     off_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
     )
-    return (
+    ranked = (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )
+    return ranked, acc
 
 
 def global_ntile(
@@ -100,10 +114,13 @@ def global_ntile(
     bit-for-bit while staying parallel.
     """
     rn = "__ntile_rn"
-    ranked = global_row_number(df, order_cols, out=rn, num_ranges=num_ranges)
-    # One count over already-checkpointed rows (cheap); N as a literal
-    # keeps the tile arithmetic a pure projection.
-    n_rows = ranked.count()
+    # N rides along with the offsets collect inside the rank build — a
+    # separate ranked.count() would launch one more whole-table job
+    # (plus the broadcast join it contains) just to recompute a sum the
+    # driver already took.
+    ranked, n_rows = _global_row_number_with_total(
+        df, order_cols, out=rn, num_ranges=num_ranges
+    )
     big = n_rows % n_tiles  # tiles that get one extra row
     size_big = n_rows // n_tiles + 1
     size_small = n_rows // n_tiles

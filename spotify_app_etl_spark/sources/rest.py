@@ -237,13 +237,29 @@ def batched_lookup(
         bucket = (
             TokenBucket(rate=global_rate / n_parts, burst=2.0) if global_rate else None
         )
+
+        def fetch(chunk: list[str]) -> Iterator[pd.DataFrame]:
+            if bucket is not None:
+                bucket.acquire()
+            rows = fetch_batch(chunk)
+            if rows:
+                yield pd.DataFrame(rows)
+
+        # `parts` yields one pandas frame PER ARROW BATCH (default
+        # 10,000 rows), not per partition — chunking each frame
+        # independently would issue an under-full trailing request
+        # every 10,000 ids instead of once per partition (the
+        # documented bound, and real money against a rate-limited
+        # API). Carry the remainder across frames; flush it once at
+        # partition end.
+        pending: list[str] = []
         for pdf in parts:
-            vals = pdf["__id"].tolist()
-            for i in range(0, len(vals), batch_size):
-                if bucket is not None:
-                    bucket.acquire()
-                rows = fetch_batch(vals[i : i + batch_size])
-                if rows:
-                    yield pd.DataFrame(rows)
+            pending.extend(pdf["__id"].tolist())
+            full_end = len(pending) - (len(pending) % batch_size)
+            for i in range(0, full_end, batch_size):
+                yield from fetch(pending[i : i + batch_size])
+            pending = pending[full_end:]
+        if pending:
+            yield from fetch(pending)
 
     return batches.mapInPandas(run, schema=result_schema)

@@ -414,7 +414,16 @@ def streaming_dedup_ingest(
         # text); take them back instead of re-deriving from raw text.
         # A fresh deployment's batch 0 bootstraps the index (missing
         # path == empty index inside the dedup core).
-        try:
+        # cache_scope, not the global release_cached(): this callback
+        # runs on the streaming microbatch thread, and the process may
+        # be running OTHER jobs concurrently (an ETL pipeline, a rank
+        # operator holding a pinned range-partitioned table) whose
+        # scoped caches a global release would unpersist mid-plan. The
+        # scope releases exactly the caches THIS batch registered —
+        # even on a failed sink/index write, where each foreachBatch
+        # retry would otherwise persist another signature table
+        # (unbounded cache growth across a flaky outage).
+        with DD.cache_scope():
             kept, kept_sig = DD.minhash_dedup_incremental_with_sigs(
                 batch_df, index_path, text_col, id_col, threshold=threshold
             )
@@ -423,12 +432,6 @@ def streaming_dedup_ingest(
             # batch signatures, so no extra pinning join is needed.
             kept.write.mode("append").parquet(out_path)
             kept_sig.write.mode("append").parquet(index_path)
-        finally:
-            # even on a failed sink/index write: the dedup core already
-            # persisted+materialized this batch's signature table, and
-            # each foreachBatch RETRY would persist another — cache
-            # growth per failure, unbounded across a flaky outage
-            DD.release_cached()
 
     return stream_to_batch_sink(
         docs_stream,

@@ -117,6 +117,24 @@ def test_null_probe_keys_filtered_not_crashed(spark):
     assert len(got) > 0
 
 
+def test_null_in_batch_does_not_corrupt_large_keys(spark):
+    """A NULL sharing an Arrow batch with a key above 2^53 must not
+    round-trip that key through float64 (1152921504606846977 → …976),
+    which would probe the wrong bit positions — a Bloom false negative
+    that silently drops a matching join row."""
+    big = (1 << 60) + 1  # not representable in float64
+    build = spark.createDataFrame([(big,)], "bk long")
+    probe = spark.createDataFrame(
+        [(big, "hit"), (None, "null"), (123, "miss")], "pk long, tag string"
+    ).coalesce(1)  # one partition → one Arrow batch holding NULL + big key
+    got = (
+        bloom.bloom_prefiltered_join(probe, build, "pk", "bk")
+        .select("pk", "tag")
+        .collect()
+    )
+    assert [(r["pk"], r["tag"]) for r in got] == [(big, "hit")]
+
+
 def test_probe_preserving_join_rejected(spark):
     """how='left' must be rejected: the prefilter drops probe rows a
     left join is required to keep."""

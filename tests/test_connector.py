@@ -180,3 +180,37 @@ def test_batched_lookup_respects_batch_cap_and_covers_all_ids(spark):
     assert len(out) == 537
     assert {r.id for r in out} == {str(i) for i in range(537)}
     assert max(r.batch_len for r in out) <= 100
+
+
+def test_batched_lookup_at_most_one_underfull_request_per_partition(spark):
+    """mapInPandas hands over one frame per ARROW BATCH, not per
+    partition: the remainder must carry across frames so a partition
+    spanning many batches still issues at most ONE under-full request
+    (tagging each output row with its request's size makes the request
+    log visible through the collected rows)."""
+    ids = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS id")
+
+    def fetch(chunk):
+        return [{"id": x, "batch_len": len(chunk)} for x in chunk]
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        out = rest.batched_lookup(
+            ids,
+            fetch,
+            result_schema="id string, batch_len int",
+            batch_size=64,
+            max_concurrent_partitions=2,
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(out) == 1000
+    assert {r.id for r in out} == {str(i) for i in range(1000)}
+    assert max(r.batch_len for r in out) <= 64
+    # At most one under-full request per partition: with 2 partitions
+    # the rows carried by under-full requests total < 2 × batch_size.
+    # (Without the remainder carry, every 100-row Arrow frame ends in
+    # a 36-id request — 180 such rows per partition — and this fails.)
+    underfull_rows = [r for r in out if r.batch_len < 64]
+    assert len(underfull_rows) < 64 * 2, len(underfull_rows)

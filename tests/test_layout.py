@@ -209,6 +209,47 @@ def test_compact_partitioned_resumes_crashed_swap(spark, tmp_path):
     ) == rows_before
 
 
+def test_compact_partitioned_recovers_every_swap_window(spark, tmp_path):
+    """The rename-based swap leaves a complete copy in every crash
+    window; each hidden-dir state must resolve to the full partition:
+    (a) .compact + .trash present, live missing → promote staging;
+    (b) .trash present, live present → stale copy dropped, live kept;
+    (c) .compact present, live present → possibly-partial staging
+        dropped, live kept."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark.io import compact_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("day"), F.col("id").alias("v")
+    )
+    df.write.partitionBy("day").mode("overwrite").parquet(path)
+    rows_before = sorted((r.day, r.v) for r in spark.read.parquet(path).collect())
+
+    # (a) crash between rename(live, trash) and rename(compact, live)
+    spark.read.parquet(f"{path}/day=0").coalesce(1).write.parquet(
+        f"{path}/.day=0.compact"
+    )
+    shutil.move(f"{path}/day=0", f"{path}/.day=0.trash")
+    # (b) crash after the promote, before the trash cleanup
+    shutil.copytree(f"{path}/day=1", f"{path}/.day=1.trash")
+    # (c) crash after staging, before the swap began (staging partial)
+    import pathlib
+
+    pathlib.Path(f"{path}/.day=2.compact").mkdir()
+    pathlib.Path(f"{path}/.day=2.compact/part-00000.parquet").write_bytes(b"junk")
+
+    compact_partitioned(spark, path, target_file_bytes=1 << 30, max_partitions=0)
+    assert sorted(
+        (r.day, r.v) for r in spark.read.parquet(path).collect()
+    ) == rows_before
+    leftovers = [p.name for p in (tmp_path / "t").iterdir() if p.name.startswith(".")]
+    assert not [n for n in leftovers if n.endswith((".compact", ".trash"))], leftovers
+
+
 def test_compact_partitioned_scheme_qualified_path(spark, tmp_path):
     """A scheme-qualified base path (``file://...``, standing in for
     ``s3a://`` / ``hdfs://``) must compact and crash-recover the same as

@@ -725,3 +725,65 @@ def test_cdc_null_op_is_upsert_not_phantom(spark):
     )
     got = {r.k: r.v for r in cdc.apply_changes(snap, feed, ["k"]).collect()}
     assert got == {2: "b2", 3: "c"}  # 1 deleted, 2 updated, 3 inserted
+
+
+def test_cache_scope_releases_only_own_entries(spark):
+    """cache_scope must unpersist exactly what was registered inside it:
+    entries registered outside the scope (another job's pinned tables)
+    and on OTHER threads (a concurrent pipeline while the streaming
+    foreachBatch callback releases its batch) stay persisted."""
+    import threading
+
+    from spotify_app_etl_spark.operators import dedup as DD
+
+    outer = spark.range(10)
+    DD._scoped_persist(outer)
+    outer.count()
+
+    concurrent: dict[str, object] = {}
+
+    def other_thread_persist() -> None:
+        df = spark.range(7)
+        DD._scoped_persist(df)
+        df.count()
+        concurrent["df"] = df
+
+    with DD.cache_scope():
+        inner = spark.range(5)
+        DD._scoped_persist(inner)
+        inner.count()
+        worker = threading.Thread(target=other_thread_persist)
+        worker.start()
+        worker.join()
+        assert inner.storageLevel.useMemory
+
+    assert not inner.storageLevel.useMemory  # own entry released
+    assert outer.storageLevel.useMemory  # outer job untouched
+    assert concurrent["df"].storageLevel.useMemory  # other thread untouched
+
+    DD.release_cached()  # the global janitor still clears everything
+    assert not outer.storageLevel.useMemory
+    assert not concurrent["df"].storageLevel.useMemory
+
+
+def test_fan_out_sees_through_bin_packing(spark, tmp_path):
+    """inputFiles() >= want is NOT sufficient: with openCostInBytes
+    tuned to ~0, Spark bin-packs many tiny files into few scan tasks
+    and the Arrow kernels would run nearly serially. The packing-aware
+    lower bound must force the repartition in that regime."""
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark.operators.dedup import _fan_out
+
+    p = str(tmp_path / "tiny_files")
+    spark.range(1000).repartition(12).write.parquet(p)
+    old = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        tiny = spark.read.parquet(p)
+        assert len(tiny.inputFiles()) >= 8
+        widened = _fan_out(tiny, 8)
+        nparts = widened.select(F.spark_partition_id().alias("p")).distinct().count()
+        assert nparts == 8
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", old)
