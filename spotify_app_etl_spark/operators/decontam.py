@@ -85,8 +85,21 @@ def decontaminate(
     A left-anti join against the contaminated id set — the id set is
     tiny (matched subset only), so AQE turns this into a second
     broadcast join; the full train relation is still never shuffled.
+
+    The id set is a plain ``distinct`` over the matched ids, NOT
+    ``contamination_report(...).select(id_col)``: the report's two
+    COUNT(DISTINCT) aggregates would be computed and thrown away, and
+    multi-distinct forces Catalyst's Expand — every matched row
+    duplicated per distinct aggregate through the only exchange this
+    module has.
     """
-    flagged = contamination_report(
-        train, bench, text_col, id_col, n=n, broadcast=broadcast
-    ).select(id_col)
+    bench_grams = _grams(bench, text_col, id_col, n, "bench_id").select("gram")
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    flagged = (
+        _grams(train, text_col, id_col, n, id_col)
+        .join(bench_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
     return train.join(flagged, id_col, "left_anti")

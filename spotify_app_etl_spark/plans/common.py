@@ -54,3 +54,14 @@ def sql_dsum(inner: str, alias: str) -> str:
 
 def sql_davg(inner: str, alias: str) -> str:
     return f"CAST(SUM({inner}) AS DOUBLE) / COUNT({inner}) AS {alias}"
+
+
+#: DuckDB mirror of ``functions.text.tokens`` (= dedup.normalized →
+#: whitespace split → drop empty tokens). ONE definition for every
+#: oracle that tokenizes `documents.text`: a change to the
+#: normalization (e.g. unicode folding) must not be able to land in one
+#: module's copy and silently diverge the other's oracles.
+SQL_TOKS = (
+    "list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
+    " ' '), tk -> tk <> '')"
+)

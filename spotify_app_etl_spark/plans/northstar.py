@@ -17,14 +17,12 @@ from spotify_app_etl_spark.functions import multimodal as MM
 from spotify_app_etl_spark.functions import text as TX
 from spotify_app_etl_spark.operators import dedup as DD
 from spotify_app_etl_spark.operators import similarity as SIM
-from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.plans.common import SQL_TOKS, t
 from spotify_app_etl_spark.registry import query
 
-#: SQL fragment: normalized token list (mirror of dedup.normalized + split)
-_TOKS = (
-    "list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
-    " ' '), tk -> tk <> '')"
-)
+#: SQL fragment: normalized token list — the shared single definition
+#: (plans.common.SQL_TOKS), aliased for the f-string oracles below.
+_TOKS = SQL_TOKS
 
 
 @query(

@@ -116,6 +116,12 @@ _PRIORITY: tuple[str, ...] = (
     "q_sql_recursive_cte",
     "ns_curriculum_bins",
     "ns_corpus_shuffle",
+    # (4b) edited late in round 4: window tie-breaks (32-bit sample-key
+    # prefix collisions), filtered tokenization, semi-join decontam
+    "ns_mix_token_budget",
+    "ns_shard_pack",
+    "ns_quality_repetition",
+    "ns_decontaminate_clean",
     "ns_hybrid_rrf_search",
     "ns_dedup_embedding_cosine",
     "ns_embed_semantic_clusters",
