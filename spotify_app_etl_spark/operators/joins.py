@@ -10,8 +10,8 @@ union + ordered window (``last(..., ignorenulls=True)``) — ONE shuffle
 on (key), no UDF, no per-row lookup:
 
     tag left/right → unionByName → window partitionBy(key)
-    orderBy(ts, is_left) carrying last non-null right payload →
-    keep left rows.
+    orderBy(ts, is_left) carrying the last right ROW (one struct, so a
+    matched row's NULL payload stays NULL) → keep left rows.
 
 This beats the pandas ``merge_asof`` route (applyInPandas) at scale:
 the window is whole-stage-codegen'd JVM code and skew-handling is
@@ -58,17 +58,32 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, ts)]
+    if not right_cols:
+        return left
 
     l_tag = left.withColumn("__is_left", F.lit(1))
+    # The payload is carried as ONE struct, not per-column: the struct
+    # is non-null whenever a right ROW exists, so last(ignorenulls)
+    # tracks "most recent right row" — a matched row whose payload
+    # value is NULL stays NULL (per-column carry would reach past it to
+    # a STALE earlier row, and with several right_cols could even tear
+    # one output row's columns from DIFFERENT right rows; DuckDB's
+    # ASOF JOIN returns the matched row's values verbatim).
     r_tag = (
         right.filter(F.col(ts).isNotNull())
-        .select(key, ts, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols])
+        .select(
+            key,
+            ts,
+            F.struct(
+                *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+            ).alias("__r"),
+        )
         .withColumn("__is_left", F.lit(0))
     )
 
     carried = [f"{c}{suffix}" for c in right_cols]
     # allowMissingColumns fills each side's absent columns with
-    # correctly-typed nulls — left rows get NULL carried columns, right
+    # correctly-typed nulls — left rows get a NULL __r struct, right
     # rows NULL left-payload columns.
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # right rows first at equal ts → "<=" (resp. ">=") match semantics;
@@ -87,12 +102,11 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in carried]
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__f")
     )
     return (
         filled.filter(F.col("__is_left") == 1)
-        .drop("__is_left", *carried)
         .select(
-            *left.columns, *[F.col(f"__f_{c}").alias(c) for c in carried]
+            *left.columns, *[F.col(f"__f.{c}").alias(c) for c in carried]
         )
     )

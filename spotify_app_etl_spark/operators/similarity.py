@@ -140,7 +140,43 @@ def hyperplane_bucket(
     out = F.lit(0)
     for p in range(planes):
         out = out.bitwiseOR(bit(p))
-    return out
+    # NULL embedding → NULL bucket, NOT bucket 0: a NULL projection
+    # falls through every when().otherwise(0), which would silently
+    # hash every NULL vector into bucket 0 of every table — phantom
+    # NULL-cos_sim neighbors for any query probing bucket 0. NULL
+    # drops out of the null-unsafe bucket equi-join instead, matching
+    # the Arrow kernel's NULL → NULL-bucket-array behavior.
+    return F.when(v.isNotNull(), out)
+
+
+def _cell_rank(centers: list[list[float]], v: Column) -> Column:
+    """Array of IVF cell ids ranked by squared centroid distance to
+    ``v`` (ascending; ties by cell id via the struct sort order).
+
+    THE one ranking definition — in-memory probing
+    (:func:`cosine_topk_ivf`), persisted-index append assignment
+    (:func:`ivf_index_write`), and persisted-index search
+    (:func:`ivf_index_search`) must rank identically, or vectors
+    appended to "their nearest cell" land in cells the search never
+    probes. ``centers[i]`` is cell ``i``'s centroid (cell ids are
+    contiguous 0..n-1 by construction on every path).
+    """
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in center]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            F.lit(i).alias("cell"),
+        )
+        for i, center in enumerate(centers)
+    ]
+    return F.transform(F.array_sort(F.array(*structs)), lambda s: s["cell"])
 
 
 def cosine_topk_ivf(
@@ -177,58 +213,33 @@ def cosine_topk_ivf(
     model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__features").fit(c_feat)
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
 
+    # __cv rides through the cell assignment into the candidates join:
+    # scoring then needs NO second corpus scan/shuffle (cn=None).
     assigned = model.transform(c_feat).select(
-        corpus_id, F.col("prediction").alias("__cell")
+        corpus_id, "__cv", F.col("prediction").alias("__cell")
     )
 
-    def sq_dist_to(center: list[float], v: Column) -> Column:
-        carr = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(v, carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # rank cells per query by centroid distance, probe the closest n_probe
+    # rank cells per query by centroid distance, probe the closest
+    # n_probe — _cell_rank is the ONE ranking definition shared with
+    # the persisted index's build and search
     q = queries.select(
         F.col(query_id), _as_double(F.col(vec)).alias("__qv")
     ).withColumn(
-        "__cells",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.array(
-                        *[
-                            F.struct(
-                                sq_dist_to(centers[i], F.col("__qv")).alias("d"),
-                                F.lit(i).alias("cell"),
-                            )
-                            for i in range(len(centers))
-                        ]
-                    )
-                ),
-                lambda s: s["cell"],
-            ),
-            1,
-            n_probe,
-        ),
+        "__cells", F.slice(_cell_rank(centers, F.col("__qv")), 1, n_probe)
     )
     probes = q.select(query_id, F.explode("__cells").alias("__cell"))
-    candidates = assigned.join(F.broadcast(probes), "__cell").select(query_id, corpus_id)
+    candidates = assigned.join(F.broadcast(probes), "__cell").select(
+        query_id, corpus_id, "__cv"
+    )
 
-    qn = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv")).withColumn(
-        "__qn", l2_norm(F.col("__qv"))
-    )
-    cn = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")).withColumn(
-        "__cn", l2_norm(F.col("__cv"))
-    )
-    return _score_topk(candidates, qn, cn, k, query_id, corpus_id)
+    qn = q.select(query_id, "__qv").withColumn("__qn", l2_norm(F.col("__qv")))
+    return _score_topk(candidates, qn, None, k, query_id, corpus_id)
 
 
 def _score_topk(
     candidates: DataFrame,
     qn: DataFrame,
-    cn: DataFrame,
+    cn: DataFrame | None,
     k: int,
     query_id: str,
     corpus_id: str,
@@ -240,16 +251,24 @@ def _score_topk(
     (ties broken on corpus id).
 
     ``qn`` must carry (query_id, __qv, __qn), ``cn`` (corpus_id, __cv,
-    __cn). One definition so tie-breaking, rounding, and dedup
-    semantics cannot drift between the five kernels that previously
-    each carried a copy of this block. ``dedup`` drops repeated
-    (query, corpus) rows BEFORE ranking — required for the persisted
-    indexes, where a crashed-then-retried append leaves duplicate rows
-    (identical scores, so dropping any one is exact).
+    __cn) — or pass ``cn=None`` when ``candidates`` already carries
+    ``__cv`` (the vectors rode the candidates join): that skips the
+    corpus-side scoring join entirely, i.e. one fewer full corpus scan
+    AND its shuffle, at the price of recomputing the norm per candidate
+    row (a dim-length arithmetic fold — cheap next to a corpus scan).
+    One definition so tie-breaking, rounding, and dedup semantics
+    cannot drift between the five kernels that previously each carried
+    a copy of this block. ``dedup`` drops repeated (query, corpus) rows
+    BEFORE ranking — required for the persisted indexes, where a
+    crashed-then-retried append leaves duplicate rows (identical
+    scores, so dropping any one is exact).
     """
+    if cn is None:
+        base = candidates.withColumn("__cn", l2_norm(F.col("__cv")))
+    else:
+        base = candidates.join(cn, corpus_id)
     scored = (
-        candidates.join(F.broadcast(qn), query_id)
-        .join(cn, corpus_id)
+        base.join(F.broadcast(qn), query_id)
         .withColumn(
             "cos_sim",
             F.round(
@@ -387,18 +406,18 @@ def cosine_topk_lsh(
     q = q.select(
         query_id, "__qv", F.explode(F.array_distinct(F.array(*probe_structs))).alias("tb")
     ).select(query_id, "__qv", "tb.tbl", "tb.bkt")
+    # __cv rides the bucket join (c carries it), so the pair dedup
+    # keeps it and scoring needs NO second corpus scan/shuffle
+    # (cn=None) — the same vectors-ride-the-join shape the persisted
+    # index uses. dropDuplicates on the id pair is exact: every copy
+    # of a (query, corpus) pair carries the identical vector.
     candidates = (
         c.join(F.broadcast(q.drop("__qv")), ["tbl", "bkt"])
-        .select(query_id, corpus_id)
-        .distinct()
+        .select(query_id, corpus_id, "__cv")
+        .dropDuplicates([query_id, corpus_id])
     )
-    qn = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv")).withColumn(
-        "__qn", l2_norm(F.col("__qv"))
-    )
-    cn = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")).withColumn(
-        "__cn", l2_norm(F.col("__cv"))
-    )
-    return _score_topk(candidates, qn, cn, k, query_id, corpus_id)
+    qn = q0.select(query_id, "__qv").withColumn("__qn", l2_norm(F.col("__qv")))
+    return _score_topk(candidates, qn, None, k, query_id, corpus_id)
 
 
 # ---------------------------------------------------------------------------
@@ -696,28 +715,14 @@ def ivf_index_write(
         stored = spark.read.parquet(f"{gdir}/centroids").collect()
         centers = [list(r["center"]) for r in sorted(stored, key=lambda r: r["cell"])]
 
-        def nearest(v: Column) -> Column:
-            dists = F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                v,
-                                F.array(*[F.lit(float(x)) for x in centers[i]]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ).alias("d"),
-                        F.lit(i).alias("cell"),
-                    )
-                    for i in range(len(centers))
-                ]
-            )
-            return F.element_at(F.array_sort(dists), 1)["cell"]
-
+        # _cell_rank: the SAME ranking the search side uses — appended
+        # vectors must land in the cell the search will probe for them
         assigned = c_feat.select(
-            "corpus_id", "v", nearest(F.col("v")).cast("int").alias("cell")
+            "corpus_id",
+            "v",
+            F.element_at(_cell_rank(centers, F.col("v")), 1)
+            .cast("int")
+            .alias("cell"),
         )
     else:
         gen = meta["gen"] + 1 if meta is not None else 1
@@ -776,28 +781,12 @@ def ivf_index_search(
     q0 = queries.select(
         F.col(query_id), _as_double(F.col(vec)).alias("__qv")
     ).withColumn("__qn", l2_norm(F.col("__qv")))
-    dist_structs = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qv"),
-                    F.array(*[F.lit(float(x)) for x in centers[i]]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            F.lit(i).alias("cell"),
-        )
-        for i in sorted(centers)
-    ]
+    # cell ids are contiguous 0..n-1 (written as range(n) at build), so
+    # the sorted-key list indexes line up with _cell_rank's enumerate —
+    # the SAME ranking the build side used to assign appended vectors
+    center_list = [centers[i] for i in sorted(centers)]
     q = q0.withColumn(
-        "__cells",
-        F.slice(
-            F.transform(F.array_sort(F.array(*dist_structs)), lambda s: s["cell"]),
-            1,
-            n_probe,
-        ),
+        "__cells", F.slice(_cell_rank(center_list, F.col("__qv")), 1, n_probe)
     )
     probes = q.select(query_id, F.explode("__cells").alias("cell"))
     # Not _score_topk: the assigned table already carries (v, norm), so

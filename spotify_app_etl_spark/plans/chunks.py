@@ -28,15 +28,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from spotify_app_etl_spark.operators.dedup import normalized
-from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.functions import text as TX
+from spotify_app_etl_spark.plans.common import SQL_TOKS, t
 from spotify_app_etl_spark.registry import query
 
-#: SQL fragment: normalized token list (mirror of dedup.normalized + split).
-_TOKS = (
-    "list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
-    " ' '), tk -> tk <> '')"
-)
+#: SQL fragment: normalized token list — the shared single definition
+#: (plans.common.SQL_TOKS), aliased for the f-string oracles below.
+_TOKS = SQL_TOKS
 
 _CHUNK = 16
 
@@ -79,9 +77,9 @@ GROUP BY c.doc_id
 )
 def ns_dedup_chunk_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(normalized("text"), " ").alias("__toks")
-    )
+    # TX.tokens (filtered), matching the oracle's _TOKS: a blank doc
+    # must chunk to zero tokens, not one phantom '' token.
+    toks = docs.select("doc_id", TX.tokens("text").alias("__toks"))
     n_chunks = F.greatest(
         F.ceil(F.size("__toks") / F.lit(float(_CHUNK))), F.lit(1)
     ).cast("int")
@@ -138,7 +136,9 @@ FROM f
 )
 def ns_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = F.split(normalized("text"), " ")
+    # TX.tokens (filtered) — see ns_dedup_chunk_shared: n_tokens must
+    # be 0 for a blank doc on both engines or the band diverges.
+    toks = TX.tokens("text")
     stop_lits = F.array(*[F.lit(s) for s in _STOPWORDS])
     f = docs.select(
         "doc_id",

@@ -37,14 +37,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from spotify_app_etl_spark.functions.text import tokens
-from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.plans.common import SQL_TOKS, t
 from spotify_app_etl_spark.registry import query
 
-#: DuckDB mirror of functions.text.tokens() — keep in sync.
-_TOKS = (
-    "list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
-    " ' '), tk -> tk <> '')"
-)
+#: DuckDB mirror of functions.text.tokens() — the shared single
+#: definition (plans.common.SQL_TOKS), aliased for the oracles below.
+_TOKS = SQL_TOKS
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from spotify_app_etl_spark.plans.common import davg, dec, dsum, sql_davg, sql_dsum, t
+from spotify_app_etl_spark.plans.common import davg, dec, dsum, sql_dsum, t
 from spotify_app_etl_spark.registry import query
 
 #: Derived lateness predicate (testdata has no commit/receipt dates):

@@ -122,6 +122,14 @@ _PRIORITY: tuple[str, ...] = (
     "ns_shard_pack",
     "ns_quality_repetition",
     "ns_decontaminate_clean",
+    # (4c) edited in the final review batch: struct-carried as-of join,
+    # filtered chunk/band tokenization, vectors-ride-the-join ANN
+    "q_join_asof",
+    "q_join_asof_forward",
+    "ns_dedup_chunk_shared",
+    "ns_quality_bands",
+    "ns_sim_topk_lsh",
+    "ns_sim_topk_ivf",
     "ns_hybrid_rrf_search",
     "ns_dedup_embedding_cosine",
     "ns_embed_semantic_clusters",

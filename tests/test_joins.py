@@ -56,3 +56,22 @@ def test_equal_ts_is_a_match(spark):
     left = spark.createDataFrame([(1, 10)], "k int, ts int")
     right = spark.createDataFrame([(1, 10, 7)], "k int, ts int, p int")
     assert asof_join(left, right, "k", "ts").first().p_asof == 7
+
+
+def test_asof_join_null_payload_not_stale_and_rows_never_tear(spark):
+    """The matched right row's values must be returned VERBATIM (DuckDB
+    ASOF JOIN parity): a NULL payload in the matched row stays NULL —
+    per-column last(ignorenulls) would reach past it to a stale earlier
+    row — and all carried columns must come from the SAME right row."""
+    from spotify_app_etl_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, "a"), ("k", 2, None, "b")],
+        "key string, ts int, p double, q string",
+    )
+    left = spark.createDataFrame([("k", 3)], "key string, ts int")
+    row = asof_join(left, right, "key", "ts", ["p", "q"]).collect()[0]
+    # matched row is ts=2: p is NULL there (not the stale 5.0 from
+    # ts=1), and q must be 'b' from the SAME row — not torn across rows
+    assert row["p_asof"] is None, row
+    assert row["q_asof"] == "b", row

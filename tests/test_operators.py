@@ -787,3 +787,29 @@ def test_fan_out_sees_through_bin_packing(spark, tmp_path):
         assert nparts == 8
     finally:
         spark.conf.set("spark.sql.files.openCostInBytes", old)
+
+
+def test_lsh_null_embedding_dropped_by_both_impls(spark):
+    """A NULL corpus embedding must be DROPPED by both LSH bucket
+    implementations: the column-expression path used to hash it into
+    bucket 0 of every table (NULL projection → when().otherwise(0)),
+    surfacing phantom NULL-cos_sim neighbors, while the Arrow kernel
+    dropped it — the two impls of the same operator must agree."""
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark.operators import similarity as SIM
+
+    rng_rows = [(i, [float((i * 7 + d) % 5) + 0.1 for d in range(8)]) for i in range(30)]
+    corpus = spark.createDataFrame(
+        rng_rows + [(99, None)], "corpus_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.1 + float(d % 5) for d in range(8)])],
+        "query_id long, embedding array<double>",
+    )
+    for impl in ("expr", "arrow"):
+        out = SIM.cosine_topk_lsh(
+            queries, corpus, k=30, planes=2, tables=4, impl=impl
+        ).collect()
+        assert 99 not in {r["corpus_id"] for r in out}, impl
+        assert all(r["cos_sim"] is not None for r in out), impl
