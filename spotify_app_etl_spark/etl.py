@@ -87,7 +87,13 @@ def _flatten_track_items(parsed: DataFrame, *extra: str) -> DataFrame:
         *extra,
         F.col("t.track.id").alias("id"),
         F.col("t.track.name").alias("name"),
-        F.element_at(F.col("t.track.artists"), 1)["name"].alias("artist"),
+        # try_element_at: real payloads can carry "artists": [] (local
+        # files, podcast edge cases) and ANSI mode — the Spark 4
+        # default — turns element_at on an empty array into a
+        # job-killing INVALID_ARRAY_INDEX; NULL artist is the right
+        # answer (the mock always emits artists, so only live data
+        # exercises this).
+        F.try_element_at(F.col("t.track.artists"), F.lit(1))["name"].alias("artist"),
         F.col("t.track.album.name").alias("album"),
         F.to_timestamp(F.col("t.added_at")).alias("added_at"),
         F.to_timestamp(F.col("t.played_at")).alias("played_at"),
@@ -224,7 +230,7 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Full ETL run → the six reference tables as typed DataFrames.
 
-    ``ingest_date=True`` stamps ``current_timestamp()`` like :264-266;
+    ``ingest_date=True`` stamps one run-level timestamp like :264-266;
     oracle-checked queries pass False for determinism.
     """
     log = logging.getLogger(__name__)
@@ -267,8 +273,18 @@ def run_pipeline(
         "audio_features": enrich_audio_features(spark, playlist_tracks, saved),
     }
     if ingest_date:
+        # ONE driver-side timestamp literal for the whole run, not a
+        # per-table current_timestamp(): each sink evaluates its plan at
+        # its own query start, so the six tables would carry stamps
+        # minutes apart (and a re-executed plan would re-stamp) — the
+        # reference stamps all frames together (spotify-etl.py:264-266),
+        # and "select latest run" grouping on ingest_date needs the run
+        # to be one value.
+        import datetime as _dt
+
+        run_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         tables = {
-            name: df.withColumn("ingest_date", F.current_timestamp())
+            name: df.withColumn("ingest_date", F.lit(run_ts).cast("timestamp"))
             for name, df in tables.items()
         }
     # plan-construction time only — execution happens lazily at the

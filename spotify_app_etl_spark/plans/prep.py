@@ -155,7 +155,18 @@ def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents").select("doc_id", "text"),
         spark.sparkContext.defaultParallelism,
     )
-    grams = docs.select("doc_id", F.explode(token_ngrams("text", 3)).alias("gram"))
+    # Tokenize ONCE: the doc-freq branch and the n_grams branch are two
+    # independent subtrees of the final join, and without the persist
+    # each re-runs the dominant cost (regexp whitespace-collapse +
+    # split + distinct 3-gram transform over full text) — doubling the
+    # map phase. Same scoped-persist contract as the MinHash signature
+    # tables (released by bench/tests via release_cached).
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    arrs = _scoped_persist(
+        docs.select("doc_id", token_ngrams("text", 3).alias("__grams"))
+    )
+    grams = arrs.select("doc_id", F.explode("__grams").alias("gram"))
     unique_per_doc = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("doc_freq"), F.min("doc_id").alias("only_doc"))
@@ -163,8 +174,8 @@ def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("only_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    per_doc = docs.select(
-        "doc_id", F.size(token_ngrams("text", 3)).cast("long").alias("n_grams")
+    per_doc = arrs.select(
+        "doc_id", F.size("__grams").cast("long").alias("n_grams")
     )
     n_shared = F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))
     return (

@@ -199,7 +199,14 @@ FROM documents
     tags=("scalar", "array"),
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _array_funcs_impl(spark, sf_dir)
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.element_at(tokens, 1).alias("first_token"),  # A6: artists[0].name idiom
+        F.array_contains(tokens, "spark").alias("has_spark"),
+        F.concat_ws(", ", F.slice(tokens, 1, 3)).alias("head_joined"),  # A7 idiom
+    )
 
 
 @query(
@@ -217,27 +224,14 @@ FROM part
     tags=("scalar", "map"),
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as FF
-
-    m = FF.create_map(
-        FF.lit("brand"), FF.col("p_brand"), FF.lit("type"), FF.col("p_type")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
     )
     return t(spark, sf_dir, "part").select(
         "p_partkey",
-        FF.element_at(m, "brand").alias("brand_val"),
-        FF.size(m).alias("n_entries"),
-        FF.array_join(FF.map_keys(m), ",").alias("keys_joined"),
-    )
-
-
-def _array_funcs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
-    return t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(tokens).alias("n_tokens"),
-        F.element_at(tokens, 1).alias("first_token"),  # A6: artists[0].name idiom
-        F.array_contains(tokens, "spark").alias("has_spark"),
-        F.concat_ws(", ", F.slice(tokens, 1, 3)).alias("head_joined"),  # A7 idiom
+        F.element_at(m, "brand").alias("brand_val"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
     )
 
 

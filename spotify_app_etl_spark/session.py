@@ -83,11 +83,17 @@ def _ship_package(spark: SparkSession) -> None:
                     zf.write(py, arcname=f"{pkg_dir.name}/{py.relative_to(pkg_dir)}")
             os.replace(tmp, zpath)  # atomic vs a concurrent builder
         sc.addPyFile(str(zpath))
+        # Mark shipped ONLY on success: a transient failure (full
+        # tmpdir, permission race) marked here anyway would disable
+        # shipping for the application's whole lifetime, turning a
+        # retryable hiccup into permanent executor
+        # ModuleNotFoundErrors. On failure the next configure_session
+        # call simply tries again.
+        _SHIPPED.add(app)
     except Exception:
         # Best effort: when the package is importable from the worker's
         # cwd/PYTHONPATH anyway (tests, bench) nothing is lost.
         pass
-    _SHIPPED.add(app)
 
 
 def configure_session(spark: SparkSession) -> SparkSession:

@@ -44,6 +44,22 @@ class TokenProvider:
         self._expires_at: float = 0.0
         self.refresh_count = 0
 
+    def __getstate__(self):
+        # The module docstring's production pattern ships the provider
+        # (inside an authenticated_transport closure) to executors via
+        # cloudpickle; a raw _thread.lock kills that pickle. Same
+        # convention as TokenBucket/MockSpotifyTransport: drop the lock,
+        # re-init on the other side — each executor then refreshes
+        # independently, which is correct (tokens are per-process
+        # caches, not shared state).
+        state = self.__dict__.copy()
+        del state["_lock"]
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
     def token(self) -> str:
         with self._lock:
             if self._token is None or self._clock() >= self._expires_at - self._slack_s:
@@ -157,15 +173,25 @@ def refresh_grant_fn(
     """A :class:`TokenProvider`-compatible refresh over the
     refresh_token grant (spotify-etl.py:29-42's per-run exchange)."""
 
+    # RFC 6749 §6: providers MAY rotate the refresh token on every
+    # refresh (standard for public PKCE clients), revoking the old one.
+    # Track the CURRENT token in mutable state — reusing the bootstrap
+    # token forever means the second refresh of a long run comes back
+    # invalid_grant and the pipeline dies one token lifetime in.
+    current = {"refresh_token": refresh_token}
+
     def refresh() -> tuple[str, float]:
         data = {
             "grant_type": "refresh_token",
-            "refresh_token": refresh_token,
+            "refresh_token": current["refresh_token"],
             "client_id": client_id,
         }
         if client_secret is not None:
             data["client_secret"] = client_secret
         reply = post(endpoint, data)
+        rotated = reply.get("refresh_token")
+        if rotated:
+            current["refresh_token"] = rotated
         return reply["access_token"], float(reply.get("expires_in", 3600))
 
     return refresh

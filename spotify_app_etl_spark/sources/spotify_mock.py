@@ -91,9 +91,13 @@ class MockSpotifyTransport:
         con = duckdb.connect()
         try:
             for tbl in ("orders", "lineitem", "part", "supplier", "events"):
+                # SQL-escape the path (double any single quote): a
+                # checkout under e.g. /home/o'brien would otherwise be
+                # a parser error inside the string literal. DuckDB bans
+                # parameter binding in CREATE VIEW, so quoting it is.
+                path = f"{self.sf_dir}/{tbl}.parquet".replace("'", "''")
                 con.execute(
-                    f"CREATE VIEW {tbl} AS SELECT * FROM "
-                    f"read_parquet('{self.sf_dir}/{tbl}.parquet')"
+                    f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')"
                 )
             return con.execute(sql).fetchall()
         finally:

@@ -214,3 +214,45 @@ def test_batched_lookup_at_most_one_underfull_request_per_partition(spark):
     # a 36-id request — 180 such rows per partition — and this fails.)
     underfull_rows = [r for r in out if r.batch_len < 64]
     assert len(underfull_rows) < 64 * 2, len(underfull_rows)
+
+
+def _static_refresh():
+    return "tok", 3600.0
+
+
+def test_token_provider_pickles_for_executor_shipping():
+    """The documented production pattern ships the provider inside a
+    transport closure to executors via cloudpickle; the internal lock
+    must not poison the pickle (same contract as TokenBucket). Plain
+    pickle + a module-level refresh_fn isolates exactly the lock
+    handling (cloudpickle additionally handles closures)."""
+    import pickle
+
+    from spotify_app_etl_spark.sources.auth import TokenProvider
+
+    provider = TokenProvider(_static_refresh)
+    assert provider.token() == "tok"
+    clone = pickle.loads(pickle.dumps(provider))
+    assert clone.token() == "tok"  # lock re-initialized, still works
+
+
+def test_refresh_grant_uses_rotated_refresh_token():
+    """RFC 6749 §6: a provider that rotates refresh tokens revokes the
+    old one — the SECOND refresh must send the rotated token, not the
+    bootstrap-time token forever."""
+    from spotify_app_etl_spark.sources.auth import refresh_grant_fn
+
+    sent = []
+
+    def post(endpoint, data):
+        sent.append(data["refresh_token"])
+        return {
+            "access_token": f"at{len(sent)}",
+            "expires_in": 1,
+            "refresh_token": f"rt{len(sent)}",  # rotated every time
+        }
+
+    refresh = refresh_grant_fn(post, "https://api.example.local/token", "rt0", "cid")
+    assert refresh()[0] == "at1"
+    assert refresh()[0] == "at2"
+    assert sent == ["rt0", "rt1"]  # second call used the rotated token
