@@ -282,7 +282,13 @@ def run_pipeline(
         # to be one value.
         import datetime as _dt
 
-        run_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        # Keep the tzinfo: Py4J converts NAIVE datetimes with
+        # time.mktime (the driver's OS timezone, ignoring
+        # spark.sql.session.timeZone), so a naive UTC wall-clock lands
+        # shifted by the UTC offset on any non-UTC driver. An AWARE
+        # datetime goes through utctimetuple and hits the correct
+        # instant regardless of the driver's OS TZ.
+        run_ts = _dt.datetime.now(_dt.timezone.utc)
         tables = {
             name: df.withColumn("ingest_date", F.lit(run_ts).cast("timestamp"))
             for name, df in tables.items()

@@ -232,6 +232,18 @@ def compact_partitioned(
     base_p = fs0.makeQualified(hpath(path))
     base = base_p.toString().rstrip("/")
 
+    def rename_or_raise(src, dst) -> None:
+        # Hadoop FileSystem.rename reports most failures (dst exists,
+        # src missing, cross-checksum, quota) by returning FALSE, not
+        # throwing. A silently failed rename(live, trash) would make the
+        # next rename(staging, live) move the staging dir INTO the
+        # still-existing live dir (Hadoop rename-into-existing-dir
+        # semantics), leaving a nested .compact copy that inflates file
+        # counts and is never cleaned up — so every swap/recovery rename
+        # must abort loudly on false.
+        if not fs0.rename(src, dst):
+            raise OSError(f"Hadoop rename failed: {src} -> {dst}")
+
     # Crash recovery BEFORE rescanning. The swap below is
     # staging-write → rename(live, .trash) → rename(.compact, live) →
     # delete(.trash); a crash in any window leaves hidden dirs that
@@ -263,12 +275,12 @@ def compact_partitioned(
         if fs0.exists(live_p):
             fs0.delete(hid_p, True)  # live intact → hidden copy is stale
         elif suffix == ".compact":
-            fs0.rename(hid_p, live_p)  # complete staging → promote
+            rename_or_raise(hid_p, live_p)  # complete staging → promote
             trash_p = hpath(hid_p.getParent(), seg[: -len(".compact")] + ".trash")
             if fs0.exists(trash_p):
                 fs0.delete(trash_p, True)
         else:
-            fs0.rename(hid_p, live_p)  # no staging → restore the original
+            rename_or_raise(hid_p, live_p)  # no staging → restore the original
 
     frag: dict[str, list[tuple[str, int]]] = defaultdict(list)
     for fpath, size in _hadoop_list_files(spark, base):
@@ -302,8 +314,8 @@ def compact_partitioned(
         # (see the recovery block above).
         if fs0.exists(trash_p):
             fs0.delete(trash_p, True)  # stale from a pre-cleanup crash
-        fs0.rename(src_p, trash_p)
-        fs0.rename(staging_p, src_p)
+        rename_or_raise(src_p, trash_p)
+        rename_or_raise(staging_p, src_p)
         fs0.delete(trash_p, True)
         done[part_dir] = _dataset_file_count(
             spark, src_p.toString(), suffix=".parquet"

@@ -81,73 +81,28 @@ def query(
 #: everything else follows in registration order and keeps its green
 #: round-1/2 row as evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-4 window (~50 rows). Order: (1) the r03 broken row,
-    # fixed; (2) the three queries that have never had a driver row;
-    # (3) r02 etl canaries (driver testdata has drifted between rounds
-    # before); (4) queries whose code changed this round (Bloom build
-    # rewrite, tpch_more broadcast-hint removal, dedup fan-out change);
-    # (5) the oldest green rows (r01) as drift canaries. Everything
-    # past ~50 keeps its cumulative green row as evidence. ---
-    # (1) r03 broken row — output now scalar columns only
-    "q_agg_approx_percentile",
-    # (2) never driver-checked (added after the r03 window)
-    "q_agg_percentile_disc",
-    "ns_mm_phash_pairs",
-    "ns_embed_top_eigvec",
-    # (3) etl parity canaries (rows date from r02)
-    "etl_playlists_tracks",
-    "etl_audio_features",
-    # (4) code changed in round 4
-    "q_join_bloom_prefilter",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q21_late_sole_supplier",
-    "ns_dedup_minhash_pairs",
-    "ns_dedup_minhash_apply",
-    "ns_dedup_minhash_verified",
-    "ns_dedup_exact",
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_simhash_pairs",
-    "ns_doc_winnowing",
-    "ns_lm_bigram_novelty",
-    "ns_boilerplate_grams",
-    "ns_dedup_source_matrix",
-    "ns_split_leakage_safe",
-    "q_sql_recursive_cte",
-    "ns_curriculum_bins",
-    "ns_corpus_shuffle",
-    # (4b) edited late in round 4: window tie-breaks (32-bit sample-key
-    # prefix collisions), filtered tokenization, semi-join decontam
-    "ns_mix_token_budget",
-    "ns_shard_pack",
-    "ns_quality_repetition",
-    "ns_decontaminate_clean",
-    # (4c) edited in the final review batch: struct-carried as-of join,
-    # filtered chunk/band tokenization, vectors-ride-the-join ANN
-    "q_join_asof",
-    "q_join_asof_forward",
-    "ns_dedup_chunk_shared",
-    "ns_quality_bands",
+    # --- round-5 window (~50 rows). After r04, every one of the 153
+    # registered queries has a cumulative driver row and zero are
+    # broken, so this round is pure proof ROTATION: (1) queries that
+    # are new or whose output schema changed this round (persisted-
+    # index probes, rows-only queries gaining self-verifying invariant
+    # columns); (2) the 31 queries whose only driver row dates from
+    # round 1 — driver testdata has drifted between rounds before
+    # (events timestamp type, r02→r03), so these are the repo's
+    # weakest evidence; (3) the oldest round-2 rows as fill. r03/r04
+    # rows stay as evidence — nothing in this window is younger than
+    # r02 unless its code changed this round. ---
+    # (1a) new this round: persisted ANN / dedup-index probe paths
+    "ns_sim_topk_lsh_indexed",
+    "ns_dedup_minhash_incremental",
+    # (1b) rows-only queries that now emit in-query invariants
+    # (recall-vs-bruteforce / abs-err-vs-exact) — schema changed
     "ns_sim_topk_lsh",
     "ns_sim_topk_ivf",
-    "ns_hybrid_rrf_search",
-    "ns_dedup_embedding_cosine",
-    "ns_embed_semantic_clusters",
-    # (5) oldest rows (r01, never re-checked since) — hash-checked
-    # oracle queries preferred so the window yields strong proof
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_region_revenue",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_agg_corr_exact",
-    "q_count_distinct_exact",
-    "q_filter_predicates",
+    "q_agg_approx_percentile",
+    "q_approx_count_distinct",  # also an r01-only row
+    "q_hll_sketch_merge",
+    # (2) the 31 round-1-only rows, in registration order
     "q_join_left_agg",
     "q_join_semi",
     "q_join_anti",
@@ -155,13 +110,51 @@ _PRIORITY: tuple[str, ...] = (
     "q_topk_per_group",
     "q_window_rank",
     "q_window_moving_avg",
+    "q_window_running",
+    "q_window_analytic_extras",
     "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_drop_duplicates",
     "q_string_funcs",
     "q_array_funcs",
-    # (r01 canaries q_intersect/except/drop_duplicates and
-    # q_regexp/date/math/conditional/map/json_funcs rotate into the
-    # r05 window — pure set-op/expression queries, lowest drift risk,
-    # displaced by this round's edited queries.)
+    "q_unpivot_long",
+    "q_regexp_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_conditional_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_hash_funcs",
+    "q_string_distance",
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_events_session",
+    "q_events_pivot",
+    "q_events_gap_stats",
+    "ns_sim_topk_bruteforce",
+    # (3) oldest r02 rows as fill — etl canaries not re-proven in r04,
+    # the bounded-window dedup, and the LSH cosine path (rows-only,
+    # r02) — ns_dedup_clusters rides along for the iteration-cost
+    # instrumentation added this round
+    "etl_playlists",
+    "etl_saved_tracks",
+    "etl_recent_tracks",
+    "etl_followed_artists",
+    "etl_playlist_profile",
+    "q_dedup_bounded_window",
+    "ns_dedup_embedding_cosine_lsh",
+    "ns_dedup_clusters",
+    "ns_text_stats",
+    "ns_token_count_bpe",
+    "ns_doc_fingerprint",
+    "ns_sample_hash",
+    "ns_sample_stratified",
+    "ns_split_assign",
+    # (r02 canaries q_agg_percentiles, ns_pipeline_training_prep,
+    # q_udf_pandas_scalar, q_udaf_grouped_median, the q_sql_*
+    # subqueries and scan round-trips, and the r02 TPC-H tail are next
+    # in line for the r06 window.)
 )
 
 

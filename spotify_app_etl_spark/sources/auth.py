@@ -52,8 +52,33 @@ class TokenProvider:
         # re-init on the other side — each executor then refreshes
         # independently, which is correct (tokens are per-process
         # caches, not shared state).
+        #
+        # A provider whose refresh grant has ROTATED may not be pickled:
+        # the old refresh token is revoked server-side, so every copy
+        # unpickled from this state shares one single-use credential —
+        # the first executor's refresh revokes it and every other
+        # process dies with invalid_grant. Rotating-grant providers must
+        # stay driver-side; embed short-lived bearer tokens per batch
+        # instead (see module docstring).
+        if getattr(self._refresh_fn, "rotation_observed", False):
+            raise TypeError(
+                "TokenProvider's refresh grant has rotated; pickling it "
+                "would fan a single-use refresh token out to multiple "
+                "processes (first refresh revokes it for all others). "
+                "Keep rotating-grant providers on the driver and embed "
+                "short-lived bearer tokens per batch."
+            )
         state = self.__dict__.copy()
         del state["_lock"]
+        # Drop the cached token too: _expires_at is in _clock units, and
+        # the default clock (time.monotonic) counts from *boot* — its
+        # epoch differs per host. A carried expiry can read as "valid
+        # indefinitely" on an executor whose monotonic clock is behind
+        # the driver's, suppressing the first refresh and turning one
+        # expired token into persistent 401s. A fresh first-use refresh
+        # per process is cheap and always correct.
+        state["_token"] = None
+        state["_expires_at"] = 0.0
         return state
 
     def __setstate__(self, state):
@@ -181,19 +206,25 @@ def refresh_grant_fn(
     current = {"refresh_token": refresh_token}
 
     def refresh() -> tuple[str, float]:
+        sent = current["refresh_token"]
         data = {
             "grant_type": "refresh_token",
-            "refresh_token": current["refresh_token"],
+            "refresh_token": sent,
             "client_id": client_id,
         }
         if client_secret is not None:
             data["client_secret"] = client_secret
         reply = post(endpoint, data)
         rotated = reply.get("refresh_token")
-        if rotated:
+        if rotated and rotated != sent:
             current["refresh_token"] = rotated
+            # Sticky flag read by TokenProvider.__getstate__: once the
+            # server rotates, the grant is single-use and per-process
+            # copies become a guaranteed outage — refuse to pickle.
+            refresh.rotation_observed = True
         return reply["access_token"], float(reply.get("expires_in", 3600))
 
+    refresh.rotation_observed = False
     return refresh
 
 

@@ -256,3 +256,71 @@ def test_refresh_grant_uses_rotated_refresh_token():
     assert refresh()[0] == "at1"
     assert refresh()[0] == "at2"
     assert sent == ["rt0", "rt1"]  # second call used the rotated token
+
+
+def test_unpickled_provider_refreshes_with_its_own_clock():
+    """__getstate__ drops the cached token/expiry: time.monotonic's
+    epoch is per-host (seconds since boot), so a carried _expires_at
+    could read as "valid forever" on a host whose monotonic clock is
+    behind the driver's — suppressing the first refresh and turning an
+    expired token into persistent 401s. The clone must refresh on first
+    use instead of trusting the carried expiry."""
+    import pickle
+
+    from spotify_app_etl_spark.sources.auth import TokenProvider
+
+    provider = TokenProvider(_static_refresh)
+    assert provider.token() == "tok"
+    clone = pickle.loads(pickle.dumps(provider))
+    assert clone._token is None and clone._expires_at == 0.0
+    before = clone.refresh_count
+    assert clone.token() == "tok"
+    assert clone.refresh_count == before + 1  # refreshed, not carried
+
+
+def test_rotated_provider_refuses_to_pickle():
+    """Once the server rotates the refresh token (single-use grant),
+    pickling the provider would fan one credential out to N processes;
+    the first refresh revokes it for all others (invalid_grant outage).
+    Fail fast at pickle time instead."""
+    import pickle
+
+    import pytest
+
+    from spotify_app_etl_spark.sources.auth import TokenProvider, refresh_grant_fn
+
+    n = [0]
+
+    def post(endpoint, data):
+        n[0] += 1
+        return {
+            "access_token": f"at{n[0]}",
+            "expires_in": 3600,
+            "refresh_token": f"rt{n[0]}",  # rotates every refresh
+        }
+
+    provider = TokenProvider(
+        refresh_grant_fn(post, "https://api.example.local/token", "rt0", "cid")
+    )
+    provider.token()  # first refresh observes the rotation
+    with pytest.raises(TypeError, match="rotated"):
+        pickle.dumps(provider)
+
+
+def test_non_rotating_provider_still_pickles():
+    """A provider whose server echoes the same refresh token (or omits
+    it) is safe to fan out; pickling must keep working. cloudpickle
+    (what Spark actually uses for task closures) handles the closure."""
+    from pyspark import cloudpickle
+
+    from spotify_app_etl_spark.sources.auth import TokenProvider, refresh_grant_fn
+
+    def post(endpoint, data):
+        return {"access_token": "at", "expires_in": 3600, "refresh_token": "rt0"}
+
+    provider = TokenProvider(
+        refresh_grant_fn(post, "https://api.example.local/token", "rt0", "cid")
+    )
+    provider.token()
+    clone = cloudpickle.loads(cloudpickle.dumps(provider))
+    assert clone.token() == "at"
