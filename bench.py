@@ -69,6 +69,11 @@ HEADLINE = [
     "ns_hybrid_rrf_search",
     "q_cdc_scd2_history",
     "ns_mm_phash_pairs",
+    # round-5 additions: the persisted-index paths (build+append+probe
+    # measured as one unit — the build cost is the number that matters
+    # for the build-once/probe-many tradeoff)
+    "ns_sim_topk_lsh_indexed",
+    "ns_dedup_minhash_incremental",
 ]
 
 
@@ -83,10 +88,13 @@ def main() -> None:
     ap.add_argument(
         "--repeat",
         type=int,
-        default=2,
+        default=3,
         help="runs per query; the reported time is the minimum (standard "
         "best-of-N: the min is the least noisy estimator of plan cost — "
-        "GC pauses, page-cache misses and JIT tails only ever ADD time)",
+        "GC pauses, page-cache misses and JIT tails only ever ADD time). "
+        "Default 3: r04 ran best-of-2 and two queries looked 2-3x slower "
+        "purely from the weaker estimator; best-of-3 is the like-for-like "
+        "baseline (r03) again",
     )
     args = ap.parse_args()
 
@@ -135,6 +143,11 @@ def main() -> None:
             release_cached()
         timings[name] = round(best, 3)
 
+    # Iterative-query attribution: ns_dedup_clusters cost = rounds ×
+    # per-round shuffle; recording the round count separates "the graph
+    # got deeper" from "the plan got slower" across bench rounds.
+    from spotify_app_etl_spark.operators import cluster
+
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -143,6 +156,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cc_rounds": cluster.last_rounds,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # methodology, recorded so cross-round comparisons don't
                 # conflate estimator changes with real plan speedups

@@ -31,7 +31,16 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger(__name__)
+
+#: Rounds the most recent CC call took to converge (module-level so the
+#: bench harness and tests can attribute iterative-query cost to
+#: iteration count vs per-round plan cost without re-running).
+last_rounds: int | None = None
 
 
 def connected_components(
@@ -46,6 +55,12 @@ def connected_components(
     ``component`` is the smallest node id reachable from ``node``
     (deterministic, engine-independent — ideal for oracle checks).
     """
+    # Materialize the input ONCE: `edges` and `labels` below both
+    # checkpoint a derivation of `pairs`, and a lazily-passed pair
+    # pipeline (e.g. the exact n-gram Jaccard self-join feeding
+    # ns_dedup_clusters) would otherwise execute its expensive join
+    # twice. The checkpointed pair set itself is just ids — tiny.
+    pairs = pairs.localCheckpoint()
     # Undirected edge list, both directions, self-loops dropped.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -67,7 +82,8 @@ def connected_components(
         .localCheckpoint()
     )
 
-    for _ in range(max_iter):
+    global last_rounds
+    for rounds in range(1, max_iter + 1):
         # min over {own label} ∪ {neighbors' labels} — one shuffle round.
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -87,6 +103,8 @@ def connected_components(
         changed = updated.filter("__changed").count()
         labels = updated.drop("__changed")
         if changed == 0:
+            last_rounds = rounds
+            log.info("connected_components: converged in %d rounds", rounds)
             return labels
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds — "
@@ -134,6 +152,9 @@ def connected_components_star(
     by count + per-round convergence of the edge sum, both driver-side
     scalars).
     """
+    # One materialization of the (possibly expensive) input pipeline —
+    # same rationale as connected_components.
+    pairs = pairs.localCheckpoint()
     # Bidirectional view, self-loops dropped.
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -161,7 +182,8 @@ def connected_components_star(
             .select("u", F.least("u", "m").alias("m"))
         )
 
-    for _ in range(max_iter):
+    global last_rounds
+    for rounds in range(1, max_iter + 1):
         # One bidirectional view per round, shared by the min-aggregate
         # and the rewire join (previously built twice — double the
         # edge-scan work in every iteration).
@@ -192,6 +214,8 @@ def connected_components_star(
         )
         edges = rewired
         if changed == 0:
+            last_rounds = rounds
+            log.info("connected_components_star: converged in %d rounds", rounds)
             break
     else:
         raise RuntimeError(

@@ -564,6 +564,8 @@ def signlsh_index_write(
         gen, fresh = (meta["gen"] + 1 if meta is not None else 1), True
     gdir = f"{path}/gen={gen}"
     bks = _hyperplane_buckets_arrow(tables, planes, seed)
+    from pyspark.storagelevel import StorageLevel
+
     c0 = (
         corpus.filter(F.col(vec).isNotNull())
         .select(
@@ -571,6 +573,12 @@ def signlsh_index_write(
         )
         .withColumn("__bks", bks(F.col("v")))
         .withColumn("norm", l2_norm(F.col("v")))
+        # Persist across the two table writes: without it each write
+        # re-runs the Arrow hyperplane kernel over the whole batch —
+        # the dominant build cost, paid twice (measured 2x build wall
+        # at sf0.1). MEMORY_AND_DISK so an executor that can't hold its
+        # slice spills instead of recomputing; released below.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     buckets = c0.select(
         "corpus_id",
@@ -587,13 +595,31 @@ def signlsh_index_write(
         ).alias("tb"),
     ).select("corpus_id", "tb.tbl", "tb.bkt")
     wmode = "overwrite" if fresh else "append"
-    c0.select("corpus_id", "v", "norm").write.mode(wmode).parquet(f"{gdir}/vectors")
-    buckets.write.mode(wmode).parquet(f"{gdir}/buckets")
+    try:
+        c0.select("corpus_id", "v", "norm").write.mode(wmode).parquet(
+            f"{gdir}/vectors"
+        )
+        buckets.write.mode(wmode).parquet(f"{gdir}/buckets")
+    finally:
+        c0.unpersist()
     if fresh:
-        spark.createDataFrame(
-            [(planes, tables, seed, gen)],
-            "planes int, tables int, seed int, gen int",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        # JVM-side literal row, NOT createDataFrame([...]): a local-data
+        # DataFrame routes the write through Python-worker serialization
+        # and costs seconds per call in this environment (measured 4.5 s
+        # vs 0.36 s for the equivalent range(1) projection) — absurd for
+        # the 1-row commit record of every rebuild.
+        _meta_row(
+            spark, planes=planes, tables=tables, seed=seed, gen=gen
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _meta_row(spark, **fields: int):
+    """1-row int-typed DataFrame built JVM-side (range + literals) —
+    the cheap way to write tiny commit records (see callers)."""
+    out = spark.range(1).select(
+        *[F.lit(int(v)).cast("int").alias(k) for k, v in fields.items()]
+    )
+    return out.coalesce(1)
 
 
 def _read_index_meta(spark, path: str):
@@ -731,10 +757,25 @@ def ivf_index_write(
             k=n_cells, seed=seed, maxIter=8, featuresCol="__features"
         ).fit(c_feat)
         centers = [[float(x) for x in c] for c in model.clusterCenters()]
-        spark.createDataFrame(
-            [(i, centers[i]) for i in range(len(centers))],
-            "cell int, center array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{gdir}/centroids")
+        # JVM-side literal rows (n_cells × dim literals — centroid
+        # tables are literal-sized by definition); createDataFrame from
+        # local data pays a seconds-long Python-serialization write
+        # penalty per build (see _meta_row).
+        spark.range(1).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("cell"),
+                            F.array(*[F.lit(x) for x in c]).alias("center"),
+                        )
+                        for i, c in enumerate(centers)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.cell", "s.center").coalesce(1).write.mode("overwrite").parquet(
+            f"{gdir}/centroids"
+        )
         assigned = model.transform(c_feat).select(
             "corpus_id", "v", F.col("prediction").cast("int").alias("cell")
         )
@@ -746,10 +787,11 @@ def ivf_index_write(
     )
     if mode != "append":
         # the commit point: meta flips to the new generation only after
-        # BOTH tables exist and are internally consistent
-        spark.createDataFrame(
-            [(n_cells, seed, gen)], "n_cells int, seed int, gen int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        # BOTH tables exist and are internally consistent (JVM-side row:
+        # see _meta_row on why not createDataFrame)
+        _meta_row(spark, n_cells=n_cells, seed=seed, gen=gen).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
 
 
 def ivf_index_search(

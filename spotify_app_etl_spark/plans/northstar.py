@@ -160,41 +160,170 @@ def ns_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "cos_sim", "rank")
 
 
+def _with_recall_rider(
+    ann: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_sample: int,
+    bound: float,
+) -> DataFrame:
+    """Attach ``recall_sample`` / ``recall_ok`` verification columns to
+    an ANN top-k result: recall@k vs exact brute force over the FIXED
+    query prefix ``query_id < n_sample``.
+
+    This makes the driver's rows-only check carry semantic weight — the
+    hash covers a deterministic recall number, not just engine-defined
+    bucket contents. Cost is bounded by design: the exact pass scans the
+    corpus once for a CONSTANT number of sample queries (O(n_sample·
+    |corpus|), same order as the ANN probe itself), so the rider
+    survives a 100× corpus scale-up; it is the per-run canary a real
+    pipeline would keep, not a debug artifact.
+    """
+    sample_q = queries.filter(F.col("query_id") < n_sample)
+    exact = SIM.cosine_topk_bruteforce(sample_q, corpus, k=k).select(
+        "query_id", "corpus_id"
+    )
+    recall = (
+        ann.join(exact, ["query_id", "corpus_id"], "left_semi")
+        .agg(
+            F.round(F.count(F.lit(1)) / F.lit(n_sample * k), 4).alias(
+                "recall_sample"
+            )
+        )
+    )
+    return ann.crossJoin(F.broadcast(recall)).withColumn(
+        "recall_ok", F.col("recall_sample") >= F.lit(bound)
+    )
+
+
 @query(
     "ns_sim_topk_lsh",
     note="ANN variant: sign-LSH, 8 tables × 8 planes + 1-bit multiprobe "
-    "— bucket-dependent → rows-only; recall vs brute force asserted in "
-    "tests/test_operators.py",
+    "— bucket-dependent → rows-only; self-verifying: emits "
+    "recall_sample/recall_ok vs an exact pass over a fixed 5-query "
+    "sample (plus the full-corpus recall assertions in "
+    "tests/test_operators.py)",
     tags=("northstar", "similarity", "lsh"),
 )
 def ns_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    out = SIM.cosine_topk_lsh(
-        emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding"),
-        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
-        k=5,
-        planes=8,
-        tables=8,
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    return out.select("query_id", "corpus_id", "cos_sim", "rank")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = SIM.cosine_topk_lsh(queries, corpus, k=5, planes=8, tables=8)
+    out = out.select("query_id", "corpus_id", "cos_sim", "rank")
+    return _with_recall_rider(out, queries, corpus, k=5, n_sample=5, bound=0.5)
 
 
 @query(
     "ns_sim_topk_ivf",
     note="IVF ANN: KMeans cells + 4-of-16 probe — centroid-dependent → "
-    "rows-only; full-probe==bruteforce equality asserted in tests",
+    "rows-only; self-verifying: emits recall_sample/recall_ok vs an "
+    "exact pass over a fixed 5-query sample (full-probe==bruteforce "
+    "equality asserted in tests)",
     tags=("northstar", "similarity", "ivf"),
 )
 def ns_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    out = SIM.cosine_topk_ivf(
-        emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding"),
-        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
-        k=5,
-        n_cells=16,
-        n_probe=4,
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    return out.select("query_id", "corpus_id", "cos_sim", "rank")
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = SIM.cosine_topk_ivf(queries, corpus, k=5, n_cells=16, n_probe=4)
+    out = out.select("query_id", "corpus_id", "cos_sim", "rank")
+    return _with_recall_rider(out, queries, corpus, k=5, n_sample=5, bound=0.5)
+
+
+@query(
+    "ns_sim_topk_lsh_indexed",
+    note="persisted sign-LSH ANN: build the parquet index (buckets + "
+    "normalized vectors + generation-committed meta) from half the "
+    "corpus, APPEND the other half, then probe — the production "
+    "build-once/probe-many shape (operators/similarity.py "
+    "signlsh_index_write/search). Bucket-dependent → rows-only; "
+    "self-verifying: matches_inmemory asserts the indexed search "
+    "equals the in-memory cosine_topk_lsh with the same hash family "
+    "(same planes/tables/seed → identical candidates, scores, "
+    "tie-breaks)",
+    tags=("northstar", "similarity", "lsh", "index"),
+)
+def ns_sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    # A fresh temp dir per invocation: the index build is part of the
+    # query under test (the driver's eye covers write→append→probe);
+    # /tmp is the sandbox-safe stand-in for the warehouse path.
+    idx = tempfile.mkdtemp(prefix="spark_signlsh_idx_")
+    SIM.signlsh_index_write(
+        corpus.filter(F.col("corpus_id") % 2 == 0), idx, planes=8, tables=8
+    )
+    SIM.signlsh_index_write(
+        corpus.filter(F.col("corpus_id") % 2 == 1),
+        idx,
+        planes=8,
+        tables=8,
+        mode="append",
+    )
+    out = SIM.signlsh_index_search(spark, queries, idx, k=5).select(
+        "query_id", "corpus_id", "cos_sim", "rank"
+    )
+    inmem = SIM.cosine_topk_lsh(queries, corpus, k=5, planes=8, tables=8).select(
+        "query_id", "corpus_id", "cos_sim", "rank"
+    )
+    # Parity rider: symmetric difference must be empty. Both sides
+    # round cos_sim to 8 digits and tie-break on corpus_id, so the
+    # comparison is exact, not tolerance-based. Anti-joins instead of
+    # exceptAll: both results are duplicate-free (row_number ≤ k), and
+    # exceptAll's replicate-and-sum rewrite trips an optimizer bug
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) over the Generate+Window
+    # subplans here.
+    cols = ["query_id", "corpus_id", "cos_sim", "rank"]
+    diff = out.join(inmem, cols, "left_anti").unionByName(
+        inmem.join(out, cols, "left_anti")
+    )
+    parity = diff.agg((F.count(F.lit(1)) == F.lit(0)).alias("matches_inmemory"))
+    return out.crossJoin(F.broadcast(parity))
+
+
+@query(
+    "ns_dedup_minhash_incremental",
+    note="incremental near-dup ingest vs the persisted MinHash "
+    "signature index (operators/dedup.py minhash_dedup_incremental): "
+    "build the index from the even-doc_id history, dedup the odd-id "
+    "batch against it AND itself, append the survivors' signatures. "
+    "Hash-defined → rows-only; self-verifying: idempotent_ok asserts "
+    "a RERUN of the same batch against the now-updated index keeps "
+    "zero docs (every batch doc matches its own appended signature at "
+    "est_jaccard=1.0) — the crashed-batch-retry convergence property",
+    tags=("northstar", "dedup", "minhash", "index"),
+)
+def ns_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = tempfile.mkdtemp(prefix="spark_minhash_idx_") + "/sig"
+    DD.minhash_index_write(history, "text", "doc_id", idx)
+    kept = DD.minhash_dedup_incremental(
+        batch, idx, "text", "doc_id", update_index=True
+    )
+    rerun, _ = DD.minhash_dedup_incremental_with_sigs(
+        batch, idx, "text", "doc_id"
+    )
+    idempotent = rerun.agg((F.count(F.lit(1)) == F.lit(0)).alias("idempotent_ok"))
+    return (
+        kept.select("doc_id")
+        .crossJoin(F.broadcast(idempotent))
+        .withColumn("src", F.lit("batch_kept"))
+    )
 
 
 @query(

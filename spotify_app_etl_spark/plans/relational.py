@@ -382,18 +382,35 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_approx_count_distinct",
-    note="approximate sketch (HLL++) — no SQL oracle (estimator differs); "
-    "rows-only check + exactness bound asserted in tests",
+    note="approximate sketch (HLL++) — no SQL oracle (estimator "
+    "differs); rows-only check. Self-verifying: emits rel_err_parts/"
+    "rel_err_supps vs the exact distinct counts and err_ok (≤ the "
+    "default rsd 0.05), so the driver's rows-only hash pins the "
+    "accuracy bound in-query",
     tags=("agg", "approx"),
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact distincts ride in the same aggregate (one pass, two extra
+    # distinct-agg subplans): the sketch columns are the operator under
+    # test, the rel-err columns are the per-run accuracy canary.
+    rel = lambda approx, exact: F.round(  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact), 6
+    )
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+            F.count_distinct("l_partkey").alias("_ep"),
+            F.count_distinct("l_suppkey").alias("_es"),
         )
+        .withColumn("rel_err_parts", rel("approx_parts", "_ep"))
+        .withColumn("rel_err_supps", rel("approx_supps", "_es"))
+        .withColumn(
+            "err_ok", (F.col("rel_err_parts") <= 0.05) & (F.col("rel_err_supps") <= 0.05)
+        )
+        .drop("_ep", "_es")
     )
 
 

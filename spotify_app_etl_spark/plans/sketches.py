@@ -28,10 +28,13 @@ from spotify_app_etl_spark.registry import query
     "q_agg_approx_percentile",
     note="Greenwald-Khanna approximate percentiles (p25/p50/p75/p95) of "
     "l_extendedprice per return flag — mergeable map-side sketches, "
-    "no total sort; error bound vs exact asserted in tests "
-    "(rows-only: estimator-defined values). Output is scalar columns, "
-    "not array<double>: the driver canonicalizer sorts via pandas and "
-    "cannot hash numpy arrays (CORRECTNESS_r03 crash)",
+    "no total sort (rows-only: estimator-defined values). Output is "
+    "scalar columns, not array<double>: the driver canonicalizer sorts "
+    "via pandas and cannot hash numpy arrays (CORRECTNESS_r03 crash). "
+    "Self-verifying: err_ok asserts each approx quantile lies between "
+    "the EXACT quantiles at ±0.02 rank (GK guarantees ±1/accuracy = "
+    "±1e-4), so the driver's rows-only hash pins a semantic bound, not "
+    "just row count",
     oracle=None,
     tags=("sketch", "percentile", "aggregate"),
 )
@@ -40,9 +43,26 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One sketch pass for all four quantiles, then unpack — the array
     # never leaves the plan, so downstream consumers see only scalars.
     qs = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10_000)
+    # Verification rider: exact quantiles bracketing each target rank
+    # at ±0.02. Values are monotone in rank, so GK's ±1e-4 rank bound
+    # implies approx ∈ [exact(q-0.02), exact(q+0.02)] with huge margin.
+    # The exact percentile is a per-group sort — fine as a rider
+    # because the groups here are 3 return flags (the sketch remains
+    # the scale path; the rider is the canary that catches a broken
+    # sketch in the driver's rows-only hash).
+    brackets = F.percentile(
+        "l_extendedprice",
+        F.array(*[F.lit(x) for x in (0.23, 0.27, 0.48, 0.52, 0.73, 0.77, 0.93, 0.97)]),
+    )
+    within = (
+        F.element_at("_q", 1).between(F.element_at("_e", 1), F.element_at("_e", 2))
+        & F.element_at("_q", 2).between(F.element_at("_e", 3), F.element_at("_e", 4))
+        & F.element_at("_q", 3).between(F.element_at("_e", 5), F.element_at("_e", 6))
+        & F.element_at("_q", 4).between(F.element_at("_e", 7), F.element_at("_e", 8))
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(qs.alias("_q"), F.count(F.lit(1)).alias("n_items"))
+        .agg(qs.alias("_q"), brackets.alias("_e"), F.count(F.lit(1)).alias("n_items"))
         .select(
             "l_returnflag",
             F.element_at("_q", 1).alias("p25"),
@@ -50,6 +70,7 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("_q", 3).alias("p75"),
             F.element_at("_q", 4).alias("p95"),
             "n_items",
+            within.alias("err_ok"),
         )
     )
 
@@ -60,7 +81,10 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hll_union_agg per month → estimate. The partial/merge split is "
     "the scale path: shard sketches are KB-sized and commutative, so "
     "a 1000-executor rollup merges without re-scanning keys "
-    "(rows-only: estimator-defined; ≤2% error asserted in tests)",
+    "(rows-only: estimator-defined). Self-verifying: emits rel_err vs "
+    "the exact per-month distinct count and err_ok (≤2%, lgConfigK=14 "
+    "→ ~0.8% standard error), so the driver's rows-only hash carries "
+    "the accuracy bound",
     oracle=None,
     tags=("sketch", "hll", "aggregate"),
 )
@@ -70,13 +94,29 @@ def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
         (F.col("o_orderkey") % 8).alias("shard"),
     ).agg(F.hll_sketch_agg("o_custkey", 14).alias("sketch"))
-    return (
+    merged = (
         partials.groupBy("month")
         .agg(F.hll_union_agg("sketch").alias("merged"))
         .select(
             "month",
             F.hll_sketch_estimate("merged").alias("approx_customers"),
         )
+    )
+    # Verification rider: exact distinct count per month (its own
+    # distinct shuffle — the sketch stays the scale path; the rider is
+    # the per-run accuracy canary). Deterministic hashing → rel_err is
+    # stable across runs, so it hashes cleanly in the driver check.
+    exact = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.count_distinct("o_custkey").alias("_exact"))
+    rel_err = F.round(
+        F.abs(F.col("approx_customers") - F.col("_exact")) / F.col("_exact"), 6
+    )
+    return (
+        merged.join(exact, "month")
+        .withColumn("rel_err", rel_err)
+        .withColumn("err_ok", F.col("rel_err") <= 0.02)
+        .drop("_exact")
     )
 
 

@@ -42,14 +42,22 @@ NLJ_ALLOWED = {
     "ns_sim_topk_bruteforce": 1,
     "ns_sim_range_search": 1,
     "ns_dedup_embedding_cosine": 1,  # exact block-matmul baseline
+    # self-verification riders: exact pass over a CONSTANT 5-query
+    # sample (one bounded query-set broadcast) + 1-row recall scalar
+    "ns_sim_topk_lsh": 2,
+    "ns_sim_topk_ivf": 2,
+    # 1-row verification scalars (index==in-memory parity / rerun-empty)
+    "ns_sim_topk_lsh_indexed": 1,
+    "ns_dedup_minhash_incremental": 1,
 }
 
 #: A Window fed by an Exchange SinglePartition pulls EVERY row into one
-#: task. Allowed only where a distributed top-k (TakeOrderedAndProject)
-#: bounds the window's input first:
-GLOBAL_WINDOW_ALLOWED = {
-    "ns_hybrid_rrf_search": 1,  # rank over the ≤50-row lexical top-k
-}
+#: task. No query is allowed one anymore: the last holder
+#: (ns_hybrid_rrf_search's rank over the ≤50-row lexical top-k) now
+#: partitions on a constant key — same bounded single-task window,
+#: non-empty partition spec — so the WindowExec warning channel and
+#: this gate are both clean-by-default.
+GLOBAL_WINDOW_ALLOWED: dict[str, int] = {}
 
 #: Window (possibly via AQE's ShuffleQueryStage indirection) whose
 #: child exchange is SinglePartition.

@@ -100,3 +100,29 @@ def test_registered_queries_emit_scalar_columns_only(spark):
         if bad:
             offenders[name] = bad
     assert offenders == {}
+
+
+def test_self_verifying_invariant_columns(spark):
+    """Round-5 hardening: the rows-only queries carry in-query
+    verification columns (recall vs brute force, error vs exact,
+    index==in-memory parity, rerun idempotence) so the driver's
+    rows-only hash pins a semantic bound. This test asserts the
+    invariants actually hold — a broken sketch/index flips the boolean
+    and fails here before it ships."""
+    from spotify_app_etl_spark.registry import load_all
+
+    sf = "/root/testdata/sf0.001"
+    registry = load_all()
+    for name, col in [
+        ("ns_sim_topk_lsh", "recall_ok"),
+        ("ns_sim_topk_ivf", "recall_ok"),
+        ("q_agg_approx_percentile", "err_ok"),
+        ("q_approx_count_distinct", "err_ok"),
+        ("q_hll_sketch_merge", "err_ok"),
+        ("ns_sim_topk_lsh_indexed", "matches_inmemory"),
+        ("ns_dedup_minhash_incremental", "idempotent_ok"),
+    ]:
+        rows = registry[name].fn(spark, sf).collect()
+        assert rows, name
+        bad = [r for r in rows if not r[col]]
+        assert not bad, f"{name}: {len(bad)} rows with {col}=False"
