@@ -170,7 +170,7 @@ def _power_iteration(emb: DataFrame, vec_col: str, iters: int = 8):
     dim = len(emb.select(vec_col).first()[0])
     x = emb.select(F.col(vec_col).cast("array<double>").alias("__x"))
     v = np.ones(dim) / np.sqrt(dim)
-    eigval = 0.0
+    eigvals: list[float] = []
     for _ in range(iters):
         vlit = F.array(*[F.lit(float(c)) for c in v])
         dot = F.aggregate(
@@ -189,9 +189,9 @@ def _power_iteration(emb: DataFrame, vec_col: str, iters: int = 8):
             .first()
         )
         w = np.array(row, dtype=np.float64)
-        eigval = float(np.linalg.norm(w))
-        v = w / eigval
-    return v, eigval
+        eigvals.append(float(np.linalg.norm(w)))
+        v = w / eigvals[-1]
+    return v, eigvals
 
 
 @query(
@@ -203,11 +203,43 @@ def _power_iteration(emb: DataFrame, vec_col: str, iters: int = 8):
     "spiked-data convergence vs numpy eigendecomposition asserted in "
     "tests/test_operators.py (the i.i.d. testdata spectrum is too "
     "flat for 8 rounds to converge to eigh — by design it reports "
-    "the 8-round iterate, which IS the deterministic contract)",
+    "the 8-round iterate, which IS the deterministic contract). "
+    "Self-verifying: rayleigh_monotone_ok asserts the per-round norm "
+    "estimates ||X'X v_k|| never decrease — a theorem for power "
+    "iteration on PSD Gram matrices, so any broken dot/sum kernel "
+    "flips it; computed from the existing 8 passes, zero extra cost",
     tags=("northstar", "embedding", "pca"),
 )
 def ns_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    v, eigval = _power_iteration(emb, "embedding", iters=8)
-    rows = [(i + 1, float(c), eigval) for i, c in enumerate(v)]
-    return spark.createDataFrame(rows, "pos int, loading double, eigenvalue double")
+    v, eigvals = _power_iteration(emb, "embedding", iters=8)
+    # Monotone Rayleigh check (ppm-level slack for float-sum noise):
+    # power iteration on a PSD matrix can only grow the norm estimate.
+    monotone = all(
+        b >= a * (1.0 - 1e-9) for a, b in zip(eigvals, eigvals[1:])
+    )
+    # JVM-side literal rows, NOT createDataFrame(local): local-data
+    # writes route through Python-worker serialization and cost seconds
+    # per call in this environment (see operators/similarity._meta_row).
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i + 1).cast("int").alias("pos"),
+                            F.lit(float(c)).alias("loading"),
+                        )
+                        for i, c in enumerate(v)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select(
+            "s.pos",
+            "s.loading",
+            F.lit(eigvals[-1]).alias("eigenvalue"),
+            F.lit(bool(monotone)).alias("rayleigh_monotone_ok"),
+        )
+    )

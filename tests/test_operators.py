@@ -312,7 +312,10 @@ def test_power_iteration_distributed_equals_local(spark):
     from spotify_app_etl_spark.plans.embed_analytics import _power_iteration
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-    v, eigval = _power_iteration(emb, "embedding", iters=6)
+    v, eigvals = _power_iteration(emb, "embedding", iters=6)
+    eigval = eigvals[-1]
+    # PSD power iteration: the norm estimate is monotone non-decreasing
+    assert all(b >= a * (1 - 1e-9) for a, b in zip(eigvals, eigvals[1:]))
 
     x = np.array(
         [r.embedding for r in emb.select("embedding").collect()], dtype=np.float64
@@ -341,7 +344,8 @@ def test_power_iteration_converges_on_spiked_data(spark):
     df = spark.createDataFrame(
         [(i, row.tolist()) for i, row in enumerate(x)], "vec_id long, embedding array<double>"
     )
-    v, eigval = _power_iteration(df, "embedding", iters=12)
+    v, eigvals = _power_iteration(df, "embedding", iters=12)
+    eigval = eigvals[-1]
     w, vecs = np.linalg.eigh(x.T @ x)
     cos = abs(float(np.dot(v, vecs[:, -1])))
     assert cos > 0.999, f"direction cosine {cos}"

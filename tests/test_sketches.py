@@ -121,6 +121,7 @@ def test_self_verifying_invariant_columns(spark):
         ("q_hll_sketch_merge", "err_ok"),
         ("ns_sim_topk_lsh_indexed", "matches_inmemory"),
         ("ns_dedup_minhash_incremental", "idempotent_ok"),
+        ("ns_embed_top_eigvec", "rayleigh_monotone_ok"),
     ]:
         rows = registry[name].fn(spark, sf).collect()
         assert rows, name
