@@ -128,25 +128,32 @@ def main() -> None:
         _warm("id").alias("x")
     ).agg(F.bit_xor(F.xxhash64("x"))).collect()
 
+    from spotify_app_etl_spark.operators import cluster
     from spotify_app_etl_spark.operators.dedup import release_cached
 
     timings: dict[str, float] = {}
+    # Iterative-query attribution: a CC query's cost = rounds ×
+    # per-round shuffle; recording the round count PER QUERY separates
+    # "the graph got deeper" from "the plan got slower" across bench
+    # rounds. Captured right after each query (several queries run CC —
+    # ns_dedup_clusters, ns_embed_semantic_clusters, the leakage-safe
+    # split — and a single end-of-run read would report whichever ran
+    # last).
+    cc_rounds: dict[str, int] = {}
     for name in names:
         best = float("inf")
         for _ in range(max(args.repeat, 1)):
+            cluster.last_rounds = None
             start = time.perf_counter()
             force(registry[name].fn(spark, args.sf))
             best = min(best, time.perf_counter() - start)
+            if cluster.last_rounds is not None:
+                cc_rounds[name] = cluster.last_rounds
             # dedup operators cache signature tables for their
             # multi-consumer plans; release between runs so repeats stay
             # honest and a long --all run doesn't accumulate storage
             release_cached()
         timings[name] = round(best, 3)
-
-    # Iterative-query attribution: ns_dedup_clusters cost = rounds ×
-    # per-round shuffle; recording the round count separates "the graph
-    # got deeper" from "the plan got slower" across bench rounds.
-    from spotify_app_etl_spark.operators import cluster
 
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -156,7 +163,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "cc_rounds": cluster.last_rounds,
+                "cc_rounds": cc_rounds or None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # methodology, recorded so cross-round comparisons don't
                 # conflate estimator changes with real plan speedups

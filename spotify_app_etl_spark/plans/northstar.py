@@ -160,6 +160,25 @@ def ns_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "cos_sim", "rank")
 
 
+def _scratch_index_dir(name: str) -> str:
+    """Deterministic scratch path for a registered query's persisted
+    index, cleared on every call.
+
+    Registered queries can't clean up AFTER themselves — the DataFrame
+    they return is lazy, and the index parquet must still exist when
+    the caller executes it. Clearing at the START of the next
+    invocation instead bounds disk use to one live index copy per
+    query (tempfile.mkdtemp-per-call leaked a full corpus-vector copy
+    every bench repeat / test run until /tmp filled).
+    """
+    import shutil
+    import tempfile
+
+    path = f"{tempfile.gettempdir()}/spark_graft_scratch_idx/{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def _with_recall_rider(
     ann: DataFrame,
     queries: DataFrame,
@@ -250,17 +269,18 @@ def ns_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("northstar", "similarity", "lsh", "index"),
 )
 def ns_sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    # A fresh temp dir per invocation: the index build is part of the
-    # query under test (the driver's eye covers write→append→probe);
-    # /tmp is the sandbox-safe stand-in for the warehouse path.
-    idx = tempfile.mkdtemp(prefix="spark_signlsh_idx_")
+    # The index build is part of the query under test (the driver's eye
+    # covers write→append→probe); the scratch path is FIXED and cleared
+    # at invocation start, so repeated runs (bench best-of-3, pytest,
+    # driver sweeps) hold at most ONE index copy on disk instead of
+    # leaking a full corpus-vector copy per call. In production this is
+    # a warehouse URI with generation GC as retention policy.
+    idx = _scratch_index_dir("signlsh")
     SIM.signlsh_index_write(
         corpus.filter(F.col("corpus_id") % 2 == 0), idx, planes=8, tables=8
     )
@@ -305,12 +325,11 @@ def ns_sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("northstar", "dedup", "minhash", "index"),
 )
 def ns_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     docs = t(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    idx = tempfile.mkdtemp(prefix="spark_minhash_idx_") + "/sig"
+    # Fixed self-clearing scratch path — see ns_sim_topk_lsh_indexed.
+    idx = _scratch_index_dir("minhash") + "/sig"
     DD.minhash_index_write(history, "text", "doc_id", idx)
     kept = DD.minhash_dedup_incremental(
         batch, idx, "text", "doc_id", update_index=True

@@ -384,9 +384,11 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_approx_count_distinct",
     note="approximate sketch (HLL++) — no SQL oracle (estimator "
     "differs); rows-only check. Self-verifying: emits rel_err_parts/"
-    "rel_err_supps vs the exact distinct counts and err_ok (≤ the "
-    "default rsd 0.05), so the driver's rows-only hash pins the "
-    "accuracy bound in-query",
+    "rel_err_supps vs the exact distinct counts and err_ok (≤ 0.15 = "
+    "3x the default rsd 0.05 — the rsd is ONE standard deviation, "
+    "which a healthy estimator exceeds ~1/3 of the time; 3 sigma makes "
+    "the invariant dataset-independent), so the driver's rows-only "
+    "hash pins the accuracy bound in-query",
     tags=("agg", "approx"),
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,7 +410,11 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rel_err_parts", rel("approx_parts", "_ep"))
         .withColumn("rel_err_supps", rel("approx_supps", "_es"))
         .withColumn(
-            "err_ok", (F.col("rel_err_parts") <= 0.05) & (F.col("rel_err_supps") <= 0.05)
+            # 3x the default rsd: the rsd is 1 sigma, so a tight ==rsd
+            # bound would flip on ~1/3 of healthy estimates on SOME
+            # dataset; 3 sigma (~0.3% per estimate) stays a real bound
+            # while holding across scale factors and regroupings.
+            "err_ok", (F.col("rel_err_parts") <= 0.15) & (F.col("rel_err_supps") <= 0.15)
         )
         .drop("_ep", "_es")
     )

@@ -60,6 +60,16 @@ class TokenProvider:
         # process dies with invalid_grant. Rotating-grant providers must
         # stay driver-side; embed short-lived bearer tokens per batch
         # instead (see module docstring).
+        #
+        # The guard is best-effort by construction: it reads the
+        # refresh fn's `rotation_observed` attribute, which (a) is only
+        # True from the start when the caller DECLARED the server
+        # rotating (refresh_grant_fn(rotating=True) — do this for any
+        # public PKCE client), (b) otherwise flips on the first
+        # observed rotation, so a provider pickled before its first
+        # refresh slips through, and (c) is invisible through wrappers
+        # (lambda/partial) that don't forward attributes. Declare
+        # rotation up front when in doubt.
         if getattr(self._refresh_fn, "rotation_observed", False):
             raise TypeError(
                 "TokenProvider's refresh grant has rotated; pickling it "
@@ -194,9 +204,21 @@ def refresh_grant_fn(
     client_id: str,
     *,
     client_secret: str | None = None,
+    rotating: bool = False,
 ) -> RefreshFn:
     """A :class:`TokenProvider`-compatible refresh over the
-    refresh_token grant (spotify-etl.py:29-42's per-run exchange)."""
+    refresh_token grant (spotify-etl.py:29-42's per-run exchange).
+
+    Pass ``rotating=True`` when the authorization server is KNOWN to
+    rotate refresh tokens (standard for public PKCE clients): the
+    pickle guard in :meth:`TokenProvider.__getstate__` then refuses to
+    ship the provider to executors from the very first moment, instead
+    of only after a rotation has been observed in-process — a provider
+    pickled BEFORE its first refresh would otherwise fan the single-use
+    bootstrap token out to N processes, where the first refresh revokes
+    it for all others (invalid_grant outage). Observation still
+    upgrades the flag for servers that rotate unannounced.
+    """
 
     # RFC 6749 §6: providers MAY rotate the refresh token on every
     # refresh (standard for public PKCE clients), revoking the old one.
@@ -224,7 +246,7 @@ def refresh_grant_fn(
             refresh.rotation_observed = True
         return reply["access_token"], float(reply.get("expires_in", 3600))
 
-    refresh.rotation_observed = False
+    refresh.rotation_observed = bool(rotating)
     return refresh
 
 

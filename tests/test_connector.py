@@ -324,3 +324,26 @@ def test_non_rotating_provider_still_pickles():
     provider.token()
     clone = cloudpickle.loads(cloudpickle.dumps(provider))
     assert clone.token() == "at"
+
+
+def test_declared_rotating_provider_refuses_to_pickle_before_first_refresh():
+    """rotating=True closes the pre-first-refresh pickle window: a
+    provider shipped to executors BEFORE any token() call would fan the
+    single-use bootstrap refresh token out to N processes (the
+    observation-based flag can't have tripped yet)."""
+    import pickle
+
+    import pytest
+
+    from spotify_app_etl_spark.sources.auth import TokenProvider, refresh_grant_fn
+
+    def post(endpoint, data):  # pragma: no cover - never reached
+        raise AssertionError("no refresh should happen in this test")
+
+    provider = TokenProvider(
+        refresh_grant_fn(
+            post, "https://api.example.local/token", "rt0", "cid", rotating=True
+        )
+    )
+    with pytest.raises(TypeError, match="rotated"):
+        pickle.dumps(provider)
