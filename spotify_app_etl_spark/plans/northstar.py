@@ -79,13 +79,38 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ns_dedup_minhash_pairs",
     note="MinHash(64)+LSH(16 bands) candidate pairs, est. Jaccard ≥ 0.5 "
-    "— hash-defined → rows-only; recall vs exact Jaccard asserted in "
-    "tests/test_operators.py",
+    "— hash-defined → rows-only; self-verifying: emits recall_vs_exact/"
+    "recall_ok — the fraction of EXACT word-3-gram Jaccard ≥ 0.5 pairs "
+    "(the standalone ns_dedup_ngram_jaccard truth set) that the LSH "
+    "candidates recover, ≥ 0.7 (tests assert ≥ 0.9 on this corpus; the "
+    "in-query floor is looser because LSH recall is data-dependent). "
+    "The exact pass is the same gram-join the verified variant pays — "
+    "the rider is the per-run recall canary a production dedup would "
+    "keep",
     tags=("northstar", "dedup", "lsh"),
 )
 def ns_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_candidates(
-        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    docs = t(spark, sf_dir, "documents")
+    cand = DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
+    exact = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    recall = (
+        exact.select("id_a", "id_b")
+        .join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+        .crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).alias("_total")))
+        )
+        .select(
+            F.round(
+                F.when(F.col("_total") == 0, 1.0).otherwise(
+                    F.col("_hit") / F.col("_total")
+                ),
+                4,
+            ).alias("recall_vs_exact")
+        )
+    )
+    return cand.crossJoin(F.broadcast(recall)).withColumn(
+        "recall_ok", F.col("recall_vs_exact") >= 0.7
     )
 
 
@@ -534,14 +559,37 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ns_dedup_embedding_cosine_lsh",
     note="scale path for embedding near-dup: candidate pairs confined to "
     "sign-LSH (table, bucket) equi-join buckets — one shuffle, never "
-    "O(n²); bucket-dependent → rows-only, recall vs the exact variant "
-    "asserted in tests/test_operators.py",
+    "O(n²); bucket-dependent → rows-only; self-verifying: emits "
+    "recall_vs_exact/recall_ok vs the exact block-matmul variant "
+    "(ns_dedup_embedding_cosine's kernel) on the same planted corpus, "
+    "≥ 0.7 in-query (tests assert ≥ 0.8; the floor is looser because "
+    "LSH recall is data-dependent). Every emitted pair also re-scores "
+    "cosine exactly, so precision is 1.0 by construction — recall is "
+    "the one quantity only a rider can witness",
     tags=("northstar", "dedup", "similarity", "lsh"),
 )
 def ns_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.embedding_cosine_pairs_lsh(
-        _emb_with_planted(spark, sf_dir), "embedding", "vec_id",
-        threshold=0.9, planes=8, tables=8,
+    emb = _emb_with_planted(spark, sf_dir)
+    lsh = DD.embedding_cosine_pairs_lsh(
+        emb, "embedding", "vec_id", threshold=0.9, planes=8, tables=8
+    )
+    exact = DD.embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.9)
+    recall = (
+        exact.select("id_a", "id_b")
+        .join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("_hit"))
+        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("_total"))))
+        .select(
+            F.round(
+                F.when(F.col("_total") == 0, 1.0).otherwise(
+                    F.col("_hit") / F.col("_total")
+                ),
+                4,
+            ).alias("recall_vs_exact")
+        )
+    )
+    return lsh.crossJoin(F.broadcast(recall)).withColumn(
+        "recall_ok", F.col("recall_vs_exact") >= 0.7
     )
 
 

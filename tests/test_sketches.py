@@ -122,6 +122,8 @@ def test_self_verifying_invariant_columns(spark):
         ("ns_sim_topk_lsh_indexed", "matches_inmemory"),
         ("ns_dedup_minhash_incremental", "idempotent_ok"),
         ("ns_embed_top_eigvec", "rayleigh_monotone_ok"),
+        ("ns_dedup_minhash_pairs", "recall_ok"),
+        ("ns_dedup_embedding_cosine_lsh", "recall_ok"),
     ]:
         rows = registry[name].fn(spark, sf).collect()
         assert rows, name
