@@ -93,25 +93,9 @@ def ns_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     cand = DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
     exact = DD.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
-    recall = (
-        exact.select("id_a", "id_b")
-        .join(cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("_hit"))
-        .crossJoin(
-            F.broadcast(exact.agg(F.count(F.lit(1)).alias("_total")))
-        )
-        .select(
-            F.round(
-                F.when(F.col("_total") == 0, 1.0).otherwise(
-                    F.col("_hit") / F.col("_total")
-                ),
-                4,
-            ).alias("recall_vs_exact")
-        )
-    )
-    return cand.crossJoin(F.broadcast(recall)).withColumn(
-        "recall_ok", F.col("recall_vs_exact") >= 0.7
-    )
+    return cand.crossJoin(
+        F.broadcast(_recall_scalar(exact, cand))
+    ).withColumn("recall_ok", F.col("recall_vs_exact") >= 0.7)
 
 
 @query(
@@ -202,6 +186,33 @@ def _scratch_index_dir(name: str) -> str:
     path = f"{tempfile.gettempdir()}/spark_graft_scratch_idx/{name}"
     shutil.rmtree(path, ignore_errors=True)
     return path
+
+
+def _recall_scalar(exact: DataFrame, found: DataFrame) -> DataFrame:
+    """1-row ``recall_vs_exact`` frame: the fraction of ``exact``'s
+    (id_a, id_b) pairs present in ``found``.
+
+    One pass over ``exact`` — hit and total come from a single
+    left-join-marker aggregation. The obvious two-reference shape
+    (semi-join for hits crossJoined with a separate total count) made
+    the exact subtree appear twice in the plan whenever AQE declined to
+    reuse its exchange, nondeterministically doubling the expensive
+    exact kernel (and flaking the plan-audit NLJ gate).
+    """
+    marked = exact.select("id_a", "id_b").join(
+        found.select("id_a", "id_b").withColumn("__hit", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return marked.agg(
+        F.round(
+            F.coalesce(
+                F.count("__hit") / F.nullif(F.count(F.lit(1)), F.lit(0)),
+                F.lit(1.0),
+            ),
+            4,
+        ).alias("recall_vs_exact")
+    )
 
 
 def _with_recall_rider(
@@ -574,21 +585,7 @@ def ns_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         emb, "embedding", "vec_id", threshold=0.9, planes=8, tables=8
     )
     exact = DD.embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.9)
-    recall = (
-        exact.select("id_a", "id_b")
-        .join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("_hit"))
-        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("_total"))))
-        .select(
-            F.round(
-                F.when(F.col("_total") == 0, 1.0).otherwise(
-                    F.col("_hit") / F.col("_total")
-                ),
-                4,
-            ).alias("recall_vs_exact")
-        )
-    )
-    return lsh.crossJoin(F.broadcast(recall)).withColumn(
+    return lsh.crossJoin(F.broadcast(_recall_scalar(exact, lsh))).withColumn(
         "recall_ok", F.col("recall_vs_exact") >= 0.7
     )
 

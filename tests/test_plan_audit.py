@@ -49,12 +49,13 @@ NLJ_ALLOWED = {
     # 1-row verification scalars (index==in-memory parity / rerun-empty)
     "ns_sim_topk_lsh_indexed": 1,
     "ns_dedup_minhash_incremental": 1,
-    # recall riders (r05): 1-row hit-count × 1-row total scalar, then
-    # the scalar joined onto the pair output — both O(1) broadcasts
-    "ns_dedup_minhash_pairs": 2,
-    # same two scalars + the exact block-matmul baseline's bounded
+    # recall riders (r05): the 1-row recall scalar joined onto the
+    # pair output (single-pass left-join-marker aggregation — the
+    # exact subtree appears exactly once)
+    "ns_dedup_minhash_pairs": 1,
+    # same scalar + the exact block-matmul baseline's bounded
     # block-grid broadcast (the rider embeds ns_dedup_embedding_cosine)
-    "ns_dedup_embedding_cosine_lsh": 3,
+    "ns_dedup_embedding_cosine_lsh": 2,
 }
 
 #: A Window fed by an Exchange SinglePartition pulls EVERY row into one
