@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_hll_sketch_merge",
     "ns_embed_top_eigvec",  # + rayleigh_monotone_ok rider (r05)
     "ns_dedup_minhash_pairs",  # + recall_vs_exact rider (r05)
+    "q_agg_percentile_disc",  # rewritten sort+nearest-rank plan (r05)
     # (2) the 31 round-1-only rows, in registration order
     "q_join_left_agg",
     "q_join_semi",
@@ -150,8 +151,8 @@ _PRIORITY: tuple[str, ...] = (
     "ns_text_stats",
     "ns_token_count_bpe",
     "ns_doc_fingerprint",
-    "ns_sample_hash",
-    # (r02 canaries ns_sample_stratified, ns_split_assign, q_agg_percentiles, ns_pipeline_training_prep,
+    # (r02 canaries ns_sample_hash, ns_sample_stratified, ns_split_assign,
+    # q_agg_percentiles, ns_pipeline_training_prep,
     # q_udf_pandas_scalar, q_udaf_grouped_median, the q_sql_*
     # subqueries and scan round-trips, and the r02 TPC-H tail are next
     # in line for the r06 window.)
