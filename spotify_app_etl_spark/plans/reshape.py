@@ -196,40 +196,12 @@ GROUP BY l_returnflag
     tags=("reshape", "aggregate", "percentile"),
 )
 def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    # percentile_disc(q) == the element at sorted position ceil(q*n):
-    # the smallest value whose cume_dist >= q (ties collapse to the
-    # same value regardless of row_number order among them).
-    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = li.select("l_returnflag", "l_extendedprice").withColumn(
-        "rn", F.row_number().over(w)
-    )
-    targets = (
-        li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "l_returnflag",
-            "n",
-            F.ceil(0.25 * F.col("n")).alias("r25"),
-            F.ceil(0.50 * F.col("n")).alias("r50"),
-            F.ceil(0.95 * F.col("n")).alias("r95"),
-        )
-    )
-    pick = lambda r: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.col(r), F.col("l_extendedprice"))
-    )
-    return (
-        ranked.join(F.broadcast(targets), "l_returnflag")
-        .filter(
-            (F.col("rn") == F.col("r25"))
-            | (F.col("rn") == F.col("r50"))
-            | (F.col("rn") == F.col("r95"))
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            pick("r25").alias("p25"),
-            pick("r50").alias("p50"),
-            pick("r95").alias("p95"),
-            F.max("n").alias("n"),
-        )
+    from spotify_app_etl_spark.operators.percentiles import percentile_disc_by
+
+    return percentile_disc_by(
+        t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        {"p25": 0.25, "p50": 0.50, "p95": 0.95},
+        count_col="n",
     )

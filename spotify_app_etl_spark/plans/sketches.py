@@ -48,31 +48,38 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verification rider: exact quantiles bracketing each target rank
     # at ±0.02. Values are monotone in rank, so GK's ±1e-4 rank bound
     # implies approx ∈ [exact(q-0.02), exact(q+0.02)] with huge margin.
-    # The exact percentile is a per-group sort — fine as a rider
-    # because the groups here are 3 return flags (the sketch remains
-    # the scale path; the rider is the canary that catches a broken
-    # sketch in the driver's rows-only hash).
-    brackets = F.percentile(
+    # The exact brackets come from the spill-safe sort-based operator
+    # (operators/percentiles.py), NOT the buffering percentile builtin,
+    # so the canary itself survives 100 TB group sizes; the GK sketch
+    # remains the scale path for the headline numbers.
+    from spotify_app_etl_spark.operators.percentiles import percentile_cont_by
+
+    brackets = percentile_cont_by(
+        li,
+        "l_returnflag",
         "l_extendedprice",
-        F.array(*[F.lit(x) for x in (0.23, 0.27, 0.48, 0.52, 0.73, 0.77, 0.93, 0.97)]),
+        {
+            "_b1": 0.23, "_b2": 0.27, "_b3": 0.48, "_b4": 0.52,
+            "_b5": 0.73, "_b6": 0.77, "_b7": 0.93, "_b8": 0.97,
+        },
     )
     within = (
-        F.element_at("_q", 1).between(F.element_at("_e", 1), F.element_at("_e", 2))
-        & F.element_at("_q", 2).between(F.element_at("_e", 3), F.element_at("_e", 4))
-        & F.element_at("_q", 3).between(F.element_at("_e", 5), F.element_at("_e", 6))
-        & F.element_at("_q", 4).between(F.element_at("_e", 7), F.element_at("_e", 8))
+        F.col("p25").between(F.col("_b1"), F.col("_b2"))
+        & F.col("p50").between(F.col("_b3"), F.col("_b4"))
+        & F.col("p75").between(F.col("_b5"), F.col("_b6"))
+        & F.col("p95").between(F.col("_b7"), F.col("_b8"))
     )
     # The bracket compares a NEAREST-RANK approx value against
     # INTERPOLATED exact quantiles; below ~1/0.02 = 50 rows the two
     # definitions legitimately diverge by more than the bracket width
-    # (e.g. percentile_approx picks a data value while percentile()
-    # interpolates between two far-apart values), so the invariant only
-    # claims groups large enough for the ±0.02-rank bracket to be
-    # meaningful.
+    # (e.g. percentile_approx picks a data value while the exact
+    # quantile interpolates between two far-apart values), so the
+    # invariant only claims groups large enough for the ±0.02-rank
+    # bracket to be meaningful.
     within = within | (F.col("n_items") < 1000)
     return (
         li.groupBy("l_returnflag")
-        .agg(qs.alias("_q"), brackets.alias("_e"), F.count(F.lit(1)).alias("n_items"))
+        .agg(qs.alias("_q"), F.count(F.lit(1)).alias("n_items"))
         .select(
             "l_returnflag",
             F.element_at("_q", 1).alias("p25"),
@@ -80,8 +87,10 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("_q", 3).alias("p75"),
             F.element_at("_q", 4).alias("p95"),
             "n_items",
-            within.alias("err_ok"),
         )
+        .join(F.broadcast(brackets), "l_returnflag")
+        .withColumn("err_ok", within)
+        .drop(*[f"_b{i}" for i in range(1, 9)])
     )
 
 

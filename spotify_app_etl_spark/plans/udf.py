@@ -83,8 +83,13 @@ def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_percentiles",
-    note="exact interpolated percentiles (percentile builtin == DuckDB "
-    "quantile_cont: both index p*(n-1) and lerp in double)",
+    note="exact interpolated percentiles matching DuckDB quantile_cont "
+    "(both index p*(n-1) and lerp in double, identical formula "
+    "(hi-pos)*v_lo + (pos-lo)*v_hi). Implemented as sort + rank picks "
+    "+ column-side lerp, NOT the percentile builtin: the builtin "
+    "buffers each group's full value list in memory per quantile (OOM "
+    "on 100 TB groups), while the group-partitioned window sort "
+    "spills through the external sorter",
     oracle="""
 SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
@@ -95,14 +100,14 @@ FROM orders GROUP BY o_orderpriority
     tags=("agg", "percentile"),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.25)), 6).alias("p25"),
-            F.round(F.percentile("o_totalprice", F.lit(0.50)), 6).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
-        )
+    from spotify_app_etl_spark.operators.percentiles import percentile_cont_by
+
+    return percentile_cont_by(
+        t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        {"p25": 0.25, "p50": 0.50, "p95": 0.95},
+        round_to=6,
     )
 
 

@@ -105,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_embed_top_eigvec",  # + rayleigh_monotone_ok rider (r05)
     "ns_dedup_minhash_pairs",  # + recall_vs_exact rider (r05)
     "q_agg_percentile_disc",  # rewritten sort+nearest-rank plan (r05)
+    "q_agg_percentiles",  # rewritten onto operators/percentiles.py (r05)
     # (2) the 31 round-1-only rows, in registration order
     "q_join_left_agg",
     "q_join_semi",

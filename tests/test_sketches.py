@@ -129,3 +129,50 @@ def test_self_verifying_invariant_columns(spark):
         assert rows, name
         bad = [r for r in rows if not r[col]]
         assert not bad, f"{name}: {len(bad)} rows with {col}=False"
+
+
+def test_sorted_percentile_operator_matches_builtins(spark):
+    """operators/percentiles.py claims bit-compatibility with the
+    buffering builtins (percentile / percentile_disc) — prove it on
+    real data AND on adversarial tiny groups (n=1, n=2, ties), where
+    the rank arithmetic has its edge cases."""
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+    from spotify_app_etl_spark.operators.percentiles import (
+        percentile_cont_by,
+        percentile_disc_by,
+    )
+
+    qs = {"p10": 0.10, "p50": 0.50, "p95": 0.95}
+
+    def check(df, key, val):
+        cont = percentile_cont_by(df, key, val, qs).orderBy(key).collect()
+        disc = percentile_disc_by(df, key, val, qs).orderBy(key).collect()
+        b = (
+            df.groupBy(key)
+            .agg(
+                *[F.percentile(val, F.lit(q)).alias(n) for n, q in qs.items()],
+                *[
+                    F.expr(
+                        f"percentile_disc({q}) WITHIN GROUP (ORDER BY {val})"
+                    ).alias(f"d_{n}")
+                    for n, q in qs.items()
+                ],
+            )
+            .orderBy(key)
+            .collect()
+        )
+        for ours_c, ours_d, ref in zip(cont, disc, b):
+            for n in qs:
+                assert ours_c[n] == ref[n], (n, ours_c, ref)
+                assert ours_d[n] == ref[f"d_{n}"], (n, ours_d, ref)
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    check(li, "l_returnflag", "l_extendedprice")
+
+    edge = spark.createDataFrame(
+        [("a", 1.0), ("b", 5.0), ("b", 3.0), ("c", 2.0), ("c", 2.0), ("c", 9.0)],
+        "k string, v double",
+    )
+    check(edge, "k", "v")
