@@ -82,8 +82,11 @@ def percentile_disc_by(
     the element at sorted position ``ceil(q*n)`` (ties collapse to the
     same value whatever the row_number order among them). Returns one
     row per group: ``key_col``, one column per ``quantiles`` name, and
-    optionally the group count as ``count_col``.
+    optionally the group count as ``count_col``. NULL values are
+    ignored, matching the builtins (a group of only NULLs drops out
+    entirely, as it does for the aggregates).
     """
+    df = df.filter(F.col(val_col).isNotNull())
     targets = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
     rank_cols = []
     for name, q in quantiles.items():
@@ -116,7 +119,10 @@ def percentile_cont_by(
     neighbours at ranks ``floor(pos)+1`` / ``ceil(pos)+1``, lerp as
     ``(hi-pos)*v_lo + (pos-lo)*v_hi`` (that exact double evaluation
     order — not the algebraically equal ``v_lo + frac*(v_hi-v_lo)``).
+    NULL values are ignored, matching the builtin: without the filter
+    they would count into ``n`` and sort first, shifting every pick.
     """
+    df = df.filter(F.col(val_col).isNotNull())
     targets = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
     rank_cols = []
     for name, q in quantiles.items():

@@ -153,7 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_token_count_bpe",
     "ns_doc_fingerprint",
     # (r02 canaries ns_sample_hash, ns_sample_stratified, ns_split_assign,
-    # q_agg_percentiles, ns_pipeline_training_prep,
+    # ns_pipeline_training_prep,
     # q_udf_pandas_scalar, q_udaf_grouped_median, the q_sql_*
     # subqueries and scan round-trips, and the r02 TPC-H tail are next
     # in line for the r06 window.)

@@ -176,3 +176,12 @@ def test_sorted_percentile_operator_matches_builtins(spark):
         "k string, v double",
     )
     check(edge, "k", "v")
+
+    # NULLs must be ignored exactly like the builtins do (counting
+    # them into n / ranking them first shifts every pick); an
+    # all-NULL group drops out entirely on both sides.
+    nulls = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
+        "k string, v double",
+    )
+    check(nulls, "k", "v")
