@@ -286,3 +286,87 @@ def q_join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_items"), dsum(rev, "revenue")
     )
+
+
+@query(
+    "ns_layout_compact_roundtrip",
+    note="bounded partitioned compaction end-to-end (io.compact_partitioned "
+    "— the hot-partition small-file maintenance a streaming ingest needs "
+    "at 100 TB): write events hive-partitioned by event_type with 8-way "
+    "fragmentation into a self-clearing scratch dir, compact, re-read. "
+    "File counts are layout-defined → rows-only; self-verifying: "
+    "rows_preserved asserts per-partition row counts survive the "
+    "stage-and-swap rewrite bit-for-bit, compacted asserts every "
+    "fragmented partition ended with fewer files",
+    tags=("northstar", "layout", "compaction"),
+)
+def ns_layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spotify_app_etl_spark.io import compact_partitioned
+
+    base = f"{tempfile.gettempdir()}/spark_graft_scratch_idx/compact"
+    shutil.rmtree(base, ignore_errors=True)
+    # ts is TIMESTAMP(NANOS) in the driver testdata — keep the scratch
+    # copy to plain columns so the round-trip needs no legacy conf.
+    src = t(spark, sf_dir, "events").select("event_type", "value")
+    src.repartition(8).write.partitionBy("event_type").mode("overwrite").parquet(
+        base
+    )
+    # Materialize the BEFORE file counts eagerly: the frame is lazy and
+    # the files it lists are about to be rewritten.
+    before = {
+        r["event_type"]: r["nf"]
+        for r in spark.read.parquet(base)
+        # input_file_name() may not sit inside an aggregate — project
+        # it to a column first, then count distinct.
+        .select("event_type", F.input_file_name().alias("__f"))
+        .groupBy("event_type")
+        .agg(F.count_distinct("__f").alias("nf"))
+        .collect()
+    }
+    compact_partitioned(
+        spark,
+        base,
+        target_file_bytes=1 << 40,  # everything into one file per partition
+        max_partitions=100,
+        min_files_to_compact=2,
+    )
+    before_df = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("event_type"),
+                        F.lit(int(v)).cast("long").alias("files_before"),
+                    )
+                    for k, v in sorted(before.items())
+                ]
+            )
+        ).alias("s")
+    ).select("s.event_type", "s.files_before")
+    after = (
+        spark.read.parquet(base)
+        .select("event_type", F.input_file_name().alias("__f"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("__f").alias("files_after"),
+        )
+    )
+    expected = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n_src"))
+    return (
+        after.join(F.broadcast(before_df), "event_type")
+        .join(expected, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "files_before",
+            "files_after",
+            (F.col("n_rows") == F.col("__n_src")).alias("rows_preserved"),
+            (
+                (F.col("files_after") < F.col("files_before"))
+                | (F.col("files_before") < 2)
+            ).alias("compacted"),
+        )
+    )

@@ -92,9 +92,11 @@ _PRIORITY: tuple[str, ...] = (
     # weakest evidence; (3) the oldest round-2 rows as fill. r03/r04
     # rows stay as evidence — nothing in this window is younger than
     # r02 unless its code changed this round. ---
-    # (1a) new this round: persisted ANN / dedup-index probe paths
+    # (1a) new this round: persisted ANN / dedup-index probe paths and
+    # the partitioned-compaction round-trip
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
+    "ns_layout_compact_roundtrip",
     # (1b) rows-only queries that now emit in-query invariants
     # (recall-vs-bruteforce / abs-err-vs-exact) — schema changed
     "ns_sim_topk_lsh",
