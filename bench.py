@@ -74,6 +74,7 @@ HEADLINE = [
     # for the build-once/probe-many tradeoff)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
+    "ns_layout_compact_roundtrip",
 ]
 
 
