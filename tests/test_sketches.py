@@ -187,3 +187,57 @@ def test_sorted_percentile_operator_matches_builtins(spark):
         "k string, v double",
     )
     check(nulls, "k", "v")
+
+
+def test_sorted_percentile_operator_randomized(spark):
+    """Randomized adversarial check of the bit-compat claim: many
+    group sizes (including 1 and 2), duplicated values, negative and
+    huge magnitudes, and irrational quantiles whose q*(n-1)/q*n hit
+    floating-point rank boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.operators.percentiles import (
+        percentile_cont_by,
+        percentile_disc_by,
+    )
+
+    rng = random.Random(20260814)
+    rows = []
+    for g in range(30):
+        n = rng.choice([1, 2, 3, 5, 17, 100, 101])
+        vals = [
+            rng.choice(
+                [
+                    round(rng.uniform(-1e6, 1e6), 3),
+                    float(rng.randint(-5, 5)),  # force ties
+                ]
+            )
+            for _ in range(n)
+        ]
+        rows += [(f"g{g}", v) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double")
+    qs = {f"q{i}": q for i, q in enumerate([0.01, 1 / 3, 0.5, 2 / 3, 0.907, 0.999])}
+
+    cont = {r["k"]: r for r in percentile_cont_by(df, "k", "v", qs).collect()}
+    disc = {r["k"]: r for r in percentile_disc_by(df, "k", "v", qs).collect()}
+    ref = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            *[F.percentile("v", F.lit(q)).alias(n) for n, q in qs.items()],
+            *[
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY v)").alias(
+                    f"d_{n}"
+                )
+                for n, q in qs.items()
+            ],
+        )
+        .collect()
+    }
+    assert set(cont) == set(ref) == set(disc)
+    for k, r in ref.items():
+        for n in qs:
+            assert cont[k][n] == r[n], (k, n, cont[k][n], r[n])
+            assert disc[k][n] == r[f"d_{n}"], (k, n, disc[k][n], r[f"d_{n}"])
