@@ -628,10 +628,18 @@ def _read_index_meta(spark, path: str):
     Only a missing path maps to None; any OTHER failure (IO,
     permissions, corrupt footer) propagates — swallowing it would skip
     the param guard and then overwrite meta, silently mixing hash
-    families.
+    families. Existence is pre-checked through the Hadoop FS API
+    because spark.read on a missing path logs a WARN + stack trace
+    (FileStreamSink's metadata probe) before raising — cold-start
+    builds would pollute every bench/driver log with scary-but-benign
+    FileNotFoundException traces.
     """
     from pyspark.errors import AnalysisException
 
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+    hconf = spark._jsc.hadoopConfiguration()
+    if not jpath.getFileSystem(hconf).exists(jpath):
+        return None
     try:
         return spark.read.parquet(f"{path}/meta").first()
     except AnalysisException:
