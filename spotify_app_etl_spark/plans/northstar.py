@@ -137,11 +137,41 @@ def ns_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ns_dedup_simhash_pairs",
     note="SimHash-64 near-dup pairs at Hamming ≤ 3 via 4×16-bit band "
-    "buckets (pigeonhole-complete) — hash-defined → rows-only",
+    "buckets (pigeonhole-complete) — hash-defined → rows-only; "
+    "self-verifying: recall_vs_exact vs an exact all-pairs Hamming "
+    "pass over the FIXED doc_id < 1000 window must be EXACTLY 1.0 — "
+    "banding is not probabilistic like MinHash: 3 bit flips cannot "
+    "touch all 4 bands, so a recall below 1.0 means the band split "
+    "itself is broken. The exact pass is an O(1)-bounded broadcast "
+    "NLJ (constant window), keeping the rider free at corpus scale",
     tags=("northstar", "dedup", "simhash"),
 )
 def ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_candidates(t(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = t(spark, sf_dir, "documents")
+    # Persisted for the same reason as ns_dedup_minhash_pairs: the
+    # banded self-join must not execute twice when the frame feeds both
+    # the output and the recall scalar.
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    cand = _scoped_persist(DD.simhash_candidates(docs, "text", "doc_id"))
+    sig = docs.filter(F.col("doc_id") < 1000).select(
+        F.col("doc_id").alias("__id"),
+        DD.simhash_signature("text").alias("__sim"),
+    )
+    exact = (
+        sig.select(F.col("__id").alias("id_a"), F.col("__sim").alias("s_a"))
+        .join(
+            F.broadcast(
+                sig.select(F.col("__id").alias("id_b"), F.col("__sim").alias("s_b"))
+            ),
+            F.col("id_a") < F.col("id_b"),
+        )
+        .filter(F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    return cand.crossJoin(
+        F.broadcast(_recall_scalar(exact, cand))
+    ).withColumn("recall_ok", F.col("recall_vs_exact") == 1.0)
 
 
 @query(

@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_hll_sketch_merge",
     "ns_embed_top_eigvec",  # + rayleigh_monotone_ok rider (r05)
     "ns_dedup_minhash_pairs",  # + recall_vs_exact rider (r05)
+    "ns_dedup_simhash_pairs",  # + pigeonhole-completeness rider (r05)
     "q_agg_percentile_disc",  # rewritten sort+nearest-rank plan (r05)
     "q_agg_percentiles",  # rewritten onto operators/percentiles.py (r05)
     # (2) the 31 round-1-only rows, in registration order

@@ -53,6 +53,9 @@ NLJ_ALLOWED = {
     # pair output (single-pass left-join-marker aggregation — the
     # exact subtree appears exactly once)
     "ns_dedup_minhash_pairs": 1,
+    # same scalar + the exact Hamming pass over a constant doc_id
+    # window (bounded broadcast NLJ — pigeonhole-completeness rider)
+    "ns_dedup_simhash_pairs": 2,
     # same scalar + the exact block-matmul baseline's bounded
     # block-grid broadcast (the rider embeds ns_dedup_embedding_cosine)
     "ns_dedup_embedding_cosine_lsh": 2,

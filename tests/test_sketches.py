@@ -123,6 +123,7 @@ def test_self_verifying_invariant_columns(spark):
         ("ns_dedup_minhash_incremental", "idempotent_ok"),
         ("ns_embed_top_eigvec", "rayleigh_monotone_ok"),
         ("ns_dedup_minhash_pairs", "recall_ok"),
+        ("ns_dedup_simhash_pairs", "recall_ok"),
         ("ns_dedup_embedding_cosine_lsh", "recall_ok"),
         ("ns_layout_compact_roundtrip", "rows_preserved"),
         ("ns_layout_compact_roundtrip", "compacted"),
