@@ -884,10 +884,18 @@ def ns_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every 97th char flipped (same length — dHash cell strides are "
     "length-relative, so in-place edits move few bits while an "
     "append shifts all of them). Hash-defined → rows-only; "
-    "python-reference equality + recall in tests/test_multimodal.py",
+    "python-reference equality + recall in tests/test_multimodal.py; "
+    "self-verifying: recall_vs_exact vs an exact all-pairs Hamming "
+    "pass over the FIXED window (doc_id < 1000 plus their planted "
+    "copies) must be EXACTLY 1.0 — the radius-derived banding is "
+    "pigeonhole-complete for Hamming ≤ 3, so sub-1.0 recall means a "
+    "broken band split, not bad luck. The exact pass is an "
+    "O(1)-bounded broadcast NLJ over the constant window",
     tags=("northstar", "multimodal", "dedup"),
 )
 def ns_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
     docs = t(spark, sf_dir, "documents")
     edited = F.concat_ws(
         "",
@@ -900,4 +908,27 @@ def ns_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), edited.alias("text")
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
-    return MM.phash_near_dup_pairs(MM.documents_as_binary(corpus), max_hamming=3)
+    # Persisted: the banded self-join feeds both the output and the
+    # recall scalar (same rationale as ns_dedup_simhash_pairs).
+    cand = _scoped_persist(
+        MM.phash_near_dup_pairs(MM.documents_as_binary(corpus), max_hamming=3)
+    )
+    window = corpus.filter(
+        (F.col("doc_id") < 1000)
+        | ((F.col("doc_id") >= 1000000) & (F.col("doc_id") < 1001000))
+    )
+    sig = MM.perceptual_hashes(MM.documents_as_binary(window))
+    exact = (
+        sig.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("p_a"))
+        .join(
+            F.broadcast(
+                sig.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("p_b"))
+            ),
+            F.col("id_a") < F.col("id_b"),
+        )
+        .filter(F.bit_count(F.col("p_a").bitwiseXOR(F.col("p_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    return cand.crossJoin(
+        F.broadcast(_recall_scalar(exact, cand))
+    ).withColumn("recall_ok", F.col("recall_vs_exact") == 1.0)

@@ -56,6 +56,7 @@ NLJ_ALLOWED = {
     # same scalar + the exact Hamming pass over a constant doc_id
     # window (bounded broadcast NLJ — pigeonhole-completeness rider)
     "ns_dedup_simhash_pairs": 2,
+    "ns_mm_phash_pairs": 2,
     # same scalar + the exact block-matmul baseline's bounded
     # block-grid broadcast (the rider embeds ns_dedup_embedding_cosine)
     "ns_dedup_embedding_cosine_lsh": 2,

@@ -124,6 +124,7 @@ def test_self_verifying_invariant_columns(spark):
         ("ns_embed_top_eigvec", "rayleigh_monotone_ok"),
         ("ns_dedup_minhash_pairs", "recall_ok"),
         ("ns_dedup_simhash_pairs", "recall_ok"),
+        ("ns_mm_phash_pairs", "recall_ok"),
         ("ns_dedup_embedding_cosine_lsh", "recall_ok"),
         ("ns_layout_compact_roundtrip", "rows_preserved"),
         ("ns_layout_compact_roundtrip", "compacted"),
