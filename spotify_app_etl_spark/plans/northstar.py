@@ -111,12 +111,35 @@ def ns_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ns_dedup_minhash_apply",
-    note="end-to-end fuzzy dedup: corpus minus greedy near-dup closure",
+    note="end-to-end fuzzy dedup: corpus minus greedy near-dup closure "
+    "(drop every id_b of a candidate pair — operators/dedup.py "
+    "minhash_dedup, inlined here so the candidate frame is computed "
+    "once). Self-verifying: closure_ok re-runs the LSH candidate pass "
+    "on the KEPT docs within the fixed doc_id < 1000 window and "
+    "asserts zero pairs — definitionally true when per-doc signatures "
+    "are corpus-independent, so a flip means the signature pipeline "
+    "leaked corpus state (normalization, capping, banding)",
     tags=("northstar", "dedup", "lsh"),
 )
 def ns_dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    kept = DD.minhash_dedup(t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5)
-    return kept.select("doc_id", "lang", "source", "n_chars")
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    docs = t(spark, sf_dir, "documents")
+    # Persisted: feeds the drop-set anti-join on BOTH the output branch
+    # and the rider's kept-window branch.
+    cand = _scoped_persist(
+        DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
+    )
+    drop = cand.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = docs.join(drop, "doc_id", "left_anti")
+    residual = DD.minhash_candidates(
+        kept.filter(F.col("doc_id") < 1000), "text", "doc_id", threshold=0.5
+    )
+    closure = residual.agg((F.count(F.lit(1)) == F.lit(0)).alias("closure_ok"))
+    return (
+        kept.select("doc_id", "lang", "source", "n_chars")
+        .crossJoin(F.broadcast(closure))
+    )
 
 
 @query(
@@ -125,13 +148,29 @@ def ns_dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs, exact n-gram Jaccard verifies ONLY those (ngram_jaccard_on) "
     "— candidate set is hash-defined → rows-only; equivalence to "
     "standalone exact Jaccard on the candidate set asserted in "
-    "tests/test_operators.py",
+    "tests/test_operators.py. Self-verifying: recall_vs_exact vs the "
+    "full exact word-3-gram Jaccard ≥ 0.5 pairs within the FIXED "
+    "doc_id < 1000 window, floor 0.7 (the end-to-end twin of "
+    "ns_dedup_minhash_pairs' rider: here a miss can come from the LSH "
+    "proposal OR the verification join dropping a true pair)",
     tags=("northstar", "dedup", "lsh"),
 )
 def ns_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
     docs = t(spark, sf_dir, "documents")
     cand = DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
-    return DD.ngram_jaccard_on(cand, docs, "text", "doc_id", n=3, threshold=0.5)
+    # Persisted: the verified pairs feed both the output and the recall
+    # scalar (same rationale as ns_dedup_minhash_pairs).
+    out = _scoped_persist(
+        DD.ngram_jaccard_on(cand, docs, "text", "doc_id", n=3, threshold=0.5)
+    )
+    exact = DD.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 1000), "text", "doc_id", n=3, threshold=0.5
+    )
+    return out.crossJoin(
+        F.broadcast(_recall_scalar(exact, out))
+    ).withColumn("recall_ok", F.col("recall_vs_exact") >= 0.7)
 
 
 @query(
@@ -677,23 +716,64 @@ def ns_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ns_mm_features",
     note="Arrow-batched mapInPandas decode/feature stage (deterministic "
     "fake decoder — real codecs absent; plumbing is real) — rows-only; "
-    "byte-stat math asserted against a Python reference in tests",
+    "byte-stat math asserted against a Python reference in tests. "
+    "Self-verifying: bytes_ok cross-checks the Arrow kernel against "
+    "the JVM — every row's n_bytes must equal octet_length(payload) "
+    "computed JVM-side, and byte_min ≤ byte_mean ≤ byte_max — so a "
+    "truncated Arrow batch or payload/doc_id misalignment flips it",
     tags=("northstar", "multimodal", "pandas-udf"),
 )
 def ns_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
     mm = MM.documents_as_binary(t(spark, sf_dir, "documents"))
-    return MM.extract_features(mm)
+    feats = _scoped_persist(MM.extract_features(mm))
+    jvm = mm.select("doc_id", F.col("meta.n_bytes").alias("__jvm_bytes"))
+    bad = (
+        F.col("n_bytes") != F.col("__jvm_bytes")
+    ) | (F.col("byte_min") > F.col("byte_mean")) | (
+        F.col("byte_mean") > F.col("byte_max")
+    )
+    chk = (
+        feats.join(jvm, "doc_id")
+        .agg(
+            (F.count(F.when(bad, 1)) == F.lit(0)).alias("bytes_ok")
+        )
+    )
+    return feats.crossJoin(F.broadcast(chk))
 
 
 @query(
     "ns_mm_frame_sample",
     note="frame sampling over 'video' payloads: mapInPandas explode "
-    "(row-count-changing) — rows-only; counts asserted in tests",
+    "(row-count-changing) — rows-only; counts asserted in tests. "
+    "Self-verifying: counts_ok recomputes every doc's expected kept-"
+    "frame count JVM-side from meta.n_bytes (ceil(ceil(n/256)/4)) and "
+    "asserts the exploded output matches doc-by-doc (docs too short "
+    "for one frame included) — a kernel that drops or duplicates "
+    "frames, or misaligns payloads across an Arrow batch, flips it",
     tags=("northstar", "multimodal", "pandas-udf"),
 )
 def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
     mm = MM.documents_as_binary(t(spark, sf_dir, "documents"))
-    return MM.sample_frames(mm)
+    frames = _scoped_persist(MM.sample_frames(mm))
+    got = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__got"))
+    want = mm.select(
+        "doc_id",
+        F.ceil(F.ceil(F.col("meta.n_bytes") / 256) / 4).alias("__want"),
+    )
+    chk = (
+        want.join(got, "doc_id", "left")
+        .agg(
+            (
+                F.count(F.when(F.coalesce("__got", F.lit(0)) != F.col("__want"), 1))
+                == F.lit(0)
+            ).alias("counts_ok")
+        )
+    )
+    return frames.crossJoin(F.broadcast(chk))
 
 
 @query(

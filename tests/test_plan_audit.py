@@ -57,6 +57,11 @@ NLJ_ALLOWED = {
     # window (bounded broadcast NLJ — pigeonhole-completeness rider)
     "ns_dedup_simhash_pairs": 2,
     "ns_mm_phash_pairs": 2,
+    # 1-row closure/recall scalars joined onto the output
+    "ns_dedup_minhash_apply": 1,
+    "ns_dedup_minhash_verified": 1,
+    "ns_mm_features": 1,
+    "ns_mm_frame_sample": 1,
     # same scalar + the exact block-matmul baseline's bounded
     # block-grid broadcast (the rider embeds ns_dedup_embedding_cosine)
     "ns_dedup_embedding_cosine_lsh": 2,

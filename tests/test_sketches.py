@@ -125,6 +125,10 @@ def test_self_verifying_invariant_columns(spark):
         ("ns_dedup_minhash_pairs", "recall_ok"),
         ("ns_dedup_simhash_pairs", "recall_ok"),
         ("ns_mm_phash_pairs", "recall_ok"),
+        ("ns_dedup_minhash_apply", "closure_ok"),
+        ("ns_dedup_minhash_verified", "recall_ok"),
+        ("ns_mm_features", "bytes_ok"),
+        ("ns_mm_frame_sample", "counts_ok"),
         ("ns_dedup_embedding_cosine_lsh", "recall_ok"),
         ("ns_layout_compact_roundtrip", "rows_preserved"),
         ("ns_layout_compact_roundtrip", "compacted"),
