@@ -102,6 +102,23 @@ def test_registered_queries_emit_scalar_columns_only(spark):
     assert offenders == {}
 
 
+def test_recall_scalar_is_falsifiable(spark):
+    """The rider machinery must be able to report sub-1.0 recall — a
+    tautological rider (e.g. comparing a frame to itself) would always
+    emit 1.0 and verify nothing. Constructed cases: partial hit,
+    full hit, and the documented vacuous-1.0 on an empty exact set."""
+    from spotify_app_etl_spark.plans.northstar import _recall_scalar
+
+    exact = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    found = spark.createDataFrame([(1, 2), (5, 6), (9, 10)], "id_a long, id_b long")
+    assert _recall_scalar(exact, found).first()["recall_vs_exact"] == 0.5
+    assert _recall_scalar(exact, exact).first()["recall_vs_exact"] == 1.0
+    empty = exact.filter("id_a < 0")
+    assert _recall_scalar(empty, found).first()["recall_vs_exact"] == 1.0
+
+
 def test_self_verifying_invariant_columns(spark):
     """Round-5 hardening: the rows-only queries carry in-query
     verification columns (recall vs brute force, error vs exact,
