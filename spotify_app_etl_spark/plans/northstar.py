@@ -477,6 +477,54 @@ def ns_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_streaming_dedup_ingest",
+    note="STREAMING near-dup ingest under the driver's eye: build the "
+    "MinHash index from the even-id history, write the odd-id batch "
+    "as a parquet stream source, drain it with trigger(availableNow) "
+    "through streaming/jobs.streaming_dedup_ingest (foreachBatch: "
+    "dedup vs index+self → sink → append signatures; sink-before-"
+    "index retry ordering), then return the sink contents. Survivors "
+    "are hash-defined → rows-only; self-verifying: idempotent_ok "
+    "re-runs the same batch against the post-stream index and must "
+    "keep zero docs — every survivor now self-matches its appended "
+    "signature at est_jaccard 1.0. Restart-safety/cold-start are "
+    "covered in tests/test_streaming.py; this query exists so the "
+    "streaming path is exercised by the external driver, not only "
+    "pytest",
+    tags=("northstar", "dedup", "minhash", "streaming"),
+)
+def ns_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.streaming import jobs as SJ
+
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    # Fixed self-clearing scratch root — see ns_sim_topk_lsh_indexed.
+    # The sink parquet must survive until the caller executes the
+    # returned DataFrame, so cleanup happens on the NEXT invocation.
+    root = _scratch_index_dir("stream_ingest")
+    idx, src = f"{root}/sig", f"{root}/src"
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    DD.minhash_index_write(history, "text", "doc_id", idx)
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = SJ.streaming_dedup_ingest(
+        stream, idx, out, ckpt, available_now=True
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(out)
+    rerun, _ = DD.minhash_dedup_incremental_with_sigs(
+        batch, idx, "text", "doc_id"
+    )
+    idempotent = rerun.agg((F.count(F.lit(1)) == F.lit(0)).alias("idempotent_ok"))
+    return (
+        kept.select("doc_id")
+        .crossJoin(F.broadcast(idempotent))
+        .withColumn("src", F.lit("stream_kept"))
+    )
+
+
+@query(
     "ns_text_stats",
     note="token counting, punctuation/digit profiling, language-ID "
     "heuristic, quality score — all JVM-side column expressions",

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     # the partitioned-compaction round-trip
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
+    "ns_streaming_dedup_ingest",
     "ns_layout_compact_roundtrip",
     # (1b) rows-only queries that now emit in-query invariants
     # (recall-vs-bruteforce / abs-err-vs-exact) — schema changed
@@ -107,6 +108,10 @@ _PRIORITY: tuple[str, ...] = (
     "ns_embed_top_eigvec",  # + rayleigh_monotone_ok rider (r05)
     "ns_dedup_minhash_pairs",  # + recall_vs_exact rider (r05)
     "ns_dedup_simhash_pairs",  # + pigeonhole-completeness rider (r05)
+    "ns_dedup_embedding_cosine_lsh",  # + recall rider (r05); r02 row
+    "ns_dedup_minhash_apply",  # + closure_ok rider (r05)
+    "ns_dedup_minhash_verified",  # + recall rider (r05)
+    "ns_mm_phash_pairs",  # + completeness rider (r05)
     "q_agg_percentile_disc",  # rewritten sort+nearest-rank plan (r05)
     "q_agg_percentiles",  # rewritten onto operators/percentiles.py (r05)
     # (2) the 31 round-1-only rows, in registration order
@@ -150,7 +155,6 @@ _PRIORITY: tuple[str, ...] = (
     "etl_followed_artists",
     "etl_playlist_profile",
     "q_dedup_bounded_window",
-    "ns_dedup_embedding_cosine_lsh",
     "ns_dedup_clusters",
     "ns_text_stats",
     "ns_token_count_bpe",

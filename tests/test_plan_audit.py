@@ -49,6 +49,7 @@ NLJ_ALLOWED = {
     # 1-row verification scalars (index==in-memory parity / rerun-empty)
     "ns_sim_topk_lsh_indexed": 1,
     "ns_dedup_minhash_incremental": 1,
+    "ns_streaming_dedup_ingest": 1,
     # recall riders (r05): the 1-row recall scalar joined onto the
     # pair output (single-pass left-join-marker aggregation — the
     # exact subtree appears exactly once)

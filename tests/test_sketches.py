@@ -138,6 +138,7 @@ def test_self_verifying_invariant_columns(spark):
         ("q_hll_sketch_merge", "err_ok"),
         ("ns_sim_topk_lsh_indexed", "matches_inmemory"),
         ("ns_dedup_minhash_incremental", "idempotent_ok"),
+        ("ns_streaming_dedup_ingest", "idempotent_ok"),
         ("ns_embed_top_eigvec", "rayleigh_monotone_ok"),
         ("ns_dedup_minhash_pairs", "recall_ok"),
         ("ns_dedup_simhash_pairs", "recall_ok"),
