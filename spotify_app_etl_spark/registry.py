@@ -159,11 +159,14 @@ _PRIORITY: tuple[str, ...] = (
     "ns_text_stats",
     "ns_token_count_bpe",
     "ns_doc_fingerprint",
-    # (r02 canaries ns_sample_hash, ns_sample_stratified, ns_split_assign,
-    # ns_pipeline_training_prep,
-    # q_udf_pandas_scalar, q_udaf_grouped_median, the q_sql_*
-    # subqueries and scan round-trips, and the r02 TPC-H tail are next
-    # in line for the r06 window.)
+    # (A ~50-query window covers through ns_sim_topk_bruteforce plus
+    # the first etl canaries; the group-(3) tail past the cutoff keeps
+    # its r02 green rows. Next in line for the r06 window: whatever the
+    # group-(3) tail didn't reach this round, then the r02 canaries
+    # ns_sample_hash, ns_sample_stratified, ns_split_assign,
+    # ns_pipeline_training_prep, q_udf_pandas_scalar,
+    # q_udaf_grouped_median, the q_sql_* subqueries and scan
+    # round-trips, and the r02 TPC-H tail.)
 )
 
 
