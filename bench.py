@@ -140,16 +140,18 @@ def main() -> None:
     # ns_dedup_clusters, ns_embed_semantic_clusters, the leakage-safe
     # split — and a single end-of-run read would report whichever ran
     # last).
-    cc_rounds: dict[str, int] = {}
+    cc_rounds: dict[str, object] = {}
     for name in names:
         best = float("inf")
         for _ in range(max(args.repeat, 1)):
-            cluster.last_rounds = None
+            cluster.take_rounds()  # drop anything a previous query left
             start = time.perf_counter()
             force(registry[name].fn(spark, args.sf))
             best = min(best, time.perf_counter() - start)
-            if cluster.last_rounds is not None:
-                cc_rounds[name] = cluster.last_rounds
+            rounds = cluster.take_rounds()
+            if rounds:
+                # one CC call is the common case; keep the scalar shape
+                cc_rounds[name] = rounds[0] if len(rounds) == 1 else rounds
             # dedup operators cache signature tables for their
             # multi-consumer plans; release between runs so repeats stay
             # honest and a long --all run doesn't accumulate storage

@@ -32,15 +32,32 @@ Scale shape (the part that matters at 100 TB):
 from __future__ import annotations
 
 import logging
+import threading
 
 from pyspark.sql import DataFrame, functions as F
 
 log = logging.getLogger(__name__)
 
-#: Rounds the most recent CC call took to converge (module-level so the
-#: bench harness and tests can attribute iterative-query cost to
-#: iteration count vs per-round plan cost without re-running).
-last_rounds: int | None = None
+#: Per-thread log of CC convergence round counts, so the bench harness
+#: can attribute iterative-query cost to iteration count vs per-round
+#: plan cost without re-running. Thread-local (concurrent queries
+#: can't clobber each other's attribution) and a LIST (a query that
+#: runs CC more than once records every call, not just the last).
+_rounds_log = threading.local()
+
+
+def _record_rounds(rounds: int) -> None:
+    if not hasattr(_rounds_log, "log"):
+        _rounds_log.log = []
+    _rounds_log.log.append(rounds)
+
+
+def take_rounds() -> list[int]:
+    """Drain and return the convergence round counts recorded on THIS
+    thread since the last drain (empty if no CC call converged)."""
+    out = getattr(_rounds_log, "log", [])
+    _rounds_log.log = []
+    return out
 
 
 def connected_components(
@@ -82,7 +99,6 @@ def connected_components(
         .localCheckpoint()
     )
 
-    global last_rounds
     for rounds in range(1, max_iter + 1):
         # min over {own label} ∪ {neighbors' labels} — one shuffle round.
         neighbor_min = (
@@ -103,7 +119,7 @@ def connected_components(
         changed = updated.filter("__changed").count()
         labels = updated.drop("__changed")
         if changed == 0:
-            last_rounds = rounds
+            _record_rounds(rounds)
             log.info("connected_components: converged in %d rounds", rounds)
             return labels
     raise RuntimeError(
@@ -182,7 +198,6 @@ def connected_components_star(
             .select("u", F.least("u", "m").alias("m"))
         )
 
-    global last_rounds
     for rounds in range(1, max_iter + 1):
         # One bidirectional view per round, shared by the min-aggregate
         # and the rewire join (previously built twice — double the
@@ -214,7 +229,7 @@ def connected_components_star(
         )
         edges = rewired
         if changed == 0:
-            last_rounds = rounds
+            _record_rounds(rounds)
             log.info("connected_components_star: converged in %d rounds", rounds)
             break
     else:

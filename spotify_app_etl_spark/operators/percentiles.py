@@ -10,11 +10,22 @@ group-partitioned window sort, which streams through Spark's
 UnsafeExternalSorter and spills to disk instead of buffering:
 
 1. one count-aggregate per group → the target rank(s) per quantile
-   (map-side combinable, O(groups) rows, broadcast back),
+   (map-side combinable, O(groups) rows),
 2. one ``row_number`` window over (group, value) — the only real
-   shuffle+sort, shared by every requested quantile,
-3. filter to the ≤ 2·|quantiles| picked ranks per group and fold them
-   to columns with conditional aggregates.
+   shuffle+sort of the data, shared by every requested quantile,
+3. a group-preserving join of the ranked rows against the O(groups)
+   target table, filtered to the ≤ 2·|quantiles| picked ranks per
+   group and folded to columns with conditional aggregates. The join
+   adds NO data shuffle: the window's output is already hash-
+   partitioned AND sorted by the group key, so only the tiny target
+   side moves.
+
+NULL semantics match the builtins exactly: NULL values are ignored by
+the rank arithmetic, and a group whose values are ALL NULL is kept
+with NULL percentile outputs (``groupBy().agg(percentile(...))`` emits
+every group — only the aggregate value is NULL). ``count_col`` reports
+``count(*)`` — NULLs included — like a ``COUNT(*)`` alongside the
+builtin aggregates would.
 
 Also ~2x faster than the buffered builtins at sf0.1 (measured: disc
 2.9s → 1.2s, cont 0.76s → 0.49s) because the sort parallelizes across
@@ -31,6 +42,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _group_counts(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """Per-group counts from the UNFILTERED input: ``__n`` = non-NULL
+    values (drives the rank arithmetic, matching the builtins' NULL-
+    ignoring semantics) and ``__n_all`` = ``count(*)``. Keeping every
+    group here — including all-NULL ones — is what lets the callers
+    emit those groups with NULL percentiles instead of dropping them,
+    matching ``groupBy().agg(percentile(...))``."""
+    return df.groupBy(key_col).agg(
+        F.count(F.col(val_col)).alias("__n"),
+        F.count(F.lit(1)).alias("__n_all"),
+    )
+
+
 def _picks(
     df: DataFrame,
     key_col: str,
@@ -38,23 +62,34 @@ def _picks(
     targets: DataFrame,
     rank_cols: list[str],
 ) -> DataFrame:
-    """One row per group holding the value at each requested rank.
+    """One row per TARGET group holding the value at each requested
+    rank, plus every non-key target column carried through.
 
-    ``targets`` carries one row per group with integer rank columns
-    ``rank_cols`` (plus anything else to max-carry through); it is
-    O(groups) rows by construction, hence broadcast.
+    ``df`` must already be filtered to non-NULL values; ``targets`` has
+    one row per group (O(groups) by construction) with integer rank
+    columns ``rank_cols``. The right-outer join preserves groups with
+    zero non-NULL rows — their picks fold to NULL, exactly how the
+    builtin aggregates emit all-NULL groups. Plan shape: the ranked
+    side leaves the window hash-partitioned and sorted by ``key_col``,
+    so the sort-merge join re-shuffles only the target side; a second
+    pass over the data (e.g. re-aggregating the group list for a final
+    outer join) never happens. The merge hint is load-bearing: for a
+    right-outer join the ONLY broadcastable side is the ranked DATA
+    side (BuildLeft), and Catalyst happily broadcasts it when the size
+    estimate looks small — a plan that detonates at real scale if the
+    estimate is wrong. SMJ here costs nothing extra because the window
+    already produced the partitioning and sort order the merge needs.
     """
     w = Window.partitionBy(key_col).orderBy(val_col)
     ranked = df.select(key_col, val_col).withColumn(
         "__rn", F.row_number().over(w)
     )
-    keep = None
+    keep = F.col("__rn").isNull()  # unmatched target rows (all-NULL groups)
     for rc in rank_cols:
-        m = F.col("__rn") == F.col(rc)
-        keep = m if keep is None else (keep | m)
+        keep = keep | (F.col("__rn") == F.col(rc))
     carried = [c for c in targets.columns if c != key_col]
     return (
-        ranked.join(F.broadcast(targets), key_col)
+        ranked.hint("merge").join(targets, key_col, "right_outer")
         .filter(keep)
         .groupBy(key_col)
         .agg(
@@ -82,12 +117,13 @@ def percentile_disc_by(
     the element at sorted position ``ceil(q*n)`` (ties collapse to the
     same value whatever the row_number order among them). Returns one
     row per group: ``key_col``, one column per ``quantiles`` name, and
-    optionally the group count as ``count_col``. NULL values are
-    ignored, matching the builtins (a group of only NULLs drops out
-    entirely, as it does for the aggregates).
+    optionally the ``count(*)`` group size as ``count_col``. NULL
+    values are ignored in the rank arithmetic, matching the builtins —
+    and, also matching them, a group of only NULLs is KEPT with NULL
+    percentile values (``groupBy().agg(percentile_disc(...))`` emits
+    the group; only the values are NULL).
     """
-    df = df.filter(F.col(val_col).isNotNull())
-    targets = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    targets = _group_counts(df, key_col, val_col)
     rank_cols = []
     for name, q in quantiles.items():
         rc = f"__r_{name}"
@@ -95,12 +131,14 @@ def percentile_disc_by(
             rc, F.greatest(F.ceil(F.lit(q) * F.col("__n")), F.lit(1))
         )
         rank_cols.append(rc)
-    picked = _picks(df, key_col, val_col, targets, rank_cols)
+    picked = _picks(
+        df.filter(F.col(val_col).isNotNull()), key_col, val_col, targets, rank_cols
+    )
     cols = [F.col(key_col)] + [
         F.col(f"__v___r_{name}").alias(name) for name in quantiles
     ]
     if count_col is not None:
-        cols.append(F.col("__n").alias(count_col))
+        cols.append(F.col("__n_all").alias(count_col))
     return picked.select(*cols)
 
 
@@ -119,11 +157,14 @@ def percentile_cont_by(
     neighbours at ranks ``floor(pos)+1`` / ``ceil(pos)+1``, lerp as
     ``(hi-pos)*v_lo + (pos-lo)*v_hi`` (that exact double evaluation
     order — not the algebraically equal ``v_lo + frac*(v_hi-v_lo)``).
-    NULL values are ignored, matching the builtin: without the filter
-    they would count into ``n`` and sort first, shifting every pick.
+    NULL values are ignored in the rank arithmetic, matching the
+    builtin: counting them into ``n`` while they sort first would
+    shift every pick. All-NULL groups are kept with NULL percentile
+    values, again matching the builtin; ``count_col`` reports
+    ``count(*)`` (NULLs included), like a ``COUNT(*)`` alongside the
+    aggregate would.
     """
-    df = df.filter(F.col(val_col).isNotNull())
-    targets = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n"))
+    targets = _group_counts(df, key_col, val_col)
     rank_cols = []
     for name, q in quantiles.items():
         pos = F.lit(q) * (F.col("__n") - 1)
@@ -133,7 +174,9 @@ def percentile_cont_by(
             .withColumn(f"__hi_{name}", F.ceil(pos) + 1)
         )
         rank_cols += [f"__lo_{name}", f"__hi_{name}"]
-    picked = _picks(df, key_col, val_col, targets, rank_cols)
+    picked = _picks(
+        df.filter(F.col(val_col).isNotNull()), key_col, val_col, targets, rank_cols
+    )
     cols = [F.col(key_col)]
     for name in quantiles:
         pos = F.col(f"__pos_{name}")
@@ -147,5 +190,5 @@ def percentile_cont_by(
             val = F.round(val, round_to)
         cols.append(val.alias(name))
     if count_col is not None:
-        cols.append(F.col("__n").alias(count_col))
+        cols.append(F.col("__n_all").alias(count_col))
     return picked.select(*cols)

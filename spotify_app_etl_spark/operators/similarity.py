@@ -160,7 +160,19 @@ def _cell_rank(centers: list[list[float]], v: Column) -> Column:
     appended to "their nearest cell" land in cells the search never
     probes. ``centers[i]`` is cell ``i``'s centroid (cell ids are
     contiguous 0..n-1 by construction on every path).
+
+    Below ``_LITERAL_BUDGET`` centroid literals this is a pure column
+    expression (whole-stage codegen, no Python). Above it — production
+    shapes like 4096 cells × 768 dims would put millions of literal
+    nodes through Catalyst analysis — it switches to an Arrow-batched
+    kernel closing over a numpy centroid matrix. The size regime is a
+    property of the index's (n_cells, dim), so append/search/in-memory
+    callers of one index always take the SAME path and rank
+    identically; the two paths can differ in last-ULP distance
+    rounding, which only matters across paths, never within one.
     """
+    if len(centers) * (len(centers[0]) if centers else 0) > _LITERAL_BUDGET:
+        return _cell_rank_arrow(centers)(v)
     structs = [
         F.struct(
             F.aggregate(
@@ -176,7 +188,46 @@ def _cell_rank(centers: list[list[float]], v: Column) -> Column:
         )
         for i, center in enumerate(centers)
     ]
-    return F.transform(F.array_sort(F.array(*structs)), lambda s: s["cell"])
+    ranked = F.transform(F.array_sort(F.array(*structs)), lambda s: s["cell"])
+    # NULL vector -> NULL ranking (not the cell-id-order array that all-
+    # NULL distances would sort to) — matches the Arrow twin; callers
+    # filter NULLs, this is the backstop that keeps both paths honest.
+    return F.when(v.isNotNull(), ranked)
+
+
+#: Max Catalyst literal nodes we are willing to inline for centroid
+#: math (n_cells × dim). Above this, analysis/codegen time dominates
+#: and the Arrow kernel / createDataFrame paths take over.
+_LITERAL_BUDGET = 50_000
+
+
+def _cell_rank_arrow(centers: list[list[float]]):
+    """Arrow-batched twin of the :func:`_cell_rank` expression for
+    large centroid tables: full ranked cell-id array per vector,
+    squared L2 via the ``|q|² - 2q·C + |c|²`` expansion (O(batch ×
+    n_cells) memory, one BLAS matmul per batch), ties broken by cell
+    id (stable argsort over contiguous ids)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def rank(col: pd.Series) -> pd.Series:
+        out: list = [None] * len(col)
+        vals = [None if q is None else np.asarray(q, dtype=np.float64) for q in col]
+        idx = [i for i, q in enumerate(vals) if q is not None]
+        if idx:
+            Q = np.stack([vals[i] for i in idx])
+            d = (Q * Q).sum(axis=1)[:, None] - 2.0 * (Q @ C.T) + c_sq[None, :]
+            order = np.argsort(d, axis=1, kind="stable").astype(np.int32)
+            for j, i in enumerate(idx):
+                out[i] = order[j]
+        return pd.Series(out, dtype=object)
+
+    return rank
 
 
 def cosine_topk_ivf(
@@ -765,25 +816,34 @@ def ivf_index_write(
             k=n_cells, seed=seed, maxIter=8, featuresCol="__features"
         ).fit(c_feat)
         centers = [[float(x) for x in c] for c in model.clusterCenters()]
-        # JVM-side literal rows (n_cells × dim literals — centroid
-        # tables are literal-sized by definition); createDataFrame from
-        # local data pays a seconds-long Python-serialization write
-        # penalty per build (see _meta_row).
-        spark.range(1).select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).cast("int").alias("cell"),
-                            F.array(*[F.lit(x) for x in c]).alias("center"),
-                        )
-                        for i, c in enumerate(centers)
-                    ]
-                )
-            ).alias("s")
-        ).select("s.cell", "s.center").coalesce(1).write.mode("overwrite").parquet(
-            f"{gdir}/centroids"
-        )
+        # Small centroid tables write as JVM-side literal rows:
+        # createDataFrame from local data pays a seconds-long
+        # Python-serialization penalty per build (see _meta_row). But
+        # the literal tree is n_cells × dim Catalyst nodes — at
+        # production shapes (4096 cells × 768 dims ≈ 3M literals)
+        # analysis/codegen itself blows up, so above a bounded literal
+        # budget the one-off serialization cost is the right trade.
+        n_literals = len(centers) * (len(centers[0]) if centers else 0)
+        if n_literals <= _LITERAL_BUDGET:
+            cent_df = spark.range(1).select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).cast("int").alias("cell"),
+                                F.array(*[F.lit(x) for x in c]).alias("center"),
+                            )
+                            for i, c in enumerate(centers)
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.cell", "s.center")
+        else:
+            cent_df = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centers)],
+                "cell int, center array<double>",
+            )
+        cent_df.coalesce(1).write.mode("overwrite").parquet(f"{gdir}/centroids")
         assigned = model.transform(c_feat).select(
             "corpus_id", "v", F.col("prediction").cast("int").alias("cell")
         )

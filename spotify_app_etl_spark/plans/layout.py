@@ -305,7 +305,10 @@ def ns_layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spotify_app_etl_spark.io import compact_partitioned
 
-    base = f"{tempfile.gettempdir()}/spark_graft_scratch_idx/compact"
+    # applicationId-scoped like every other scratch path here:
+    # concurrent sessions (parallel pytest, bench beside the driver)
+    # must not delete each other's live copy mid-read.
+    base = _layout_dir(spark, sf_dir, "compact_rt")
     shutil.rmtree(base, ignore_errors=True)
     # ts is TIMESTAMP(NANOS) in the driver testdata — keep the scratch
     # copy to plain columns so the round-trip needs no legacy conf.

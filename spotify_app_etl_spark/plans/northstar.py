@@ -249,23 +249,40 @@ def ns_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "cos_sim", "rank")
 
 
-def _scratch_index_dir(name: str) -> str:
+def _scratch_index_dir(spark: SparkSession, name: str) -> str:
     """Deterministic scratch path for a registered query's persisted
-    index, cleared on every call.
+    index, cleared on every call and scoped to THIS Spark application.
 
     Registered queries can't clean up AFTER themselves — the DataFrame
     they return is lazy, and the index parquet must still exist when
     the caller executes it. Clearing at the START of the next
     invocation instead bounds disk use to one live index copy per
     query (tempfile.mkdtemp-per-call leaked a full corpus-vector copy
-    every bench repeat / test run until /tmp filled).
+    every bench repeat / test run until /tmp filled). The
+    ``applicationId`` segment keeps concurrent sessions (parallel
+    pytest workers, bench running alongside the driver) from deleting
+    each other's live index mid-read or mixing generations across
+    runs; each app's whole tree is removed at interpreter exit so the
+    per-app scoping doesn't re-leak across many short runs.
     """
+    import atexit
     import shutil
     import tempfile
 
-    path = f"{tempfile.gettempdir()}/spark_graft_scratch_idx/{name}"
+    base = (
+        f"{tempfile.gettempdir()}/spark_graft_scratch_idx/"
+        f"{spark.sparkContext.applicationId}"
+    )
+    if base not in _SCRATCH_CLEANUPS:
+        _SCRATCH_CLEANUPS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = f"{base}/{name}"
     shutil.rmtree(path, ignore_errors=True)
     return path
+
+
+#: App-scoped scratch roots already registered for exit-time removal.
+_SCRATCH_CLEANUPS: set[str] = set()
 
 
 def _pairs_in(found: DataFrame, pred) -> DataFrame:
@@ -411,7 +428,7 @@ def ns_sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver sweeps) hold at most ONE index copy on disk instead of
     # leaking a full corpus-vector copy per call. In production this is
     # a warehouse URI with generation GC as retention policy.
-    idx = _scratch_index_dir("signlsh")
+    idx = _scratch_index_dir(spark, "signlsh")
     SIM.signlsh_index_write(
         corpus.filter(F.col("corpus_id") % 2 == 0), idx, planes=8, tables=8
     )
@@ -460,7 +477,7 @@ def ns_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     # Fixed self-clearing scratch path — see ns_sim_topk_lsh_indexed.
-    idx = _scratch_index_dir("minhash") + "/sig"
+    idx = _scratch_index_dir(spark, "minhash") + "/sig"
     DD.minhash_index_write(history, "text", "doc_id", idx)
     kept = DD.minhash_dedup_incremental(
         batch, idx, "text", "doc_id", update_index=True
@@ -502,7 +519,7 @@ def ns_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed self-clearing scratch root — see ns_sim_topk_lsh_indexed.
     # The sink parquet must survive until the caller executes the
     # returned DataFrame, so cleanup happens on the NEXT invocation.
-    root = _scratch_index_dir("stream_ingest")
+    root = _scratch_index_dir(spark, "stream_ingest")
     idx, src = f"{root}/sig", f"{root}/src"
     out, ckpt = f"{root}/out", f"{root}/ckpt"
     DD.minhash_index_write(history, "text", "doc_id", idx)

@@ -81,93 +81,80 @@ def query(
 #: everything else follows in registration order and keeps its green
 #: round-1/2 row as evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-5 window (~50 rows). After r04, every one of the 153
-    # registered queries has a cumulative driver row and zero are
-    # broken, so this round is pure proof ROTATION: (1) queries that
-    # are new or whose output schema changed this round (persisted-
-    # index probes, rows-only queries gaining self-verifying invariant
-    # columns); (2) the 31 queries whose only driver row dates from
-    # round 1 — driver testdata has drifted between rounds before
-    # (events timestamp type, r02→r03), so these are the repo's
-    # weakest evidence; (3) the oldest round-2 rows as fill. r03/r04
-    # rows stay as evidence — nothing in this window is younger than
-    # r02 unless its code changed this round. ---
-    # (1a) new this round: persisted ANN / dedup-index probe paths and
-    # the partitioned-compaction round-trip
+    # --- round-6 window (~50 rows). Cumulative state after r05: all
+    # 157 registered queries carry a driver row, zero broken, zero
+    # mismatches. The rotation policy stays: (1) queries whose CODE
+    # changed this round re-prove first, regardless of row age;
+    # (2) the 33 queries whose latest row is from round 2 (the oldest
+    # evidence in the repo now); (3) the oldest round-3 rows as fill.
+    # r04/r05 rows stay as standing evidence. ---
+    # (1) code changed this round: the percentile operator rewrite
+    # (all-NULL groups kept with NULL values, count(*) count_col —
+    # ADVICE r05), the _cell_rank NULL backstop + large-centroid Arrow
+    # path in operators/similarity.py, the applicationId-scoped
+    # scratch dirs (northstar + layout), and the CC rounds-attribution
+    # rework in operators/cluster.py
+    "q_agg_percentiles",
+    "q_agg_percentile_disc",
+    "q_agg_approx_percentile",  # rider uses percentile_cont_by
+    "ns_sim_topk_ivf",
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",
     "ns_layout_compact_roundtrip",
-    # (1b) rows-only queries that now emit in-query invariants
-    # (recall-vs-bruteforce / abs-err-vs-exact) — schema changed
-    "ns_sim_topk_lsh",
-    "ns_sim_topk_ivf",
-    "q_agg_approx_percentile",
-    "q_approx_count_distinct",  # also an r01-only row
-    "q_hll_sketch_merge",
-    "ns_embed_top_eigvec",  # + rayleigh_monotone_ok rider (r05)
-    "ns_dedup_minhash_pairs",  # + recall_vs_exact rider (r05)
-    "ns_dedup_simhash_pairs",  # + pigeonhole-completeness rider (r05)
-    "ns_dedup_embedding_cosine_lsh",  # + recall rider (r05); r02 row
-    "ns_dedup_minhash_apply",  # + closure_ok rider (r05)
-    "ns_dedup_minhash_verified",  # + recall rider (r05)
-    "ns_mm_phash_pairs",  # + completeness rider (r05)
-    "q_agg_percentile_disc",  # rewritten sort+nearest-rank plan (r05)
-    "q_agg_percentiles",  # rewritten onto operators/percentiles.py (r05)
-    # (2) the 31 round-1-only rows, in registration order
-    "q_join_left_agg",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range_nonequi",
-    "q_topk_per_group",
-    "q_window_rank",
-    "q_window_moving_avg",
-    "q_window_running",
-    "q_window_analytic_extras",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_drop_duplicates",
-    "q_string_funcs",
-    "q_array_funcs",
-    "q_unpivot_long",
-    "q_regexp_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_conditional_funcs",
-    "q_map_funcs",
-    "q_json_funcs",
-    "q_hash_funcs",
-    "q_string_distance",
-    "q_events_tumbling",
-    "q_events_sliding",
-    "q_events_session",
-    "q_events_pivot",
-    "q_events_gap_stats",
-    "ns_sim_topk_bruteforce",
-    # (3) oldest r02 rows as fill — etl canaries not re-proven in r04,
-    # the bounded-window dedup, and the LSH cosine path (rows-only,
-    # r02) — ns_dedup_clusters rides along for the iteration-cost
-    # instrumentation added this round
-    "etl_playlists",
-    "etl_saved_tracks",
+    "ns_dedup_clusters",
+    # (2) the 33 round-2-latest rows, in registration order
     "etl_recent_tracks",
     "etl_followed_artists",
     "etl_playlist_profile",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_ship_latency",
     "q_dedup_bounded_window",
-    "ns_dedup_clusters",
-    "ns_text_stats",
-    "ns_token_count_bpe",
+    "q_scan_csv_roundtrip",
+    "q_scan_json_roundtrip",
+    "q_sql_revenue_filter",
+    "q_sql_exists_subquery",
+    "q_sql_in_subquery",
+    "q_sql_scalar_subquery",
+    "q_udf_pandas_scalar",
+    "q_udaf_grouped_median",
+    "q_udtf_tokenize",
+    "ns_decontaminate_report",
     "ns_doc_fingerprint",
-    # (A ~50-query window covers through ns_sim_topk_bruteforce plus
-    # the first etl canaries; the group-(3) tail past the cutoff keeps
-    # its r02 green rows. Next in line for the r06 window: whatever the
-    # group-(3) tail didn't reach this round, then the r02 canaries
-    # ns_sample_hash, ns_sample_stratified, ns_split_assign,
-    # ns_pipeline_training_prep, q_udf_pandas_scalar,
-    # q_udaf_grouped_median, the q_sql_* subqueries and scan
-    # round-trips, and the r02 TPC-H tail.)
+    "ns_mm_features",
+    "ns_mm_frame_sample",
+    "ns_mm_metadata",
+    "ns_pii_scrub",
+    "ns_pipeline_training_prep",
+    "ns_sample_hash",
+    "ns_sample_stratified",
+    "ns_split_assign",
+    "ns_text_language_profile",
+    "ns_text_stats",
+    "ns_text_vocab_topk",
+    "ns_token_count_bpe",
+    # (3) oldest round-3 rows as fill to ~50
+    "ns_bm25_search",
+    "ns_embed_centroid",
+    "ns_embed_norm_stats",
+    "ns_sim_range_search",
+    "ns_tfidf_topterms",
+    "ns_url_profile",
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    # (Next in line for the r07 window: the rest of the r03-latest
+    # rows — q15/q18/q19/q20/q22, the q_agg_grouping_id/histogram/
+    # mode_argmax/salted family, the q_cdc_* set, q_events_funnel/
+    # gapfill, q_join_bucketed_colocated/full_outer/lateral_topk/
+    # salted_hotkey, q_json_variant, q_scan_orc_roundtrip/
+    # partition_pruning/schema_evolution, q_udtf_sliding_windows,
+    # q_window_range_frame — then the r04 rows by age.)
 )
+
 
 
 def load_all() -> dict[str, Query]:

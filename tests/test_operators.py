@@ -817,3 +817,37 @@ def test_lsh_null_embedding_dropped_by_both_impls(spark):
         ).collect()
         assert 99 not in {r["corpus_id"] for r in out}, impl
         assert all(r["cos_sim"] is not None for r in out), impl
+
+
+def test_cell_rank_arrow_matches_expression(spark):
+    """Above _LITERAL_BUDGET centroid literals _cell_rank switches
+    from a Catalyst expression tree to an Arrow kernel (production
+    shapes like 4096x768 would put millions of literal nodes through
+    analysis). The two paths must produce the SAME ranked cell-id
+    array — including the ties-by-cell-id order — or vectors appended
+    under one regime land in cells a search under the other never
+    probes."""
+    import pyspark.sql.functions as F
+
+    from spotify_app_etl_spark.operators import similarity as SIM
+
+    centers = [[float((i * 3 + d) % 7) for d in range(6)] for i in range(9)]
+    # duplicate centroid => distance tie that must break by cell id
+    centers[5] = list(centers[2])
+    vecs = spark.createDataFrame(
+        [(i, [float((i + d * 2) % 5) + 0.25 for d in range(6)]) for i in range(40)]
+        + [(99, None)],
+        "vid long, v array<double>",
+    )
+    expr_rank = vecs.select(
+        "vid", SIM._cell_rank(centers, F.col("v")).alias("r")
+    )
+    arrow_rank = vecs.select(
+        "vid", SIM._cell_rank_arrow(centers)(F.col("v")).alias("r")
+    )
+    e = {r["vid"]: r["r"] for r in expr_rank.collect()}
+    a = {r["vid"]: r["r"] for r in arrow_rank.collect()}
+    assert set(e) == set(a)
+    for vid in e:
+        assert e[vid] == a[vid], (vid, e[vid], a[vid])
+    assert a[99] is None  # NULL vector -> NULL ranking on both paths

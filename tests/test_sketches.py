@@ -189,7 +189,16 @@ def test_sorted_percentile_operator_matches_builtins(spark):
             .orderBy(key)
             .collect()
         )
+        # Same GROUP SET as the builtins, not just same values on the
+        # shared groups — zip() alone would silently truncate to the
+        # shorter list and mask a dropped group (e.g. an all-NULL one).
+        assert len(cont) == len(disc) == len(b), (
+            [r[key] for r in cont],
+            [r[key] for r in disc],
+            [r[key] for r in b],
+        )
         for ours_c, ours_d, ref in zip(cont, disc, b):
+            assert ours_c[key] == ours_d[key] == ref[key]
             for n in qs:
                 assert ours_c[n] == ref[n], (n, ours_c, ref)
                 assert ours_d[n] == ref[f"d_{n}"], (n, ours_d, ref)
@@ -205,12 +214,26 @@ def test_sorted_percentile_operator_matches_builtins(spark):
 
     # NULLs must be ignored exactly like the builtins do (counting
     # them into n / ranking them first shifts every pick); an
-    # all-NULL group drops out entirely on both sides.
+    # all-NULL group ('b') is KEPT with NULL percentile values on both
+    # sides — the builtins' groupBy emits every group.
     nulls = spark.createDataFrame(
         [("a", None), ("a", 1.0), ("a", 3.0), ("b", None), ("b", None)],
         "k string, v double",
     )
     check(nulls, "k", "v")
+
+    # count_col reports count(*) — NULLs included — matching a
+    # COUNT(*) alongside the builtin aggregates.
+    counts = {
+        r["k"]: r["n"]
+        for r in percentile_disc_by(nulls, "k", "v", qs, count_col="n").collect()
+    }
+    assert counts == {"a": 3, "b": 2}, counts
+    counts = {
+        r["k"]: r["n"]
+        for r in percentile_cont_by(nulls, "k", "v", qs, count_col="n").collect()
+    }
+    assert counts == {"a": 3, "b": 2}, counts
 
 
 def test_sorted_percentile_operator_randomized(spark):
