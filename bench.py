@@ -140,7 +140,7 @@ def main() -> None:
     # ns_dedup_clusters, ns_embed_semantic_clusters, the leakage-safe
     # split — and a single end-of-run read would report whichever ran
     # last).
-    cc_rounds: dict[str, object] = {}
+    cc_rounds: dict[str, list[int]] = {}
     for name in names:
         best = float("inf")
         for _ in range(max(args.repeat, 1)):
@@ -150,8 +150,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
             rounds = cluster.take_rounds()
             if rounds:
-                # one CC call is the common case; keep the scalar shape
-                cc_rounds[name] = rounds[0] if len(rounds) == 1 else rounds
+                # always a list (one entry per CC call): a query gaining
+                # a second CC call must not flip the field's JSON type
+                # between bench rounds
+                cc_rounds[name] = rounds
             # dedup operators cache signature tables for their
             # multi-consumer plans; release between runs so repeats stay
             # honest and a long --all run doesn't accumulate storage

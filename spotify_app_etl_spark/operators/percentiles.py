@@ -5,27 +5,30 @@ collect every group's values into an in-memory buffer per quantile —
 fine for small groups, an OOM for the billion-row groups a 100 TB
 corpus produces. The sort-based formulation here computes the SAME
 values (bit-compatible: the interpolation reproduces Spark's/DuckDB's
-``(hi-pos)*v_lo + (pos-lo)*v_hi`` double evaluation order) from a
-group-partitioned window sort, which streams through Spark's
-UnsafeExternalSorter and spills to disk instead of buffering:
+``(hi-pos)*v_lo + (pos-lo)*v_hi`` double evaluation order) in ONE pass
+over the data:
 
-1. one count-aggregate per group → the target rank(s) per quantile
-   (map-side combinable, O(groups) rows),
-2. one ``row_number`` window over (group, value) — the only real
-   shuffle+sort of the data, shared by every requested quantile,
-3. a group-preserving join of the ranked rows against the O(groups)
-   target table, filtered to the ≤ 2·|quantiles| picked ranks per
-   group and folded to columns with conditional aggregates. The join
-   adds NO data shuffle: the window's output is already hash-
-   partitioned AND sorted by the group key, so only the tiny target
-   side moves.
+1. a single group-partitioned window sort — the only shuffle — that
+   streams through Spark's UnsafeExternalSorter and spills to disk
+   instead of buffering, annotating each row with its within-group
+   non-NULL rank plus the group's non-NULL and ``count(*)`` totals
+   (whole-partition count windows ride the same exchange, no second
+   aggregation pass),
+2. a filter to the ≤ 2·|quantiles| picked ranks per group (target
+   ranks are per-row expressions of the windowed count, so no join
+   against a separately-aggregated target table is ever needed),
+3. a final groupBy that folds the picks to columns — its input is
+   already hash-partitioned by the group key, so it adds no exchange.
 
-NULL semantics match the builtins exactly: NULL values are ignored by
-the rank arithmetic, and a group whose values are ALL NULL is kept
-with NULL percentile outputs (``groupBy().agg(percentile(...))`` emits
-every group — only the aggregate value is NULL). ``count_col`` reports
-``count(*)`` — NULLs included — like a ``COUNT(*)`` alongside the
-builtin aggregates would.
+NULL semantics match the builtins exactly, for both sides of the
+table: NULL *values* are ignored by the rank arithmetic (they sort
+first and get non-positive effective ranks that never match a pick),
+a group whose values are ALL NULL is kept with NULL percentile
+outputs, NULL group *keys* form a group like any other
+(``partitionBy``/``groupBy`` treat NULL as a value — no join is
+involved, so no null-unsafe equi-join can drop them), and
+``count_col`` reports ``count(*)`` — NULLs included — like a
+``COUNT(*)`` alongside the builtin aggregates would.
 
 Also ~2x faster than the buffered builtins at sf0.1 (measured: disc
 2.9s → 1.2s, cont 0.76s → 0.49s) because the sort parallelizes across
@@ -39,67 +42,70 @@ single group's sort TIME ever dominates, the distributed-rank operator
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def _group_counts(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
-    """Per-group counts from the UNFILTERED input: ``__n`` = non-NULL
-    values (drives the rank arithmetic, matching the builtins' NULL-
-    ignoring semantics) and ``__n_all`` = ``count(*)``. Keeping every
-    group here — including all-NULL ones — is what lets the callers
-    emit those groups with NULL percentiles instead of dropping them,
-    matching ``groupBy().agg(percentile(...))``."""
-    return df.groupBy(key_col).agg(
-        F.count(F.col(val_col)).alias("__n"),
-        F.count(F.lit(1)).alias("__n_all"),
+def _ranked(df: DataFrame, key_col: str, val_col: str) -> DataFrame:
+    """One row per input row with the within-group rank bookkeeping:
+
+    * ``__n`` — the group's non-NULL value count (drives the rank
+      arithmetic, matching the builtins' NULL-ignoring semantics),
+    * ``__n_all`` — the group's ``count(*)``,
+    * ``__rn`` — the row's 1-based rank among the group's non-NULL
+      values in ascending ``val_col`` order. NULL values sort first,
+      so their effective ranks are ≤ 0 and never match a pick,
+    * ``__first`` — true on exactly one row per group (the all-NULL
+      group's representative, kept so such groups surface with NULL
+      picks exactly like ``groupBy().agg(percentile(...))`` keeps
+      them).
+
+    Every window here uses the SAME ordered spec (the counts get an
+    unbounded frame, which makes them whole-partition aggregates), so
+    Catalyst fuses them into one Window operator: a single exchange +
+    a single external sort regardless of how many quantiles ride on
+    it. A plain unordered count window would plan a second sort-by-key
+    pass before the ordered one.
+    """
+    wo = Window.partitionBy(key_col).orderBy(F.col(val_col).asc_nulls_first())
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rn0 = F.row_number().over(wo)
+    n = F.count(val_col).over(wfull)
+    n_all = F.count(F.lit(1)).over(wfull)
+    return df.select(
+        key_col,
+        val_col,
+        n.alias("__n"),
+        n_all.alias("__n_all"),
+        (rn0 - (n_all - n)).alias("__rn"),
+        (rn0 == 1).alias("__first"),
     )
 
 
-def _picks(
-    df: DataFrame,
+def _fold_picks(
+    ranked: DataFrame,
     key_col: str,
     val_col: str,
-    targets: DataFrame,
-    rank_cols: list[str],
+    rank_exprs: dict[str, Column],
 ) -> DataFrame:
-    """One row per TARGET group holding the value at each requested
-    rank, plus every non-key target column carried through.
-
-    ``df`` must already be filtered to non-NULL values; ``targets`` has
-    one row per group (O(groups) by construction) with integer rank
-    columns ``rank_cols``. The right-outer join preserves groups with
-    zero non-NULL rows — their picks fold to NULL, exactly how the
-    builtin aggregates emit all-NULL groups. Plan shape: the ranked
-    side leaves the window hash-partitioned and sorted by ``key_col``,
-    so the sort-merge join re-shuffles only the target side; a second
-    pass over the data (e.g. re-aggregating the group list for a final
-    outer join) never happens. The merge hint is load-bearing: for a
-    right-outer join the ONLY broadcastable side is the ranked DATA
-    side (BuildLeft), and Catalyst happily broadcasts it when the size
-    estimate looks small — a plan that detonates at real scale if the
-    estimate is wrong. SMJ here costs nothing extra because the window
-    already produced the partitioning and sort order the merge needs.
-    """
-    w = Window.partitionBy(key_col).orderBy(val_col)
-    ranked = df.select(key_col, val_col).withColumn(
-        "__rn", F.row_number().over(w)
-    )
-    keep = F.col("__rn").isNull()  # unmatched target rows (all-NULL groups)
-    for rc in rank_cols:
-        keep = keep | (F.col("__rn") == F.col(rc))
-    carried = [c for c in targets.columns if c != key_col]
+    """Filter to the picked ranks (plus one representative row for
+    groups with zero non-NULL values) and fold to one row per group:
+    ``__v_{name}`` per requested rank, ``__n`` and ``__n_all`` carried
+    through."""
+    keep = (F.col("__n") == 0) & F.col("__first")
+    for rk in rank_exprs.values():
+        keep = keep | (F.col("__rn") == rk)
     return (
-        ranked.hint("merge").join(targets, key_col, "right_outer")
-        .filter(keep)
+        ranked.filter(keep)
         .groupBy(key_col)
         .agg(
             *[
-                F.max(F.when(F.col("__rn") == F.col(rc), F.col(val_col))).alias(
-                    f"__v_{rc}"
+                F.max(F.when(F.col("__rn") == rk, F.col(val_col))).alias(
+                    f"__v_{name}"
                 )
-                for rc in rank_cols
+                for name, rk in rank_exprs.items()
             ],
-            *[F.max(c).alias(c) for c in carried],
+            F.max("__n").alias("__n"),
+            F.max("__n_all").alias("__n_all"),
         )
     )
 
@@ -118,24 +124,18 @@ def percentile_disc_by(
     same value whatever the row_number order among them). Returns one
     row per group: ``key_col``, one column per ``quantiles`` name, and
     optionally the ``count(*)`` group size as ``count_col``. NULL
-    values are ignored in the rank arithmetic, matching the builtins —
-    and, also matching them, a group of only NULLs is KEPT with NULL
-    percentile values (``groupBy().agg(percentile_disc(...))`` emits
-    the group; only the values are NULL).
+    handling matches the builtins (module docstring): NULL values are
+    ignored by the rank math, all-NULL groups are kept with NULL
+    percentiles, NULL keys group normally.
     """
-    targets = _group_counts(df, key_col, val_col)
-    rank_cols = []
-    for name, q in quantiles.items():
-        rc = f"__r_{name}"
-        targets = targets.withColumn(
-            rc, F.greatest(F.ceil(F.lit(q) * F.col("__n")), F.lit(1))
-        )
-        rank_cols.append(rc)
-    picked = _picks(
-        df.filter(F.col(val_col).isNotNull()), key_col, val_col, targets, rank_cols
-    )
+    ranked = _ranked(df, key_col, val_col)
+    rank_exprs = {
+        name: F.greatest(F.ceil(F.lit(q) * F.col("__n")), F.lit(1))
+        for name, q in quantiles.items()
+    }
+    picked = _fold_picks(ranked, key_col, val_col, rank_exprs)
     cols = [F.col(key_col)] + [
-        F.col(f"__v___r_{name}").alias(name) for name in quantiles
+        F.col(f"__v_{name}").alias(name) for name in quantiles
     ]
     if count_col is not None:
         cols.append(F.col("__n_all").alias(count_col))
@@ -157,31 +157,23 @@ def percentile_cont_by(
     neighbours at ranks ``floor(pos)+1`` / ``ceil(pos)+1``, lerp as
     ``(hi-pos)*v_lo + (pos-lo)*v_hi`` (that exact double evaluation
     order — not the algebraically equal ``v_lo + frac*(v_hi-v_lo)``).
-    NULL values are ignored in the rank arithmetic, matching the
-    builtin: counting them into ``n`` while they sort first would
-    shift every pick. All-NULL groups are kept with NULL percentile
-    values, again matching the builtin; ``count_col`` reports
-    ``count(*)`` (NULLs included), like a ``COUNT(*)`` alongside the
-    aggregate would.
+    NULL handling matches the builtin (module docstring): NULL values
+    are ignored by the rank math, all-NULL groups are kept with NULL
+    percentiles (their lerp inputs are NULL), NULL keys group
+    normally; ``count_col`` reports ``count(*)``.
     """
-    targets = _group_counts(df, key_col, val_col)
-    rank_cols = []
+    ranked = _ranked(df, key_col, val_col)
+    rank_exprs: dict[str, Column] = {}
     for name, q in quantiles.items():
         pos = F.lit(q) * (F.col("__n") - 1)
-        targets = (
-            targets.withColumn(f"__pos_{name}", pos)
-            .withColumn(f"__lo_{name}", F.floor(pos) + 1)
-            .withColumn(f"__hi_{name}", F.ceil(pos) + 1)
-        )
-        rank_cols += [f"__lo_{name}", f"__hi_{name}"]
-    picked = _picks(
-        df.filter(F.col(val_col).isNotNull()), key_col, val_col, targets, rank_cols
-    )
+        rank_exprs[f"lo_{name}"] = F.floor(pos) + 1
+        rank_exprs[f"hi_{name}"] = F.ceil(pos) + 1
+    picked = _fold_picks(ranked, key_col, val_col, rank_exprs)
     cols = [F.col(key_col)]
-    for name in quantiles:
-        pos = F.col(f"__pos_{name}")
-        vlo = F.col(f"__v___lo_{name}")
-        vhi = F.col(f"__v___hi_{name}")
+    for name, q in quantiles.items():
+        pos = F.lit(q) * (F.col("__n") - 1)
+        vlo = F.col(f"__v_lo_{name}")
+        vhi = F.col(f"__v_hi_{name}")
         lo0, hi0 = F.floor(pos), F.ceil(pos)
         val = F.when(lo0 == hi0, vlo).otherwise(
             (hi0 - pos) * vlo + (pos - lo0) * vhi

@@ -149,9 +149,15 @@ def hyperplane_bucket(
     return F.when(v.isNotNull(), out)
 
 
-def _cell_rank(centers: list[list[float]], v: Column) -> Column:
+def _cell_rank(centers: list[list[float]], v: Column, k: int | None = None) -> Column:
     """Array of IVF cell ids ranked by squared centroid distance to
-    ``v`` (ascending; ties by cell id via the struct sort order).
+    ``v`` (ascending; ties by cell id via the struct sort order),
+    truncated to the first ``k`` when given. Callers should pass the
+    ``k`` they actually consume (1 for append assignment, ``n_probe``
+    for search): on the Arrow path the truncation happens kernel-side,
+    so only O(k) ids per row cross the Arrow boundary instead of the
+    full n_cells ranking — at 4096 cells that is the difference
+    between ~16 KB and a few bytes per appended vector.
 
     THE one ranking definition — in-memory probing
     (:func:`cosine_topk_ivf`), persisted-index append assignment
@@ -171,8 +177,9 @@ def _cell_rank(centers: list[list[float]], v: Column) -> Column:
     identically; the two paths can differ in last-ULP distance
     rounding, which only matters across paths, never within one.
     """
+    kk = len(centers) if k is None else min(k, len(centers))
     if len(centers) * (len(centers[0]) if centers else 0) > _LITERAL_BUDGET:
-        return _cell_rank_arrow(centers)(v)
+        return _cell_rank_arrow(centers, kk)(v)
     structs = [
         F.struct(
             F.aggregate(
@@ -189,6 +196,8 @@ def _cell_rank(centers: list[list[float]], v: Column) -> Column:
         for i, center in enumerate(centers)
     ]
     ranked = F.transform(F.array_sort(F.array(*structs)), lambda s: s["cell"])
+    if kk < len(centers):
+        ranked = F.slice(ranked, 1, kk)
     # NULL vector -> NULL ranking (not the cell-id-order array that all-
     # NULL distances would sort to) — matches the Arrow twin; callers
     # filter NULLs, this is the backstop that keeps both paths honest.
@@ -201,18 +210,21 @@ def _cell_rank(centers: list[list[float]], v: Column) -> Column:
 _LITERAL_BUDGET = 50_000
 
 
-def _cell_rank_arrow(centers: list[list[float]]):
+def _cell_rank_arrow(centers: list[list[float]], k: int | None = None):
     """Arrow-batched twin of the :func:`_cell_rank` expression for
-    large centroid tables: full ranked cell-id array per vector,
-    squared L2 via the ``|q|² - 2q·C + |c|²`` expansion (O(batch ×
-    n_cells) memory, one BLAS matmul per batch), ties broken by cell
-    id (stable argsort over contiguous ids)."""
+    large centroid tables: ranked cell-id array per vector (first
+    ``k`` ids when given — the full stable sort still runs kernel-side
+    so tie order stays identical to the expression path; only the
+    TRANSFER is truncated), squared L2 via the ``|q|² - 2q·C + |c|²``
+    expansion (O(batch × n_cells) memory, one BLAS matmul per batch),
+    ties broken by cell id (stable argsort over contiguous ids)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     C = np.asarray(centers, dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
+    kk = len(centers) if k is None else min(k, len(centers))
 
     @pandas_udf("array<int>")
     def rank(col: pd.Series) -> pd.Series:
@@ -222,7 +234,7 @@ def _cell_rank_arrow(centers: list[list[float]]):
         if idx:
             Q = np.stack([vals[i] for i in idx])
             d = (Q * Q).sum(axis=1)[:, None] - 2.0 * (Q @ C.T) + c_sq[None, :]
-            order = np.argsort(d, axis=1, kind="stable").astype(np.int32)
+            order = np.argsort(d, axis=1, kind="stable")[:, :kk].astype(np.int32)
             for j, i in enumerate(idx):
                 out[i] = order[j]
         return pd.Series(out, dtype=object)
@@ -276,7 +288,7 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(query_id), _as_double(F.col(vec)).alias("__qv")
     ).withColumn(
-        "__cells", F.slice(_cell_rank(centers, F.col("__qv")), 1, n_probe)
+        "__cells", _cell_rank(centers, F.col("__qv"), n_probe)
     )
     probes = q.select(query_id, F.explode("__cells").alias("__cell"))
     candidates = assigned.join(F.broadcast(probes), "__cell").select(
@@ -805,7 +817,7 @@ def ivf_index_write(
         assigned = c_feat.select(
             "corpus_id",
             "v",
-            F.element_at(_cell_rank(centers, F.col("v")), 1)
+            F.element_at(_cell_rank(centers, F.col("v"), 1), 1)
             .cast("int")
             .alias("cell"),
         )
@@ -896,7 +908,7 @@ def ivf_index_search(
     # the SAME ranking the build side used to assign appended vectors
     center_list = [centers[i] for i in sorted(centers)]
     q = q0.withColumn(
-        "__cells", F.slice(_cell_rank(center_list, F.col("__qv")), 1, n_probe)
+        "__cells", _cell_rank(center_list, F.col("__qv"), n_probe)
     )
     probes = q.select(query_id, F.explode("__cells").alias("cell"))
     # Not _score_topk: the assigned table already carries (v, norm), so

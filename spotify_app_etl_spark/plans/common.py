@@ -16,6 +16,8 @@ reduction (= rounding) ever kicks in.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from spotify_app_etl_spark.io import load_table
@@ -65,3 +67,28 @@ SQL_TOKS = (
     "list_filter(str_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),"
     " ' '), tk -> tk <> '')"
 )
+
+
+#: Scratch roots already registered for exit-time removal.
+_SCRATCH_CLEANUPS: set[str] = set()
+
+
+def app_scratch_base(spark: SparkSession, family: str) -> str:
+    """``{tmpdir}/{family}/{applicationId}`` — the per-application
+    scratch root every self-managed temp path in this package hangs
+    off. The applicationId segment stops concurrent sessions (driver +
+    pytest, parallel benches) from deleting or overwriting each
+    other's live files; the atexit hook removes THIS app's whole tree
+    at interpreter exit so per-app scoping doesn't leak one copy per
+    short-lived process (the failure mode that used to fill /tmp)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), family, spark.sparkContext.applicationId
+    )
+    if base not in _SCRATCH_CLEANUPS:
+        _SCRATCH_CLEANUPS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base

@@ -28,7 +28,6 @@ layer the brief's scale goal requires.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -42,14 +41,14 @@ _Q = 1_000_000
 
 
 def _layout_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
-    # Namespaced by applicationId like sql_api._roundtrip_dir: concurrent
-    # sessions must not race on overwrite-then-read of a shared path.
+    # App-scoped scratch (no cross-session races) with exit-time
+    # removal (no one-tree-per-process /tmp leak) — see
+    # common.app_scratch_base.
+    from spotify_app_etl_spark.plans.common import app_scratch_base
+
     tag = sf_dir.rstrip("/").replace("/", "_")
     return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_layout",
-        spark.sparkContext.applicationId,
-        f"{tag}.{kind}",
+        app_scratch_base(spark, "spark_graft_layout"), f"{tag}.{kind}"
     )
 
 

@@ -263,26 +263,16 @@ def _scratch_index_dir(spark: SparkSession, name: str) -> str:
     pytest workers, bench running alongside the driver) from deleting
     each other's live index mid-read or mixing generations across
     runs; each app's whole tree is removed at interpreter exit so the
-    per-app scoping doesn't re-leak across many short runs.
+    per-app scoping doesn't re-leak across many short runs (both via
+    common.app_scratch_base).
     """
-    import atexit
     import shutil
-    import tempfile
 
-    base = (
-        f"{tempfile.gettempdir()}/spark_graft_scratch_idx/"
-        f"{spark.sparkContext.applicationId}"
-    )
-    if base not in _SCRATCH_CLEANUPS:
-        _SCRATCH_CLEANUPS.add(base)
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-    path = f"{base}/{name}"
+    from spotify_app_etl_spark.plans.common import app_scratch_base
+
+    path = f"{app_scratch_base(spark, 'spark_graft_scratch_idx')}/{name}"
     shutil.rmtree(path, ignore_errors=True)
     return path
-
-
-#: App-scoped scratch roots already registered for exit-time removal.
-_SCRATCH_CLEANUPS: set[str] = set()
 
 
 def _pairs_in(found: DataFrame, pred) -> DataFrame:

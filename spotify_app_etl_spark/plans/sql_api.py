@@ -17,7 +17,6 @@ oracle.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -125,15 +124,14 @@ WHERE s_nationkey IN (
 
 
 def _roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    # Namespace by applicationId: two concurrent sessions (driver +
-    # pytest, parallel benches) must not race on overwrite-then-read of
-    # a shared path derived only from sf_dir.
+    # App-scoped scratch (no cross-session races) with exit-time
+    # removal (no one-tree-per-process /tmp leak) — see
+    # common.app_scratch_base.
+    from spotify_app_etl_spark.plans.common import app_scratch_base
+
     tag = sf_dir.rstrip("/").replace("/", "_")
     return os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_io",
-        spark.sparkContext.applicationId,
-        f"{tag}.{fmt}",
+        app_scratch_base(spark, "spark_graft_io"), f"{tag}.{fmt}"
     )
 
 

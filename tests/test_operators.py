@@ -851,3 +851,25 @@ def test_cell_rank_arrow_matches_expression(spark):
     for vid in e:
         assert e[vid] == a[vid], (vid, e[vid], a[vid])
     assert a[99] is None  # NULL vector -> NULL ranking on both paths
+
+    # k-bounded variants must be exact prefixes of the full ranking on
+    # BOTH paths (the append path consumes k=1, search k=n_probe; on
+    # the Arrow path the truncation happens kernel-side to bound the
+    # transfer, and must not change what survives).
+    for kk in (1, 3):
+        ek = {
+            r["vid"]: r["r"]
+            for r in vecs.select(
+                "vid", SIM._cell_rank(centers, F.col("v"), kk).alias("r")
+            ).collect()
+        }
+        ak = {
+            r["vid"]: r["r"]
+            for r in vecs.select(
+                "vid", SIM._cell_rank_arrow(centers, kk)(F.col("v")).alias("r")
+            ).collect()
+        }
+        for vid in e:
+            want = None if e[vid] is None else e[vid][:kk]
+            assert ek[vid] == want, (kk, vid, ek[vid], want)
+            assert ak[vid] == want, (kk, vid, ak[vid], want)

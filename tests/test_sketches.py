@@ -222,6 +222,17 @@ def test_sorted_percentile_operator_matches_builtins(spark):
     )
     check(nulls, "k", "v")
 
+    # NULL group KEYS form a group like any other (groupBy treats NULL
+    # as a value); the operator must compute that group's real
+    # percentiles, not conflate it with an all-NULL-values group. This
+    # is exactly the case a null-unsafe equi-join against a target
+    # table would silently corrupt.
+    nullkey = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 5.0), (None, None), ("b", None)],
+        "k string, v double",
+    )
+    check(nullkey, "k", "v")
+
     # count_col reports count(*) — NULLs included — matching a
     # COUNT(*) alongside the builtin aggregates.
     counts = {
