@@ -30,9 +30,12 @@ involved, so no null-unsafe equi-join can drop them), and
 ``count_col`` reports ``count(*)`` — NULLs included — like a
 ``COUNT(*)`` alongside the builtin aggregates would.
 
-Also ~2x faster than the buffered builtins at sf0.1 (measured: disc
-2.9s → 1.2s, cont 0.76s → 0.49s) because the sort parallelizes across
-groups while the buffer concentrates allocation on the reducers.
+Also faster where the buffering hurts (sf0.1, best-of-3: disc over
+lineitem 2.6s builtin → 1.0s here, the builtin pays one value buffer
+PER QUANTILE; cont over the smaller orders table is at parity,
+0.75s vs 0.78s) — the sort parallelizes across groups while the
+buffer concentrates allocation on the reducers. The buffered builtins'
+real disqualifier at 100 TB is the OOM, not the constant factor.
 
 Known bound: each group still sorts within one task chain (the window
 partition). That survives arbitrarily large groups via spill; if a

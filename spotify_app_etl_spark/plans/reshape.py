@@ -182,8 +182,9 @@ def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_disc aggregate: the builtin buffers every group's "
     "values in an in-memory ArrayBuffer per quantile (3x here), an OOM "
     "at 100 TB group sizes, while the window sort spills via "
-    "UnsafeExternalSorter — and it measured 2.4x faster at sf0.1 "
-    "(2.9s -> 1.2s) with bit-identical output",
+    "UnsafeExternalSorter — and it measured 2.5x faster at sf0.1 "
+    "(2.6s -> 1.0s, the builtin buffers one value list PER quantile) "
+    "with bit-identical output",
     oracle="""
 SELECT l_returnflag,
        quantile_disc(l_extendedprice, 0.25) AS p25,
