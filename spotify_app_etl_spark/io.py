@@ -141,12 +141,41 @@ def compact_parquet(
     compute 0 bytes for object-store paths, exactly the setting this op
     targets.
     """
+    _reject_streaming_sink(spark, path)
     total = _dataset_bytes(spark, path, suffix=".parquet")
+    if total == 0:
+        # Nothing to compact (e.g. a sink that has only written
+        # _SUCCESS so far) — reading it would fail schema inference.
+        return 0
     n_files = max(1, -(-total // target_file_bytes))  # ceil, >= 1
     dest = out_path or path.rstrip("/") + ".compact"
     df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(dest)
     return _dataset_file_count(spark, dest, suffix=".parquet")
+
+
+def _reject_streaming_sink(spark: SparkSession, path: str) -> None:
+    """Refuse to compact a Structured Streaming file-sink dataset.
+
+    A file sink tracks its committed files in ``_spark_metadata``;
+    readers of the root resolve files through that log. Rewriting or
+    swapping part files behind it would make every logged file dangle
+    (FileNotFoundException, or silent partition loss under
+    ignoreMissingFiles) and would resurrect aborted-task orphans the
+    log had excluded. Such tables must be compacted through a
+    log-aware mechanism (a table format with atomic commits, or by
+    rewriting to a NEW root and repointing readers), so this is a
+    loud error, not a best-effort proceed.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    meta = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_spark_metadata")
+    if meta.getFileSystem(hconf).exists(meta):
+        raise ValueError(
+            f"{path} is a streaming file-sink table (_spark_metadata "
+            "present); compacting behind its commit log would corrupt "
+            "reads — use a log-aware rewrite instead"
+        )
 
 
 def _hadoop_list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -256,8 +285,10 @@ def compact_partitioned(
     #     the promote completed, drop the stale copy;
     #   live present + .compact present → died before the swap began:
     #     the staging copy may be partial — drop it, live is intact.
+    _reject_streaming_sink(spark, base)
+    listing = _hadoop_list_files(spark, base)
     hidden: dict[str, set[str]] = {}
-    for fpath, _ in _hadoop_list_files(spark, base):
+    for fpath, _ in listing:
         rel = fpath.split(base + "/", 1)[-1]
         for seg_idx, seg in enumerate(rel.split("/")):
             if seg.startswith(".") and (
@@ -282,8 +313,15 @@ def compact_partitioned(
         else:
             rename_or_raise(hid_p, live_p)  # no staging → restore the original
 
+    # Re-list only if recovery actually moved directories around; the
+    # common no-crash path reuses the one listing already taken (the
+    # docstring's own point: recursive listing is the expensive
+    # driver-side step on a millions-of-files table — don't pay it
+    # twice for nothing).
+    if hidden:
+        listing = _hadoop_list_files(spark, base)
     frag: dict[str, list[tuple[str, int]]] = defaultdict(list)
-    for fpath, size in _hadoop_list_files(spark, base):
+    for fpath, size in listing:
         if not fpath.endswith(".parquet"):
             continue
         rel = fpath.split(base + "/", 1)[-1]
@@ -365,6 +403,13 @@ def morton_key(a, b, bits: int = 16):
     interleaved bits alternate meaningfully — a 4-bit-wide dimension
     under a 10-bit-wide one would only vary within fine Z segments.
     """
+    # bits > 31 silently corrupts the key rather than failing: long
+    # shiftleft wraps its shift amount mod 64, so position 2·32+1 = 65
+    # becomes 1 and high bits of b land on low-bit positions; at
+    # exactly 32, position 63 is the long sign bit and signed range
+    # partitioning splits the curve at the wrap. Fail loudly instead.
+    if not 1 <= bits <= 31:
+        raise ValueError(f"morton_key: bits must be in [1, 31], got {bits}")
     # Cast to long BEFORE shifting: shiftleft on an IntegerType column
     # wraps at bit 31 — with the default bits=16, any int-typed b with
     # bit 15 set evaluates shiftleft(<int>1, 31) = INT_MIN, whose sign

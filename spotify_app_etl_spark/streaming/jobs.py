@@ -50,16 +50,19 @@ def read_event_stream(
     The driver testdata ``events`` table stores ``ts`` as parquet
     TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ. Spark's
     event-time watermark requires TIMESTAMP, so the stream casts NTZ →
-    TIMESTAMP at the source; with the session timezone pinned to UTC
-    (session.RUNTIME_CONFS) the wall-clock values map 1:1, keeping
-    stream rows identical to io.load_table's batch rows.
+    TIMESTAMP at the source; the session timezone is pinned to UTC
+    HERE (same configure_session call io.load_table makes), not
+    assumed, so the wall-clock values map 1:1 and stream rows stay
+    identical to the batch rows even when the caller built a plain
+    session in a non-UTC zone. The schema is the one typed definition
+    in ``schemas.EVENTS`` — re-declaring it here is exactly the drift
+    that module exists to prevent.
     """
-    raw_schema = (
-        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
-        "value double, props string"
-    )
+    from spotify_app_etl_spark.session import configure_session
+
+    configure_session(spark)
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(schemas.EVENTS)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
@@ -70,13 +73,22 @@ def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Per-window, per-type counts+sums; late data beyond the watermark
-    is dropped (the fate the reference's snapshot model can't express)."""
+    is dropped (the fate the reference's snapshot model can't express).
+
+    The sum is exact-decimal for determinism, but at decimal(38,2) —
+    NOT the batch plans' decimal(12,2): under Spark 4's default ANSI
+    mode a single out-of-range value would throw CAST_OVERFLOW, and in
+    a streaming query that is a poison pill (the checkpoint replays the
+    same batch on every restart, crashing forever). (38,2) quantizes
+    identically for in-range values, so the stream==batch equality
+    tests hold unchanged.
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("value_sum"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
     )
@@ -297,9 +309,7 @@ def stream_to_batch_sink(
     checkpoint). ``available_now=True`` drains the current source
     contents then stops. Returns the started StreamingQuery."""
     writer = (
-        stream_df.writeStream.foreachBatch(
-            lambda df, batch_id: write_batch(df, batch_id)
-        )
+        stream_df.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode(output_mode)
     )

@@ -153,3 +153,28 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert {r.o_orderkey for r in back.select("o_orderkey").collect()} == {
         r.o_orderkey for r in df.select("o_orderkey").collect()
     }
+
+
+def test_compact_refuses_streaming_sink_and_noops_on_empty(spark, tmp_path):
+    """compact_* must fail loudly on a streaming file-sink table (its
+    _spark_metadata commit log would dangle after a swap) and return 0
+    for a dataset with no data files instead of crashing on schema
+    inference."""
+    import pytest
+
+    from spotify_app_etl_spark.io import compact_parquet, compact_partitioned
+
+    # empty dataset (no parquet files at all) -> no-op, not a crash
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").touch()
+    assert compact_parquet(spark, str(empty)) == 0
+
+    # streaming-sink marker -> loud refusal on both entry points
+    sink = tmp_path / "sink"
+    (sink / "_spark_metadata").mkdir(parents=True)
+    spark.range(10).write.mode("append").parquet(str(sink))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_parquet(spark, str(sink))
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        compact_partitioned(spark, str(sink))

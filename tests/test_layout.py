@@ -309,3 +309,16 @@ def test_morton_key_int_columns_no_sign_corruption(spark):
     rows = out.collect()
     assert all(r.ki == r.kl for r in rows)
     assert all(r.ki >= 0 for r in rows)
+
+
+def test_morton_key_rejects_unrepresentable_bits(spark):
+    """bits > 31 silently corrupts the key (long shiftleft wraps its
+    amount mod 64; bit 63 is the sign) — the contract must fail loudly
+    instead."""
+    import pytest
+
+    from spotify_app_etl_spark.io import morton_key
+
+    for bad in (0, 32, 33, 64):
+        with pytest.raises(ValueError, match="bits"):
+            morton_key("a", "b", bits=bad)

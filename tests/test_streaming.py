@@ -45,7 +45,7 @@ def test_stream_tumbling_equals_batch(spark, events_dir, tmp_path):
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("value_sum"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
     )
