@@ -211,12 +211,16 @@ def _binary_slot_eq(num_hashes: int):
     )
 
 
-def _banded_binary(
-    sig: DataFrame, num_hashes: int, bands: int, keep_sig: bool = False
+def _banded(
+    sig: DataFrame, bands: int, band_of, keep_sig: bool = False
 ) -> DataFrame:
     """(__id[, __sig], band, bh) — one row per (doc, band), bh = seeded
-    hash of the band's signature bytes."""
-    band_of = _binary_band_of(num_hashes, bands)
+    hash of the band's signature content. THE one band-explode
+    definition, parameterized only by how a band is sliced out of the
+    signature (``band_of``: band index Column → content Column) — both
+    signature encodings (packed binary, array<long>) and both the
+    batch and persisted-index paths go through here, so the layout
+    cannot drift between them."""
     extra = ["__sig"] if keep_sig else []
     return sig.select(
         "__id",
@@ -230,6 +234,13 @@ def _banded_binary(
             )
         ).alias("bb"),
     ).select("__id", *extra, "bb.band", "bb.bh")
+
+
+def _banded_binary(
+    sig: DataFrame, num_hashes: int, bands: int, keep_sig: bool = False
+) -> DataFrame:
+    """:func:`_banded` over a packed-binary signature column."""
+    return _banded(sig, bands, _binary_band_of(num_hashes, bands), keep_sig)
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +312,15 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
     One shuffle on the content hash. Returns
     (content hash, representative id, n_copies).
+
+    NULL content: ``sha2(NULL) = NULL`` and groupBy treats NULL as one
+    key, so every NULL-content row lands in a single group — identical
+    to the SQL ``GROUP BY sha256(text)`` this operator is
+    oracle-checked against. That is the right semantics for a hash
+    group-by, but the WRONG one if missing content means "unknown, not
+    duplicate": a keep-representatives pipeline would silently drop
+    all but one unfetched document. Filter NULL content upstream in
+    that case (the composed prep pipeline's quality gate does).
     """
     return (
         df.groupBy(F.sha2(F.col(content_col), 256).alias("content_sha256"))
@@ -471,23 +491,12 @@ def minhash_candidates(
         band_of = _binary_band_of(num_hashes, bands)
         slot_eq = _binary_slot_eq(num_hashes)
         banded = _banded_binary(sig, num_hashes, bands)
-    else:  # array<long> signature
+    else:  # array<long> signature — same shared band explode
         band_of = lambda b: F.slice(  # noqa: E731
             F.col("__sig"), b * rows_per_band + 1, rows_per_band
         )
         slot_eq = lambda x, y: F.zip_with(x, y, lambda p, q: p == q)  # noqa: E731
-        banded = sig.select(
-            "__id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(band_of(b), b).alias("bh"),
-                    ),
-                )
-            ).alias("bb"),
-        ).select("__id", "bb.band", "bb.bh")
+        banded = _banded(sig, bands, band_of)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     pairs = (
         banded.alias("a")
@@ -585,17 +594,24 @@ def _simhash_arrow_udf(bits: int = 64):
 
     @pandas_udf("long")
     def sig(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.uint64)
+        # NULL token array (NULL text upstream) -> NULL signature, the
+        # same value simhash_signature's expression fold produces — the
+        # row then drops out of the null-unsafe chunk equi-join on both
+        # impls instead of crashing np.asarray(None) here.
+        out: list = [None] * len(hashes)
         for i, hs in enumerate(hashes):
-            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            if h.size == 0:
+            if hs is None:
                 continue
-            set_bits = (h[:, None] & masks[None, :]) != 0  # (n, bits)
-            votes = 2 * set_bits.sum(axis=0) - h.size
-            chosen = masks[votes > 0]
-            if chosen.size:
-                out[i] = np.bitwise_or.reduce(chosen)
-        return pd.Series(out.view(np.int64))
+            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            acc = np.uint64(0)
+            if h.size:
+                set_bits = (h[:, None] & masks[None, :]) != 0  # (n, bits)
+                votes = 2 * set_bits.sum(axis=0) - h.size
+                chosen = masks[votes > 0]
+                if chosen.size:
+                    acc = np.bitwise_or.reduce(chosen)
+            out[i] = int(np.uint64(acc).view(np.int64))
+        return pd.Series(out, dtype=object)
 
     return sig
 
@@ -723,10 +739,18 @@ def embedding_cosine_pairs(
             f"embedding_cosine_pairs_lsh (id-type-preserving) or map ids "
             f"to longs first."
         )
-    side = df.select(
+    # NULL vectors are dropped, same convention as the LSH sibling
+    # (similarity kernels guard None because np.vstack over a mixed
+    # batch dies with an opaque executor ValueError — nothing to score
+    # against a missing vector).
+    side = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
     if blocks is None:
+        # Persisted: sizing needs a count, and an unpersisted `side`
+        # would re-scan + re-cast the full vector table once for the
+        # count and again for the packed aggregate below.
+        side = _scoped_persist(side)
         n = side.count()
         par = df.sparkSession.sparkContext.defaultParallelism
         # smallest b with b(b+1)/2 >= par; isqrt FLOORS, so bump once

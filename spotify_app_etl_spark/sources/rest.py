@@ -33,6 +33,7 @@ be picklable — executors call them inside ``mapInPandas``.
 
 from __future__ import annotations
 
+import logging
 import time
 from collections.abc import Callable, Iterable, Iterator
 from dataclasses import dataclass, field
@@ -40,6 +41,8 @@ from dataclasses import dataclass, field
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+
+log = logging.getLogger(__name__)
 
 Transport = Callable[[str], dict]
 
@@ -116,14 +119,19 @@ def request_with_retry(
 
     A transport signals throttling by returning
     ``{"status": 429, "retry_after": seconds}``; any other dict is the
-    payload.
+    payload. ``retry_after`` is server-controlled input and gets
+    clamped to [0, 60]: a negative value would make ``time.sleep``
+    raise (failing the request instead of retrying it), and an
+    unbounded one would pin an executor slot for however long a
+    hostile/buggy server asks — hours of stall that ``spark.task.
+    maxFailures`` (the documented outer retry) can never interrupt.
     """
     for _ in range(max_attempts):
         if bucket is not None:
             bucket.acquire()
         payload = transport(url)
         if payload.get("status") == 429:
-            time.sleep(float(payload.get("retry_after", 1.0)))
+            time.sleep(min(60.0, max(0.0, float(payload.get("retry_after", 1.0)))))
             continue
         return payload
     raise RetryBudgetExceeded(f"{max_attempts} attempts exhausted for {url}")
@@ -133,11 +141,17 @@ class PaginationLoop(RuntimeError):
     """Raised when a ``next`` cursor repeats (self-referencing chain)."""
 
 
+class PaginationTruncated(RuntimeError):
+    """Raised under ``strict=True`` when ``max_pages`` fires with the
+    chain unfinished (a non-null ``next`` remained)."""
+
+
 def fetch_paginated(
     transport: Transport,
     url: str,
     bucket: TokenBucket | None = None,
     max_pages: int | None = 10_000,
+    strict: bool = False,
 ) -> list[dict]:
     """Cursor-follow pagination (A1): accumulate ``items`` until
     ``next`` is null. ``max_pages=1`` gives the single-page variant
@@ -145,7 +159,12 @@ def fetch_paginated(
     truncation (§2.9 bug 4). A repeated cursor URL (malformed API
     echoing itself) raises :class:`PaginationLoop` instead of spinning
     an executor task forever; ``max_pages`` (default 10k, pass None to
-    disable) bounds non-repeating runaway chains."""
+    disable) bounds non-repeating runaway chains. Hitting the cap with
+    the chain unfinished (a non-null ``next`` remained) is logged —
+    silent truncation indistinguishable from completion is exactly the
+    reference bug this cap must not reintroduce — and raises
+    :class:`PaginationTruncated` under ``strict=True`` for callers
+    that need completeness guaranteed rather than observed."""
     items: list[dict] = []
     pages = 0
     seen: set[str] = set()
@@ -157,6 +176,14 @@ def fetch_paginated(
         items.extend(payload.get("items", []))
         pages += 1
         if max_pages is not None and pages >= max_pages:
+            if payload.get("next"):
+                msg = (
+                    f"pagination capped at {max_pages} page(s) with more "
+                    f"data remaining ({url} -> {payload.get('next')})"
+                )
+                if strict:
+                    raise PaginationTruncated(msg)
+                log.warning("%s", msg)
             break
         url = payload.get("next")
     return items

@@ -347,3 +347,46 @@ def test_declared_rotating_provider_refuses_to_pickle_before_first_refresh():
     )
     with pytest.raises(TypeError, match="rotated"):
         pickle.dumps(provider)
+
+
+def test_retry_after_is_clamped_and_truncation_is_loud():
+    """Server-controlled retry_after must not crash (negative) or
+    stall an executor unboundedly (huge); a pagination cap firing with
+    pages left must be observable (warning) and strict-raisable —
+    silent truncation is the reference bug the cap must not bring
+    back."""
+    import logging
+
+    import pytest
+
+    from spotify_app_etl_spark.sources import rest
+
+    calls = []
+
+    def throttling_transport(url):
+        calls.append(url)
+        if len(calls) == 1:
+            return {"status": 429, "retry_after": -5}
+        return {"items": [{"u": url}], "next": None}
+
+    out = rest.request_with_retry(throttling_transport, "u0")
+    assert out["items"] and len(calls) == 2  # negative -> clamped, retried
+
+    def chain(url):
+        n = int(url.rsplit("p", 1)[-1])
+        return {"items": [{"n": n}], "next": f"p{n + 1}"}
+
+    with pytest.raises(rest.PaginationTruncated):
+        rest.fetch_paginated(chain, "p0", max_pages=3, strict=True)
+
+    logger = logging.getLogger("spotify_app_etl_spark.sources.rest")
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger.addHandler(handler)
+    try:
+        items = rest.fetch_paginated(chain, "p0", max_pages=3)
+    finally:
+        logger.removeHandler(handler)
+    assert len(items) == 3
+    assert any("capped" in r.getMessage() for r in records)

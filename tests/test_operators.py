@@ -873,3 +873,33 @@ def test_cell_rank_arrow_matches_expression(spark):
             want = None if e[vid] is None else e[vid][:kk]
             assert ek[vid] == want, (kk, vid, ek[vid], want)
             assert ak[vid] == want, (kk, vid, ak[vid], want)
+
+
+def test_null_text_and_null_vector_rows_survive_dedup_kernels(spark):
+    """NULL inputs must degrade like their SQL/expression twins, not
+    kill the task: a NULL text row yields a NULL SimHash signature
+    (drops out of the null-unsafe band join, same as the sql impl),
+    and a NULL embedding is dropped by the exact cosine kernel (same
+    convention as the LSH sibling) instead of crashing np.vstack."""
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, None)],
+        "doc_id long, text string",
+    )
+    for impl in ("arrow", "sql"):
+        pairs = DD.simhash_candidates(docs, "text", "doc_id", impl=impl).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert got == {(1, 2)}, (impl, got)
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = DD.embedding_cosine_pairs(
+        vecs, "embedding", "vec_id", threshold=0.9
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2)}, got
