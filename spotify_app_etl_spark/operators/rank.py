@@ -9,9 +9,18 @@ a global sort on one machine:
 
 1. ``repartitionByRange`` on the sort key — the same distributed range
    sort every ``orderBy`` write uses; each partition holds a
-   contiguous, disjoint key range.
-2. A window PARTITIONED by ``spark_partition_id()`` ranks within each
-   range partition — parallel, memory-bounded.
+   contiguous, disjoint key range — then ``sortWithinPartitions``
+   (the sort is part of the same shuffle's reduce side, no extra
+   exchange).
+2. ``monotonically_increasing_id`` evaluated ABOVE that sort gives
+   each row (partition id << 33) | (0-based record index within the
+   partition), i.e. the local rank for free, in sorted order. A
+   window partitioned by ``spark_partition_id()`` would compute the
+   same thing but plans ``Exchange hashpartitioning(pid)`` on top of
+   the range exchange — Catalyst cannot know pid is constant within a
+   partition, so the "free" window costs a SECOND full-table shuffle
+   (measured in the executed plan; this operator exists to avoid
+   exactly that class of hidden cost).
 3. Per-partition row counts (one long per partition — O(partitions)
    driver state, same coordination budget as KMeans/power iteration)
    turn local ranks into global ranks by prefix-sum offset, joined
@@ -27,7 +36,7 @@ every caller here orders by a key ending in a unique id).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def global_row_number(
@@ -58,12 +67,26 @@ def _global_row_number_with_total(
     (ntile) must not launch a second full count() job over the table."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    local = ranged.withColumn(
-        "__lrn",
-        F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+    # monotonically_increasing_id above the in-partition sort IS the
+    # local rank: upper bits carry the partition id, lower 33 bits the
+    # 0-based record index in row order — which here is the sorted
+    # order. One exchange total (the range shuffle); the equivalent
+    # window over spark_partition_id() plans a second full-table hash
+    # exchange. The bit layout is pinned by the equivalence property
+    # tests in tests/test_rank.py, which compare against the single-
+    # partition window bit-for-bit.
+    local = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        # one evaluation of the nondeterministic id, then pure
+        # arithmetic on the materialized column
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn(
+            "__lrn",
+            (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("long"),
+        )
+        .drop("__mid")
     )
     # Two consumers read `local` (the counts action below and the
     # returned plan), and both must see the SAME range boundaries.
@@ -88,9 +111,41 @@ def _global_row_number_with_total(
         offsets[pid] = acc
         acc += counts[pid]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
-    )
+    # JVM-side literal rows for the O(partitions) offsets table:
+    # createDataFrame from local data routes the broadcast build
+    # through Python-worker serialization at a seconds-per-call cost
+    # in this environment (same measurement as similarity._meta_row).
+    # Fall back to createDataFrame only past a literal budget no sane
+    # num_ranges reaches.
+    if not offsets:
+        # empty input: a zero-struct literal array types as VOID and
+        # breaks analysis — build the empty frame with the schema only
+        off_df = spark.range(0).select(
+            F.lit(0).cast("int").alias("__pid"),
+            F.lit(0).cast("long").alias("__off"),
+        )
+    elif len(offsets) <= 10_000:
+        off_df = (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(int(pid)).cast("int").alias("__pid"),
+                                F.lit(int(off)).cast("long").alias("__off"),
+                            )
+                            for pid, off in offsets.items()
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select("s.__pid", "s.__off")
+        )
+    else:
+        off_df = spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+        )
     ranked = (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(out, (F.col("__off") + F.col("__lrn")).cast("long"))

@@ -27,6 +27,27 @@ def _as_double(arr: Column) -> Column:
     return arr.cast("array<double>")
 
 
+def _valid_vec(v: Column) -> Column:
+    """Non-NULL vector with no NULL/NaN elements — the only input the
+    hash/centroid kernels can meaningfully place. A vector containing
+    one NULL element is NOT caught by ``isNotNull()`` (the array is
+    non-null) yet folds every projection/distance to NULL or NaN:
+    unguarded, such rows hash to bucket 0 of every LSH table (phantom
+    neighbors for any bucket-0 probe) and crash or poison KMeans."""
+    return v.isNotNull() & ~F.exists(
+        _as_double(v), lambda x: x.isNull() | F.isnan(x)
+    )
+
+
+def _require_mode(mode: str) -> None:
+    """Writers accept exactly 'overwrite' | 'append'. Anything else —
+    a typo like 'Append' — would silently fall into the overwrite
+    branch and rebuild the live index from only the new batch,
+    vanishing every previously indexed document."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+
+
 # NOTE on parallelism: unlike the minhash text kernel (operators/
 # dedup.py, where per-row shingle hashing dominates and an explicit
 # repartition before the kernel was a measured 3x win), the hyperplane
@@ -140,13 +161,16 @@ def hyperplane_bucket(
     out = F.lit(0)
     for p in range(planes):
         out = out.bitwiseOR(bit(p))
-    # NULL embedding → NULL bucket, NOT bucket 0: a NULL projection
-    # falls through every when().otherwise(0), which would silently
-    # hash every NULL vector into bucket 0 of every table — phantom
-    # NULL-cos_sim neighbors for any query probing bucket 0. NULL
-    # drops out of the null-unsafe bucket equi-join instead, matching
-    # the Arrow kernel's NULL → NULL-bucket-array behavior.
-    return F.when(v.isNotNull(), out)
+    # NULL / NULL-element / NaN embedding → NULL bucket, NOT bucket 0:
+    # a NULL projection falls through every when().otherwise(0) (and a
+    # NaN one fails every proj > 0), which would silently hash the
+    # vector into bucket 0 of every table — phantom NULL-cos_sim
+    # neighbors for any query probing bucket 0. The _valid_vec guard
+    # covers element-NULLs and NaNs, which pass a bare isNotNull()
+    # because the array itself is non-null; such rows drop out of the
+    # null-unsafe bucket equi-join instead, matching the Arrow
+    # kernel's NULL → NULL-bucket-array behavior.
+    return F.when(_valid_vec(v), out)
 
 
 def _cell_rank(centers: list[list[float]], v: Column, k: int | None = None) -> Column:
@@ -267,10 +291,14 @@ def cosine_topk_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    c_feat = corpus.select(
+    # NULL / NULL-element / NaN vectors are dropped on BOTH sides
+    # (same convention as every other kernel here): a single such
+    # corpus row otherwise crashes KMeans.fit with an executor NPE.
+    c_feat = corpus.filter(_valid_vec(F.col(vec))).select(
         F.col(corpus_id),
         _as_double(F.col(vec)).alias("__cv"),
     ).withColumn("__features", array_to_vector(F.col("__cv")))
+    queries = queries.filter(_valid_vec(F.col(vec)))
     # maxIter=8: IVF needs rough Voronoi cells, not converged clusters —
     # probe multiplicity covers boundary error; halves index-build time
     model = KMeans(k=n_cells, seed=seed, maxIter=8, featuresCol="__features").fit(c_feat)
@@ -377,6 +405,12 @@ def _hyperplane_buckets_arrow(tables: int, planes: int, seed: int = 7):
                 out.append(None)
                 continue
             x = np.asarray(v, dtype=np.float64)
+            if np.isnan(x).any():
+                # element-NULL (→ nan here) or genuine NaN: no
+                # direction to hash — NULL buckets, same as the
+                # expression path's _valid_vec guard, never bucket 0
+                out.append(None)
+                continue
             if w is None or w.shape[1] != x.size:
                 w = plane_matrix(x.size)
             proj = (w @ x).reshape(tables, planes) > 0
@@ -537,7 +571,10 @@ def cosine_range_search(
         .filter(F.col("cos_sim") >= threshold)
     )
     if exclude_self:
-        out = out.filter(F.col(query_id) != F.col(corpus_id))
+        # null-safe inequality: a plain != evaluates to NULL when either
+        # id is NULL, silently dropping genuine above-threshold pairs —
+        # only true id-equal pairs may be excluded
+        out = out.filter(~F.col(query_id).eqNullSafe(F.col(corpus_id)))
     return out.select(query_id, corpus_id, "cos_sim")
 
 
@@ -608,12 +645,15 @@ def signlsh_index_write(
       re-appends both and the search-side candidate dedup absorbs the
       duplicates. Meta is untouched, so params can't drift.
 
-    NULL embeddings are dropped at build: they have no direction to
-    hash or score, and the Arrow kernel's null bucket array would
-    otherwise silently produce an unreachable vectors row anyway.
+    NULL embeddings (and vectors holding NULL/NaN elements) are
+    dropped at build: they have no direction to hash or score, and the
+    Arrow kernel's null bucket array would otherwise silently produce
+    an unreachable vectors row anyway.
     """
+    _require_mode(mode)
     spark = corpus.sparkSession
     meta = _read_index_meta(spark, path)
+    dim = _first_vec_dim(corpus, vec)
     if mode == "append" and meta is not None:
         if (meta["planes"], meta["tables"], meta["seed"]) != (planes, tables, seed):
             raise ValueError(
@@ -621,6 +661,14 @@ def signlsh_index_write(
                 f"tables={meta['tables']} seed={meta['seed']}; refusing to "
                 f"append planes={planes} tables={tables} seed={seed}"
             )
+        # dim is part of the hash family: the plane matrix is derived
+        # per (seed, dim), so a batch of different-dim vectors (e.g.
+        # the upstream embedding model changed) would land in an
+        # INCOMPATIBLE family sharing the same int bucket space —
+        # numerically colliding with real buckets and silently
+        # degrading recall. The (planes, tables, seed) guard alone
+        # cannot catch that.
+        _check_index_dim(meta, dim, path, "append")
         gen, fresh = meta["gen"], False
     else:
         # overwrite, or append-bootstrap onto a missing index
@@ -630,7 +678,7 @@ def signlsh_index_write(
     from pyspark.storagelevel import StorageLevel
 
     c0 = (
-        corpus.filter(F.col(vec).isNotNull())
+        corpus.filter(_valid_vec(F.col(vec)))
         .select(
             F.col(corpus_id).alias("corpus_id"), _as_double(F.col(vec)).alias("v")
         )
@@ -672,8 +720,34 @@ def signlsh_index_write(
         # vs 0.36 s for the equivalent range(1) projection) — absurd for
         # the 1-row commit record of every rebuild.
         _meta_row(
-            spark, planes=planes, tables=tables, seed=seed, gen=gen
+            spark, planes=planes, tables=tables, seed=seed, gen=gen, dim=dim
         ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _first_vec_dim(df: DataFrame, vec: str) -> int:
+    """Dimension of the first valid vector (0 if the frame has none) —
+    one tiny action; index builds/appends already pay whole-corpus
+    passes, so this is noise, and it is what lets meta pin the hash
+    family's dim."""
+    row = (
+        df.filter(_valid_vec(F.col(vec)))
+        .select(F.size(vec).alias("d"))
+        .first()
+    )
+    return int(row["d"]) if row is not None else 0
+
+
+def _check_index_dim(meta, dim: int, path: str, action: str) -> None:
+    """Refuse a dim mismatch against the stored meta. Metas written
+    before dim was recorded (no 'dim' field) skip the check; dim=0
+    (empty frame) has nothing to mismatch."""
+    stored = meta.asDict().get("dim")
+    if stored and dim and stored != dim:
+        raise ValueError(
+            f"index at {path} stores {stored}-dim vectors; refusing to "
+            f"{action} with {dim}-dim vectors (different hash family / "
+            f"centroid space — a silent recall loss, not a compatible mix)"
+        )
 
 
 def _meta_row(spark, **fields: int):
@@ -733,6 +807,10 @@ def signlsh_index_search(
     meta = _read_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"no sign-LSH index at {path}")
+    # query dim must match the stored hash family (plane matrix is
+    # per-dim); mismatched queries would probe numerically-colliding
+    # but semantically-unrelated buckets — silent garbage, not an error
+    _check_index_dim(meta, _first_vec_dim(queries, vec), path, "search")
     planes, tables, seed = meta["planes"], meta["tables"], meta["seed"]
     gdir = f"{path}/gen={meta['gen']}"
     buckets = spark.read.parquet(f"{gdir}/buckets")
@@ -793,10 +871,12 @@ def ivf_index_write(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    _require_mode(mode)
     spark = corpus.sparkSession
-    c_feat = corpus.filter(F.col(vec).isNotNull()).select(
+    c_feat = corpus.filter(_valid_vec(F.col(vec))).select(
         F.col(corpus_id).alias("corpus_id"), _as_double(F.col(vec)).alias("v")
     ).withColumn("__features", array_to_vector(F.col("v")))
+    dim = _first_vec_dim(corpus, vec)
 
     meta = _read_index_meta(spark, path)
     if mode == "append":
@@ -807,6 +887,10 @@ def ivf_index_write(
                 f"index at {path} has {meta['n_cells']} cells; refusing to "
                 f"append with n_cells={n_cells}"
             )
+        # appending different-dim vectors against the stored centroids
+        # either crashes the distance kernel or assigns cells from
+        # all-NULL distances — fail loudly instead
+        _check_index_dim(meta, dim, path, "append")
         gen = meta["gen"]
         gdir = f"{path}/gen={gen}"
         stored = spark.read.parquet(f"{gdir}/centroids").collect()
@@ -869,7 +953,7 @@ def ivf_index_write(
         # the commit point: meta flips to the new generation only after
         # BOTH tables exist and are internally consistent (JVM-side row:
         # see _meta_row on why not createDataFrame)
-        _meta_row(spark, n_cells=n_cells, seed=seed, gen=gen).write.mode(
+        _meta_row(spark, n_cells=n_cells, seed=seed, gen=gen, dim=dim).write.mode(
             "overwrite"
         ).parquet(f"{path}/meta")
 
@@ -895,6 +979,9 @@ def ivf_index_search(
     meta = _read_index_meta(spark, path)
     if meta is None:
         raise ValueError(f"no IVF index at {path}")
+    # mismatched query dim vs the stored centroid space is silent
+    # garbage (or a kernel crash), never a compatible probe
+    _check_index_dim(meta, _first_vec_dim(queries, vec), path, "search")
     gdir = f"{path}/gen={meta['gen']}"
     stored = spark.read.parquet(f"{gdir}/centroids").collect()
     centers = {r["cell"]: list(r["center"]) for r in stored}

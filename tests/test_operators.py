@@ -903,3 +903,63 @@ def test_null_text_and_null_vector_rows_survive_dedup_kernels(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(1, 2)}, got
+
+
+def test_index_writers_validate_mode_and_dim(spark, tmp_path):
+    """A mode typo must not silently rebuild the live index from one
+    batch, and an append/search with a different embedding dimension
+    must raise — the hash family / centroid space is per-dim, so a
+    mixed-dim index is a silent recall loss, not a compatible mix."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7) + 0.5 for d in range(6)]) for i in range(40)],
+        "corpus_id long, embedding array<double>",
+    )
+    other_dim = spark.createDataFrame(
+        [(100 + i, [float(i + d) for d in range(9)]) for i in range(10)],
+        "corpus_id long, embedding array<double>",
+    )
+    for writer in (SIM.signlsh_index_write, SIM.ivf_index_write):
+        idx = str(tmp_path / writer.__name__)
+        with pytest.raises(ValueError, match="mode"):
+            writer(corpus, idx, mode="Append")
+        writer(corpus, idx)
+        with pytest.raises(ValueError, match="dim"):
+            writer(other_dim, idx, mode="append")
+    q9 = other_dim.withColumnsRenamed({"corpus_id": "query_id"})
+    with pytest.raises(ValueError, match="dim"):
+        SIM.signlsh_index_search(spark, q9, str(tmp_path / "signlsh_index_write"))
+    with pytest.raises(ValueError, match="dim"):
+        SIM.ivf_index_search(spark, q9, str(tmp_path / "ivf_index_write"))
+
+
+def test_element_null_and_nan_vectors_never_hash_to_bucket_zero(spark):
+    """A vector CONTAINING a NULL or NaN passes isNotNull() (the array
+    itself is non-null) but folds every projection to NULL/NaN — it
+    must get a NULL bucket on both impls (dropping out of the bucket
+    join), never bucket 0 where it would shadow real neighbors."""
+    import pyspark.sql.functions as F
+
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [1.0, None, 3.0]),
+            (3, [1.0, float("nan"), 3.0]), (4, None)]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    expr = df.select(
+        "vid", SIM.hyperplane_bucket(F.col("v"), planes=4, table=0).alias("b")
+    )
+    got = {r["vid"]: r["b"] for r in expr.collect()}
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None and got[4] is None
+    arrow = df.select("vid", SIM._hyperplane_buckets_arrow(2, 4)(F.col("v")).alias("b"))
+    got_a = {r["vid"]: r["b"] for r in arrow.collect()}
+    assert got_a[1] is not None
+    assert got_a[2] is None and got_a[3] is None and got_a[4] is None
+
+    # IVF tolerates (drops) the same rows instead of crashing KMeans;
+    # pad enough valid vectors for the KMeans fit itself
+    extra = [(10 + i, [float(i), float(i % 3), 1.0]) for i in range(8)]
+    c = spark.createDataFrame(rows + extra, "corpus_id long, v array<double>")
+    q = df.filter(F.col("vid") == 1).withColumnsRenamed({"vid": "query_id"})
+    out = SIM.cosine_topk_ivf(q, c, k=20, n_cells=2, n_probe=2, vec="v").collect()
+    got_ids = {r["corpus_id"] for r in out}
+    assert 1 in got_ids and not {2, 3, 4} & got_ids
