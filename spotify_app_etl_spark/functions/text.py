@@ -142,7 +142,14 @@ def fingerprint(
 
 
 def fingerprint_arrow(mod: int = 2147483647):
-    """Arrow kernel computing the same value as :func:`fingerprint`.
+    """Arrow kernel equal to ``fingerprint(col, assume_normalized=True)``
+    on a PRE-NORMALIZED column — a kernel cannot run the Spark-side
+    ``normalized()`` expression, so callers pass ``normalized(text)``
+    themselves (the same contract as every Arrow kernel in the dedup
+    family; hashing raw text here would silently lose the case/
+    whitespace invariance that makes near-dup docs collide). NULL text
+    maps to NULL exactly like the expression fold — 0 would collide
+    every NULL doc with every empty doc.
 
     The sequential Horner fold ``acc = (acc*31 + c) % m`` equals
     ``sum(c_i * 31^(L-1-i)) % m`` — so with powers of 31 precomputed
@@ -159,26 +166,27 @@ def fingerprint_arrow(mod: int = 2147483647):
     def powers(n: int):
         pw = state["pw"]
         while pw.size < n:
-            nxt = (pw[-1] * 31) % mod
             ext = np.empty(pw.size * 2, dtype=np.int64)
             ext[: pw.size] = pw
             for i in range(pw.size, ext.size):
-                nxt_val = (ext[i - 1] * 31) % mod
-                ext[i] = nxt_val
+                ext[i] = (ext[i - 1] * 31) % mod
             pw = ext
             state["pw"] = pw
         return pw
 
     @pandas_udf("long")
     def fp(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
+        out: list = [None] * len(texts)
         for i, s in enumerate(texts):
-            c = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(
+            if s is None:
+                continue  # NULL text -> NULL hash, like the expression
+            c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
                 np.int64
             )
             if c.size == 0:
-                continue  # fold over [0] (ascii('') == 0) -> 0
-            pw = powers(c.size)[c.size - 1 :: -1][: c.size]
+                out[i] = 0  # fold over [''] (ascii('') == 0) -> 0
+                continue
+            pw = powers(c.size)[c.size - 1 :: -1]
             # products < 2^52 (code point < 2^21, power < 2^31); sum in
             # 1024-element chunks with a running mod so arbitrarily
             # long documents never overflow int64
@@ -187,7 +195,7 @@ def fingerprint_arrow(mod: int = 2147483647):
             for j in range(0, prod.size, 1024):
                 acc = (acc + int(prod[j : j + 1024].sum())) % mod
             out[i] = acc
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     return fp
 
@@ -218,7 +226,7 @@ def winnowing_fingerprints(
     compounded to O(windows × grams × k) per row). All JVM column
     expressions; zero shuffle.
     """
-    from spotify_app_etl_spark.operators.dedup import _fan_out, normalized
+    from spotify_app_etl_spark.operators.dedup import _fan_out
 
     norm = df.select(
         F.col(id_col), normalized(text_col).alias("__norm")

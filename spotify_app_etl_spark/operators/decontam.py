@@ -31,17 +31,35 @@ from spotify_app_etl_spark.operators.dedup import normalized, token_ngrams
 
 
 def _grams(df: DataFrame, text_col: str, id_col: str, n: int, out_id: str) -> DataFrame:
-    """(id, gram) pairs, distinct grams per document.
+    """(id, gram) pairs, distinct FULL n-grams per document.
 
     Tokens are pre-projected so the n-gram transform never re-runs the
     normalization regexp per element (see dedup.char_shingles PERF note).
+
+    Documents with fewer than ``n`` tokens emit NO grams — including
+    NULL/empty/whitespace-only text. ``token_ngrams``'s short-doc floor
+    (one degraded sub-n gram, right for similarity estimation) would be
+    a correctness bug here: every blank doc folds to the '' gram, so a
+    single blank benchmark row would flag every blank training row as
+    "contamination", and a 1-2-token benchmark answer string ('paris')
+    would remove every training doc equal to it via grams SHORTER than
+    the caller's requested n. The module contract is "shares a
+    long-enough n-gram", so short docs simply cannot match.
     """
+    toks = F.col("__toks")
     return (
         df.select(
             F.col(id_col).alias(out_id),
             F.split(normalized(text_col), " ").alias("__toks"),
         )
-        .select(out_id, F.explode(token_ngrams("__toks", n, assume_tokens=True)).alias("gram"))
+        .select(
+            out_id,
+            F.explode(
+                F.when(
+                    F.size(toks) >= n, token_ngrams(toks, n, assume_tokens=True)
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
     )
 
 

@@ -120,19 +120,11 @@ _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
 
 _SQL_TERMS = ", ".join(f"'{w}'" for w in _BM25_TERMS)
 
-
-@query(
-    "ns_bm25_search",
-    note="token explode filtered to the query terms pre-shuffle; doc "
-    "length via len(split()) map-only; per-term contributions rounded "
-    "to 8 dp then decimal-summed so aggregation order cannot drift",
-    oracle=f"""
-WITH dl AS (
+_SQL_BM25_CTES = f"""
+dl AS (
   SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS dl FROM documents
 ), stats AS (
-  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-         COUNT(*) AS n_docs
-  FROM dl
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
   FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) toks
@@ -152,9 +144,20 @@ WITH dl AS (
   JOIN df ON tf.term = df.term
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
-)
-SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
-FROM contrib GROUP BY doc_id
+), bm AS (
+  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25 FROM contrib GROUP BY doc_id
+)"""
+
+
+
+@query(
+    "ns_bm25_search",
+    note="token explode filtered to the query terms pre-shuffle; doc "
+    "length via len(split()) map-only; per-term contributions rounded "
+    "to 8 dp then decimal-summed so aggregation order cannot drift",
+    oracle=f"""
+WITH {_SQL_BM25_CTES}
+SELECT doc_id, bm25 FROM bm
 ORDER BY bm25 DESC, doc_id
 LIMIT {_BM25_TOPK}
 """,
@@ -270,7 +273,12 @@ def ns_lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism,
     )
     per_doc = (
-        docs.select("doc_id", F.explode(_bigrams(tokens("text"))).alias("bigram"))
+        # tokens() pre-projected to a materialized attribute: inlined
+        # into _bigrams' lambda it would re-run the whole tokenization
+        # regexp chain per bigram element (the per-element-reference
+        # rule dedup.char_shingles documents as a measured 7x)
+        docs.select("doc_id", tokens("text").alias("__tk"))
+        .select("doc_id", F.explode(_bigrams(F.col("__tk"))).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("m"))
     )
@@ -385,33 +393,6 @@ _RRF_K, _RRF_DEPTH, _RRF_TOPK = 60, 50, 20
 #: documents share the 0..n id space in the testdata).
 _RRF_QVEC_ID = 0
 
-_SQL_BM25_CTES = f"""
-dl AS (
-  SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS dl FROM documents
-), stats AS (
-  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
-), tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) toks
-  WHERE term IN ({_SQL_TERMS})
-  GROUP BY doc_id, term
-), df AS (
-  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-), contrib AS (
-  SELECT tf.doc_id AS doc_id,
-         CAST(round(
-           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-           * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
-           / (CAST(tf AS DOUBLE)
-              + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl)),
-           8) AS DECIMAL(20,8)) AS c
-  FROM tf
-  JOIN df ON tf.term = df.term
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats
-), bm AS (
-  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25 FROM contrib GROUP BY doc_id
-)"""
 
 
 @query(

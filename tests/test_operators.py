@@ -241,6 +241,8 @@ def test_fingerprint_arrow_matches_expression(spark):
         (3, "the quick brown fox jumps over the lazy dog"),
         (4, "z" * 5000),
         (5, ("lorem ipsum dolor sit amet " * 200).strip()),
+        (6, None),  # NULL text -> NULL on BOTH paths (0 would collide
+        # every NULL doc with every empty doc)
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     out = df.select(
@@ -250,6 +252,7 @@ def test_fingerprint_arrow_matches_expression(spark):
     ).collect()
     for r in out:
         assert r.expr_fp == r.arrow_fp, r.doc_id
+    assert {r.doc_id: r.arrow_fp for r in out}[6] is None
 
 
 def test_minhash_incremental_dedup_against_index(spark, tmp_path):

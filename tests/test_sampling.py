@@ -155,3 +155,26 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     ]
     assert not straddling, f"near-dup pairs split across train/eval: {straddling[:5]}"
     assert {"train", "eval"} == set(assign.values())
+
+
+def test_decontaminate_ignores_short_and_blank_docs(spark):
+    """The contamination contract is "shares a FULL n-gram": blank/
+    NULL/whitespace-only docs and docs shorter than n tokens must
+    never match (token_ngrams' short-doc floor would otherwise let one
+    blank benchmark row flag every blank training row, and a 2-token
+    benchmark answer string would remove every equal 2-token doc)."""
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "hello world"), (102, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "hello world"),
+         (5, "alpha beta gamma delta epsilon"), (6, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+    report = {r["doc_id"] for r in
+              DC.contamination_report(train, bench, "text", "doc_id", n=3).collect()}
+    assert report == {5}, report  # only the real full-3-gram overlap
+    clean = {r["doc_id"] for r in
+             DC.decontaminate(train, bench, "text", "doc_id", n=3).collect()}
+    assert clean == {1, 2, 3, 4, 6}, clean
