@@ -198,10 +198,33 @@ def extract_followed_artists(spark: SparkSession, transport, items=None) -> Data
     )
 
 
+def _audio_lookup_via(transport):
+    """Batched /audio-features lookup THROUGH the injected transport
+    (picklable — ships to executors inside batched_lookup's
+    mapInPandas closure), with the bounded 429 retry every other
+    endpoint gets. This is what makes a real-API run fetch real
+    features: a hardwired mock function here would silently fabricate
+    feature rows (or crash on real base-62 track ids) no matter what
+    transport the caller injected."""
+
+    def lookup(ids: list[str]) -> list[dict]:
+        payload = rest.request_with_retry(
+            transport, "/audio-features?ids=" + ",".join(ids)
+        )
+        return payload.get("audio_features", [])
+
+    return lookup
+
+
 def enrich_audio_features(
-    spark: SparkSession, playlist_tracks: DataFrame, saved_tracks: DataFrame
+    spark: SparkSession,
+    playlist_tracks: DataFrame,
+    saved_tracks: DataFrame,
+    transport=None,
 ) -> DataFrame:
-    """Union+distinct track ids (:250-251, A11) → batched lookup (A3)."""
+    """Union+distinct track ids (:250-251, A11) → batched lookup (A3)
+    over ``transport``'s ``/audio-features`` endpoint (direct mock fn
+    when no transport is given — standalone/unit use only)."""
     configure_session(spark)  # batched_lookup runs mapInPandas on workers
     ids = (
         playlist_tracks.select("id")
@@ -209,9 +232,10 @@ def enrich_audio_features(
         .filter(F.col("id").isNotNull())
         .distinct()
     )
+    lookup = audio_features_for_ids if transport is None else _audio_lookup_via(transport)
     return rest.batched_lookup(
         ids,
-        audio_features_for_ids,
+        lookup,
         result_schema=schemas.AUDIO_FEATURES,
         batch_size=100,
     )
@@ -227,11 +251,18 @@ def run_pipeline(
     sf_dir: str,
     transport=None,
     ingest_date: bool = True,
+    fanout_partitions: int = 8,
+    rate_per_partition: float | None = None,
 ) -> dict[str, DataFrame]:
     """Full ETL run → the six reference tables as typed DataFrames.
 
     ``ingest_date=True`` stamps one run-level timestamp like :264-266;
     oracle-checked queries pass False for determinism.
+    ``fanout_partitions`` / ``rate_per_partition`` pass through to the
+    distributed per-playlist fan-out — a real-API caller MUST set a
+    rate (global request rate = partitions × per-partition rate) or
+    the fan-out hammers the API unthrottled; the in-process mock runs
+    unthrottled by default.
     """
     log = logging.getLogger(__name__)
     started = time.monotonic()
@@ -260,7 +291,15 @@ def run_pipeline(
     # and any long-lived harness) frees it once the sinks materialize.
     from spotify_app_etl_spark.operators.dedup import _scoped_persist
 
-    playlist_tracks = _scoped_persist(extract_playlist_tracks(spark, playlists, transport))
+    playlist_tracks = _scoped_persist(
+        extract_playlist_tracks(
+            spark,
+            playlists,
+            transport,
+            fanout_partitions=fanout_partitions,
+            rate_per_partition=rate_per_partition,
+        )
+    )
     saved = extract_saved_tracks(spark, transport, items=pages["saved"])
     tables: dict[str, DataFrame] = {
         "playlists": playlists,
@@ -270,7 +309,9 @@ def run_pipeline(
         "followed_artists": extract_followed_artists(
             spark, transport, items=pages["followed"]
         ),
-        "audio_features": enrich_audio_features(spark, playlist_tracks, saved),
+        "audio_features": enrich_audio_features(
+            spark, playlist_tracks, saved, transport=transport
+        ),
     }
     if ingest_date:
         # ONE driver-side timestamp literal for the whole run, not a

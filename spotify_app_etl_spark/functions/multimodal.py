@@ -55,7 +55,10 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
             F.lit("fake/rgb8").alias("format"),
-            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            # cast matches META_SCHEMA's declared long (octet_length
+            # returns int — a silent schema drift for consumers that
+            # trust the constant)
+            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
             (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
             (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
             F.lit(16000).alias("sample_rate"),
@@ -123,8 +126,16 @@ def extract_features(mm: DataFrame) -> DataFrame:
 
     def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in parts:
+            # NULL payloads are dropped — nothing to decode; an
+            # unguarded np.frombuffer(None) would kill the task (the
+            # same NULL-text input class the dedup kernels guard)
+            keep = pdf["payload"].notna()
+            pdf = pdf[keep]
             feats = [fake_decode_features(p) for p in pdf["payload"]]
-            out = pd.DataFrame(feats)
+            out = pd.DataFrame(feats, columns=[
+                "n_bytes", "byte_mean", "byte_min", "byte_max",
+                "n_distinct_bytes", "head_hex",
+            ])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
@@ -135,13 +146,24 @@ def sample_frames(mm: DataFrame, frame_size: int = 256, every_k: int = 4) -> Dat
     """Frame-sampling stage for "video" payloads: split the payload
     into fixed-size frames, keep every k-th, one output row per kept
     frame (mapInPandas explode — row counts change, which a scalar
-    pandas_udf cannot do)."""
+    pandas_udf cannot do). NULL payloads yield no frames."""
     import hashlib
+
+    # validate on the DRIVER: bad values would otherwise only fail at
+    # action time as an opaque range()/slice error inside an executor
+    # task (frame_size=0 would even loop the byte offsets forever)
+    if frame_size < 1 or every_k < 1:
+        raise ValueError(
+            f"frame_size and every_k must be >= 1, got "
+            f"frame_size={frame_size} every_k={every_k}"
+        )
 
     def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in parts:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 frames = [
                     payload[off : off + frame_size]
                     for off in range(0, len(payload), frame_size)
@@ -199,14 +221,22 @@ def perceptual_hashes(mm: DataFrame) -> DataFrame:
 
     def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in parts:
-            hashes = [dhash64(p) for p in pdf["payload"]]
+            # NULL payload -> NULL phash (the row then drops out of the
+            # null-unsafe band-chunk equi-join downstream, same as the
+            # SimHash kernel's NULL-signature convention)
+            hashes = [None if p is None else dhash64(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     # two's-complement into signed int64 for Spark LongType
                     "phash": pd.Series(
-                        [h - (1 << 64) if h >= (1 << 63) else h for h in hashes],
-                        dtype="int64",
+                        [
+                            None
+                            if h is None
+                            else (h - (1 << 64) if h >= (1 << 63) else h)
+                            for h in hashes
+                        ],
+                        dtype=object,
                     ),
                 }
             )
@@ -256,7 +286,13 @@ def phash_near_dup_pairs(
             F.lit(mask)
         )
 
-    sig = perceptual_hashes(mm)
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    # Persisted for the same reason simhash_candidates persists its
+    # signature: both sides of the self-join (and the exact-distance
+    # filter) would otherwise re-execute the payload scan + Python
+    # dhash stage — the dominant cost — once per reference.
+    sig = _scoped_persist(perceptual_hashes(mm))
     chunks = sig.select(
         "doc_id",
         "phash",

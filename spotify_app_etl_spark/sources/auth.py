@@ -261,8 +261,19 @@ def bootstrap_provider(
     code_verifier: str | None = None,
     expect_state: str | None = None,
     slack_s: float = 60.0,
+    rotating: bool | None = None,
 ) -> TokenProvider:
-    """End-to-end: pasted redirect URL → self-refreshing TokenProvider."""
+    """End-to-end: pasted redirect URL → self-refreshing TokenProvider.
+
+    ``rotating`` defaults to the PKCE heuristic: a ``code_verifier``
+    with no ``client_secret`` means a public client, and public-client
+    refresh tokens are rotated as standard — the pickle guard must
+    refuse to ship the provider from the FIRST moment, not only after
+    an in-process rotation has been observed (a provider pickled
+    before its first refresh would fan the single-use bootstrap token
+    to N executor processes; the first refresh revokes it for all the
+    others). Pass an explicit bool to override the heuristic.
+    """
     code = parse_redirect(redirect_url, expect_state=expect_state)
     reply = exchange_code(
         post,
@@ -273,6 +284,8 @@ def bootstrap_provider(
         client_secret=client_secret,
         code_verifier=code_verifier,
     )
+    if rotating is None:
+        rotating = code_verifier is not None and client_secret is None
     provider = TokenProvider(
         refresh_grant_fn(
             post,
@@ -280,6 +293,7 @@ def bootstrap_provider(
             reply["refresh_token"],
             client_id,
             client_secret=client_secret,
+            rotating=rotating,
         ),
         slack_s=slack_s,
     )

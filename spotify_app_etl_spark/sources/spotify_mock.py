@@ -237,6 +237,15 @@ class MockSpotifyTransport:
             return {"items": self._recent_tracks(), "next": None}
         if path == "/me/following":
             return self._page(path, self._followed_artists(), offset, extra="type=artist&")
+        if path == "/audio-features":
+            # batch features endpoint (spotify-etl.py:151-166): ids as a
+            # comma-joined query param, ≤100 per request
+            ids = parse_qs(parsed.query).get("ids", [""])[0]
+            return {
+                "audio_features": audio_features_for_ids(
+                    [i for i in ids.split(",") if i]
+                )
+            }
         raise KeyError(f"mock transport: unknown endpoint {url}")
 
     def _page(self, path: str, items: list[dict], offset: int, extra: str = "") -> dict:

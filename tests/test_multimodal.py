@@ -202,3 +202,28 @@ def test_phash_max_hamming_guard():
         MM.phash_near_dup_pairs(None, max_hamming=16)
     with _pytest.raises(ValueError, match="max_hamming"):
         MM.phash_near_dup_pairs(None, max_hamming=-1)
+
+
+def test_null_payloads_degrade_not_crash(spark):
+    """A NULL payload (NULL text upstream) must not kill the Arrow
+    kernels: features/frames drop the row (nothing to decode), the
+    perceptual hash emits NULL (dropping out of the band join), and
+    frame-sampling parameters are validated on the driver."""
+    import pytest
+
+    from spotify_app_etl_spark.functions import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "hello world of bytes"), (2, None)], "doc_id long, text string"
+    )
+    mm = MM.documents_as_binary(docs)
+    feats = MM.extract_features(mm).collect()
+    assert {r["doc_id"] for r in feats} == {1}
+    frames = MM.sample_frames(mm, frame_size=4, every_k=2).collect()
+    assert {r["doc_id"] for r in frames} == {1}
+    ph = {r["doc_id"]: r["phash"] for r in MM.perceptual_hashes(mm).collect()}
+    assert ph[1] is not None and ph[2] is None
+    pairs = MM.phash_near_dup_pairs(mm, max_hamming=3).collect()
+    assert pairs == []  # no crash, NULL row never buckets
+    with pytest.raises(ValueError, match="every_k"):
+        MM.sample_frames(mm, every_k=0)
