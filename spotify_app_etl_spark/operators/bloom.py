@@ -71,10 +71,33 @@ def build_bloom(keys: np.ndarray, fpp: float = 0.01) -> tuple[bytes, int, int]:
 
 def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
     """Optimal (n_hashes, m_bits) for n keys at the target fpp."""
+    if not 0.0 < fpp < 1.0:
+        # fpp<=0 would die later as a bare 'math domain error' from
+        # log(); fpp>=1 (e.g. 1.5 meant as 1.5%) silently sizes a
+        # 64-bit filter that prefilters nothing while still paying two
+        # full build-side scans
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     n = max(n, 1)
     m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     n_hashes = max(1, round(m_bits / n * math.log(2)))
     return n_hashes, m_bits
+
+
+def _require_int_key(df: DataFrame, col: str, ctx: str) -> None:
+    """The hash kernel works on int64 keys. A non-integer column would
+    not fail here — it would CAST: under ANSI an opaque runtime error,
+    without ANSI a silent NULL→key-0 probe against a filter whose build
+    side nulled out the same way, i.e. every matching join row dropped
+    with no error (verified on string keys). Loud beats wrong."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{ctx} requires an integer key column; {col} is "
+            f"{dt.simpleString()} — map keys to integers (e.g. xxhash64) "
+            "before the Bloom stage"
+        )
 
 
 def build_bloom_distributed(
@@ -102,6 +125,7 @@ def build_bloom_distributed(
     ``max_build_partitions × m/8`` bytes by the coalesce — the same
     network cost Spark's own ``stat.bloomFilter`` treeAggregate pays.
     """
+    _require_int_key(build, build_key, "build_bloom_distributed")
     keys_df = build.select(F.col(build_key).cast("long").alias("k")).filter(
         F.col("k").isNotNull()
     )
@@ -152,8 +176,19 @@ def build_bloom_distributed(
 
 
 def might_contain(df: DataFrame, key_col: str | Column, bloom: tuple[bytes, int, int]) -> Column:
-    """Boolean column: key possibly in the filter (no false negatives)."""
+    """Boolean column: key possibly in the filter (no false negatives).
+
+    Broadcast lifecycle: the bitset broadcast is referenced only by the
+    returned Column's UDF closure — once the caller drops the plan that
+    uses it, the driver-side Broadcast object becomes unreachable and
+    Spark's ContextCleaner destroys the executor copies on the next
+    driver GC cycle. Per-micro-batch callers should still not hoard the
+    returned frames across batches, or the bitsets pile up until that
+    GC runs.
+    """
     blob, n_hashes, m_bits = bloom
+    if isinstance(key_col, str):
+        _require_int_key(df, key_col, "might_contain")
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(np.frombuffer(blob, dtype=np.uint8))
 
@@ -219,6 +254,8 @@ def bloom_prefiltered_join(
             "only sound for probe-discarding joins (inner/semi); a "
             "probe-preserving join must keep non-matching probe rows"
         )
+    _require_int_key(probe, probe_key, "bloom_prefiltered_join (probe side)")
+    _require_int_key(build, build_key, "bloom_prefiltered_join (build side)")
     bloom = build_bloom_distributed(build, build_key, fpp=fpp)
     pruned = probe.filter(might_contain(probe, probe_key, bloom))
     return pruned.join(build, on=pruned[probe_key] == build[build_key], how=how)

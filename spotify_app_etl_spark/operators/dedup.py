@@ -739,11 +739,13 @@ def embedding_cosine_pairs(
             f"embedding_cosine_pairs_lsh (id-type-preserving) or map ids "
             f"to longs first."
         )
-    # NULL vectors are dropped, same convention as the LSH sibling
-    # (similarity kernels guard None because np.vstack over a mixed
-    # batch dies with an opaque executor ValueError — nothing to score
-    # against a missing vector).
-    side = df.filter(F.col(vec_col).isNotNull()).select(
+    # NULL and EMPTY vectors are dropped, same convention as the LSH
+    # sibling (similarity kernels guard them because np.vstack over a
+    # mixed batch dies with an opaque executor ValueError — nothing to
+    # score against a missing/zero-dim vector).
+    side = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
     if blocks is None:

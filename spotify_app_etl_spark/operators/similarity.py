@@ -28,14 +28,19 @@ def _as_double(arr: Column) -> Column:
 
 
 def _valid_vec(v: Column) -> Column:
-    """Non-NULL vector with no NULL/NaN elements — the only input the
-    hash/centroid kernels can meaningfully place. A vector containing
-    one NULL element is NOT caught by ``isNotNull()`` (the array is
-    non-null) yet folds every projection/distance to NULL or NaN:
-    unguarded, such rows hash to bucket 0 of every LSH table (phantom
-    neighbors for any bucket-0 probe) and crash or poison KMeans."""
-    return v.isNotNull() & ~F.exists(
-        _as_double(v), lambda x: x.isNull() | F.isnan(x)
+    """Non-NULL, NON-EMPTY vector with no NULL/NaN elements — the only
+    input the hash/centroid kernels can meaningfully place. A vector
+    containing one NULL element is NOT caught by ``isNotNull()`` (the
+    array is non-null) yet folds every projection/distance to NULL or
+    NaN: unguarded, such rows hash to bucket 0 of every LSH table
+    (phantom neighbors for any bucket-0 probe) and crash or poison
+    KMeans. An EMPTY array has no direction either — it zero-folds to
+    bucket 0 on the expression path and np.vstack's dimension mismatch
+    kills the numpy kernels."""
+    return (
+        v.isNotNull()
+        & (F.size(v) > 0)
+        & ~F.exists(_as_double(v), lambda x: x.isNull() | F.isnan(x))
     )
 
 

@@ -27,10 +27,12 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _salt(df: DataFrame, cols: list[str], buckets: int) -> Column:
+def _salt(cols: list[str], buckets: int) -> Column:
     """Deterministic pseudo-random salt in [0, buckets): hash of the
-    full row's stable columns — spreads a hot key's rows evenly without
-    requiring a random() (keeps retries/oracle runs reproducible)."""
+    row's stable columns — spreads a hot key's rows evenly without
+    requiring a random() (keeps retries/oracle runs reproducible).
+    A pure column expression: it binds to whatever frame it is
+    selected from, so no DataFrame parameter."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets))
 
 
@@ -48,7 +50,7 @@ def salted_agg(
     combines the per-salt partials per group (e.g. partial ``count`` →
     final ``sum``). ``salt_cols`` must be stable row attributes (ids).
     """
-    salted = df.withColumn("__salt", _salt(df, salt_cols, salt_buckets))
+    salted = df.withColumn("__salt", _salt(salt_cols, salt_buckets))
     partial = salted.groupBy(*group_cols, "__salt").agg(*partial_aggs)
     # __salt cannot appear in the output: the final groupBy's schema is
     # group_cols + the final_aggs aliases (final_aggs must simply not
@@ -74,14 +76,19 @@ def salted_join(
     replication: for ``right``/``full`` (build-preserving) an unmatched
     build row would surface once per salt bucket (``salt_buckets``
     duplicate null-extended rows), so those types raise."""
+    # 'cross' is NOT expressible either: the implementation joins on
+    # [key, __salt], so a requested cross product would silently
+    # execute as an inner equi-join (verified: 2x2 inputs -> 1 row
+    # instead of 4).
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
-                   "leftsemi", "left_anti", "leftanti", "cross"):
+                   "leftsemi", "left_anti", "leftanti"):
         raise ValueError(
             f"salted_join cannot express how={how!r}: build-side replication "
-            "would emit each unmatched build row once per salt bucket; use a "
-            "probe-preserving type (inner/left/left_semi/left_anti)"
+            "would emit each unmatched build row once per salt bucket (and a "
+            "cross product has no join key to salt); use a probe-preserving "
+            "equi type (inner/left/left_semi/left_anti)"
         )
-    p = probe.withColumn("__salt", _salt(probe, salt_cols, salt_buckets))
+    p = probe.withColumn("__salt", _salt(salt_cols, salt_buckets))
     b = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

@@ -70,9 +70,13 @@ def ns_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH n AS (
   SELECT label,
-         CAST(floor(sqrt(list_reduce(
-           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
-           (a, b) -> a + b)) * {_Q}) AS BIGINT) AS norm_q
+         -- empty-array guard: DuckDB list_reduce ERRORS on an empty
+         -- list while Spark's aggregate yields the 0.0 seed — the
+         -- CASE keeps both engines at norm 0 for degenerate vectors
+         CASE WHEN len(embedding) = 0 THEN 0
+              ELSE CAST(floor(sqrt(list_reduce(
+                list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                (a, b) -> a + b)) * {_Q}) AS BIGINT) END AS norm_q
   FROM embeddings
 )
 SELECT label,
@@ -167,8 +171,19 @@ def _power_iteration(emb: DataFrame, vec_col: str, iters: int = 8):
     """
     import numpy as np
 
-    dim = len(emb.select(vec_col).first()[0])
-    x = emb.select(F.col(vec_col).cast("array<double>").alias("__x"))
+    # loud preconditions instead of opaque executor/NaN failures: an
+    # empty table (first() is None) or a NULL leading vector would
+    # TypeError here, and an all-zero corpus would divide by a zero
+    # eigenvalue below and emit NaN loadings that LOOK like results
+    probe = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(
+            "_power_iteration: no non-NULL vectors to iterate over"
+        )
+    dim = len(probe[0])
+    x = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("__x")
+    )
     v = np.ones(dim) / np.sqrt(dim)
     eigvals: list[float] = []
     for _ in range(iters):
@@ -190,6 +205,11 @@ def _power_iteration(emb: DataFrame, vec_col: str, iters: int = 8):
         )
         w = np.array(row, dtype=np.float64)
         eigvals.append(float(np.linalg.norm(w)))
+        if eigvals[-1] == 0.0:
+            raise ValueError(
+                "_power_iteration: zero Gram norm (all-zero corpus?) — "
+                "no principal direction exists; refusing to emit NaNs"
+            )
         v = w / eigvals[-1]
     return v, eigvals
 

@@ -76,7 +76,7 @@ def test_salt_spreads_hot_key(spark):
     hot = spark.range(10000).select(
         F.lit("HOT").alias("k"), F.col("id").alias("row_id")
     )
-    salted = hot.withColumn("__salt", skew._salt(hot, ["row_id"], 16))
+    salted = hot.withColumn("__salt", skew._salt(["row_id"], 16))
     n_buckets = salted.select("__salt").distinct().count()
     assert n_buckets >= 12  # ~16 with uniform hashing
     counts = [r.n for r in salted.groupBy("__salt").agg(F.count(F.lit(1)).alias("n")).collect()]
