@@ -75,6 +75,11 @@ HEADLINE = [
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_layout_compact_roundtrip",
+    # round-6 additions: product-quantization ANN (ADC shortlist +
+    # exact re-rank) and SemDeDup cluster-scoped semantic dedup
+    "ns_sim_topk_pq",
+    "ns_dedup_semantic",
+    "ns_sim_topk_pq_indexed",
 ]
 
 
@@ -86,6 +91,12 @@ def main() -> None:
         help="scale-factor directory of parquet tables",
     )
     ap.add_argument("--all", action="store_true", help="run every registered query")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names to run instead of the headline "
+        "set (iteration aid; unknown names fail loudly)",
+    )
     ap.add_argument(
         "--repeat",
         type=int,
@@ -104,7 +115,15 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     registry = load_all()
-    names = sorted(registry) if args.all else [n for n in HEADLINE if n in registry]
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in registry]
+        if unknown:
+            raise SystemExit(f"--only names not registered: {unknown}")
+    elif args.all:
+        names = sorted(registry)
+    else:
+        names = [n for n in HEADLINE if n in registry]
 
     from pyspark.sql import functions as F
 

@@ -1268,3 +1268,173 @@ def _minhash_dedup_incremental_core(
     )
     kept_sig = new_sig.join(drop, "__id", "left_anti").select("__id", "__sig")
     return kept, kept_sig
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): KMeans cells + within-cell cosine.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic near-dup pairs, confined to KMeans cells (the SemDeDup
+    recipe — Abbas et al. 2023: cluster the embedding space, compare
+    only within a cluster).
+
+    Where the sign-LSH sibling buckets by random projections, this
+    buckets by LEARNED structure: one Spark-ML KMeans fit (a few corpus
+    passes), then each cell's members score pairwise in ONE dense numpy
+    matmul per cell (`mapInPandas`) — the same vectorized kernel shape
+    as :func:`embedding_cosine_pairs`, but the candidate universe is
+    within-cell only, never O(n²) global. The one shuffle is the
+    groupBy on cell id.
+
+    Output: (id_a, id_b, cos_sim, cell, cent_sim_a, cent_sim_b) with
+    id_a < id_b; ``cent_sim_*`` is each endpoint's cosine to its cell
+    centroid — the keep-policy input for :func:`semantic_dedup` (the
+    paper keeps the LEAST central member of a duplicate group).
+
+    Scale (100 TB): ``n_cells`` is the knob — the paper runs 50k cells
+    on 100M+ docs so each cell is a few thousand vectors (one matmul
+    task). Cross-cell near-dups are missed by design; that recall cost
+    is measured against the exact kernel in tests and in the registered
+    query's rider. Integer ids required, as in the exact kernel (the
+    numpy pack is int64).
+
+    NULL / NaN / empty vectors are dropped (KMeans dies on them), same
+    convention as every vector kernel here.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import IntegerType, LongType, ShortType
+
+    from spotify_app_etl_spark.operators.similarity import _as_double, _valid_vec
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dedup_pairs requires an integer id column; "
+            f"{id_col} is {id_type.simpleString()}"
+        )
+    side = df.filter(_valid_vec(F.col(vec_col))).select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    if n_cells == 1:
+        # Spark ML KMeans rejects k=1; the degenerate grid (useful as
+        # the exact-equivalence oracle in tests) needs no fit — every
+        # vector is cell 0 and the centroid is the mean vector (one
+        # O(dim)-row aggregate).
+        mean = (
+            side.select(F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        centers = [[r["__m"] for r in sorted(mean, key=lambda r: r["__d"])]]
+        assigned = side.select("__id", "__v", F.lit(0).alias("__cell"))
+    else:
+        feat = side.withColumn("__features", array_to_vector(F.col("__v")))
+        # maxIter=8 as in the IVF kernel: rough Voronoi cells are enough —
+        # the threshold does the precision work, cells only bound candidates
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=8, featuresCol="__features"
+        ).fit(feat)
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        assigned = model.transform(feat).select(
+            "__id", "__v", F.col("prediction").alias("__cell")
+        )
+    packed = assigned.groupBy("__cell").agg(
+        F.collect_list(F.struct("__id", "__v")).alias("__rows")
+    )
+    # one matmul task per cell
+    packed = packed.repartition(n_cells, "__cell")
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(centers, dtype=np.float64)
+        c_norm = np.linalg.norm(C, axis=1)
+        for pdf in batches:
+            out = {k: [] for k in ("id_a", "id_b", "cos_sim", "cell", "cent_sim_a", "cent_sim_b")}
+            for cell, rows in zip(pdf["__cell"], pdf["__rows"]):
+                if len(rows) < 2:
+                    continue
+                ids = np.fromiter((r["__id"] for r in rows), dtype=np.int64)
+                M = np.vstack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+                norms = np.linalg.norm(M, axis=1, keepdims=True)
+                Mn = np.divide(M, norms, out=np.zeros_like(M), where=norms > 0)
+                cos = np.round(Mn @ Mn.T, 8)
+                cn = c_norm[cell]
+                cent = np.round(
+                    (Mn @ C[cell]) / cn if cn > 0 else np.zeros(len(rows)), 8
+                )
+                ia, ib = np.nonzero(cos >= threshold)
+                m = ids[ia] < ids[ib]  # by ID, not position (list order
+                # is not guaranteed stable across re-evaluations)
+                ia, ib = ia[m], ib[m]
+                out["id_a"].append(ids[ia])
+                out["id_b"].append(ids[ib])
+                out["cos_sim"].append(cos[ia, ib])
+                out["cell"].append(np.full(ia.size, cell, dtype=np.int32))
+                out["cent_sim_a"].append(cent[ia])
+                out["cent_sim_b"].append(cent[ib])
+            if out["id_a"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in out.items()}
+                )
+
+    return packed.mapInPandas(
+        score,
+        "id_a long, id_b long, cos_sim double, cell int, "
+        "cent_sim_a double, cent_sim_b double",
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    keep: str = "least_central",
+) -> DataFrame:
+    """Drop semantic near-dups: for every within-cell pair at cosine ≥
+    threshold, the endpoint LATER in the keep order loses; survivors
+    are rows that never lose a pair.
+
+    ``keep='least_central'`` (the SemDeDup paper's policy — retain the
+    most atypical member, it carries the most marginal information)
+    orders by (centroid-cosine asc, id asc); ``keep='min_id'`` orders
+    by id alone (deterministic, embedding-independent). Either way the
+    order's minimum inside each duplicate GROUP can never lose, so at
+    least one member of every group always survives — the greedy
+    pair-drop needs no connected-components pass (a chain a~b~c keeps
+    its order-minimum even when a~c is not itself a pair).
+
+    One extra shuffle beyond the pair kernel: the losers' distinct-id
+    anti-join back onto the corpus.
+    """
+    if keep not in ("least_central", "min_id"):
+        raise ValueError(f"keep must be 'least_central' or 'min_id', got {keep!r}")
+    pairs = semantic_dedup_pairs(
+        df, vec_col, id_col, threshold=threshold, n_cells=n_cells, seed=seed
+    )
+    if keep == "least_central":
+        a_wins = (F.col("cent_sim_a") < F.col("cent_sim_b")) | (
+            (F.col("cent_sim_a") == F.col("cent_sim_b"))
+            & (F.col("id_a") < F.col("id_b"))
+        )
+    else:
+        a_wins = F.col("id_a") < F.col("id_b")  # always true; loser = id_b
+    losers = pairs.select(
+        F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias(id_col)
+    ).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1020,3 +1020,485 @@ def ivf_index_search(
     )
     w = W.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col("corpus_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: m-byte codes + ADC scoring + exact re-rank.
+# ---------------------------------------------------------------------------
+
+
+def _pq_split(dim: int, m: int) -> int:
+    """Subspace width; loud on a non-dividing ``m`` — silently padding
+    or truncating would quantize a different vector than the caller
+    stored and every downstream score would be quietly wrong."""
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"PQ subspace count m={m} must divide the embedding dim {dim}"
+        )
+    return dim // m
+
+
+def _pq_normalize(mat):
+    """Row-normalize to unit L2; zero vectors stay zero (they have no
+    direction — their cosine vs anything is 0/NaN on the exact kernels
+    too, so ranking them last via an all-zero code row is consistent)."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.divide(mat, norms, out=np.zeros_like(mat), where=norms > 0)
+
+
+def pq_train(
+    corpus: DataFrame,
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Train PQ codebooks: ``m`` independent KMeans(ksub) fits, one per
+    dim/m-wide subspace, over a bounded, DETERMINISTIC training sample
+    (the ``train_sample`` smallest ids — a distributed TakeOrdered, not
+    a full sort). Returns a (m, ksub, dsub) float64 numpy array.
+
+    This is the piece that makes 100 TB embedding search feasible at
+    all: a 768-dim float corpus is ~3 KB/vector, its PQ codes are
+    ``m`` BYTES/vector (m=8 → 384× smaller). Training on a bounded
+    sample is the standard practice (FAISS trains on ~100k vectors
+    regardless of corpus size); the driver holds sample × dim doubles,
+    a constant w.r.t. corpus size. Codebooks themselves are
+    m × ksub × dsub = one dim × ksub matrix — literal-sized, they ride
+    into the Arrow kernels as closures, no broadcast plumbing.
+
+    Vectors are L2-normalized before quantization so that minimizing
+    subspace L2 error approximates maximizing cosine — the re-rank
+    stage (see :func:`cosine_topk_pq`) then scores true cosine on the
+    original vectors, so quantization error only affects WHICH
+    candidates are shortlisted, never the returned scores.
+    """
+    import numpy as np
+
+    sample = (
+        corpus.filter(_valid_vec(F.col(vec)))
+        .select(F.col(corpus_id).alias("__id"), _as_double(F.col(vec)).alias("__v"))
+        .orderBy("__id")
+        .limit(train_sample)
+        .select("__v")
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_train: corpus has no valid vectors to train on")
+    X = _pq_normalize(np.asarray([r["__v"] for r in sample], dtype=np.float64))
+    dsub = _pq_split(X.shape[1], m)
+    if ksub > X.shape[0]:
+        raise ValueError(
+            f"pq_train: ksub={ksub} exceeds the {X.shape[0]}-row training sample"
+        )
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        # seeded kmeans++-lite init: distinct sample rows
+        centers = S[rng.choice(S.shape[0], size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for r in range(ksub):
+                pts = S[assign == r]
+                if len(pts):
+                    centers[r] = pts.mean(axis=0)
+                else:
+                    # empty cell: re-seed on a random sample row so the
+                    # codebook keeps ksub usable entries
+                    centers[r] = S[rng.randint(S.shape[0])]
+        books[j] = centers
+    return books
+
+
+def _pq_encode_arrow(books):
+    """Arrow kernel: vector → array<int> of ``m`` codebook entry ids
+    (nearest sub-centroid per subspace on the NORMALIZED vector).
+    NULL / NaN-element vectors → NULL codes, same convention as the
+    LSH/IVF kernels — never a phantom code row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+    b_sq = (B * B).sum(axis=2)  # (m, ksub)
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vecs)
+        vals = [
+            None if v is None else np.asarray(v, dtype=np.float64) for v in vecs
+        ]
+        idx = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and v.size == m * dsub and not np.isnan(v).any()
+        ]
+        if idx:
+            V = _pq_normalize(np.stack([vals[i] for i in idx]))
+            S = V.reshape(len(idx), m, dsub)  # (n, m, dsub)
+            # ||s - c||² = |s|² - 2 s·c + |c|²; |s|² is rank-constant
+            dots = np.einsum("nmd,mkd->nmk", S, B)
+            codes = (b_sq[None, :, :] - 2.0 * dots).argmin(axis=2).astype(np.int32)
+            for j, i in enumerate(idx):
+                out[i] = codes[j]
+        return pd.Series(out, dtype=object)
+
+    return encode
+
+
+def _pq_lut_arrow(books):
+    """Arrow kernel for the (small, broadcast) query side: vector →
+    flattened m*ksub array<double> LUT where entry ``j*ksub + r`` is
+    dot(q̂_subspace_j, codebook[j][r]) — the per-query half of ADC.
+    Rounded to 12 digits so the JVM-side fold is deterministic across
+    BLAS builds."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)
+    m, ksub, dsub = B.shape
+
+    @pandas_udf("array<double>")
+    def lut(vecs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vecs)
+        vals = [
+            None if v is None else np.asarray(v, dtype=np.float64) for v in vecs
+        ]
+        idx = [
+            i
+            for i, v in enumerate(vals)
+            if v is not None and v.size == m * dsub and not np.isnan(v).any()
+        ]
+        if idx:
+            Q = _pq_normalize(np.stack([vals[i] for i in idx])).reshape(
+                len(idx), m, dsub
+            )
+            tabs = np.round(np.einsum("nmd,mkd->nmk", Q, B), 12).reshape(
+                len(idx), m * ksub
+            )
+            for j, i in enumerate(idx):
+                out[i] = tabs[j]
+        return pd.Series(out, dtype=object)
+
+    return lut
+
+
+def _adc_score(codes: Column, lut: Column, ksub: int) -> Column:
+    """JVM-side asymmetric-distance score: Σ_j lut[j*ksub + codes[j]]
+    ≈ cos(q, c) for unit vectors. Pure column fold over an m-entry int
+    array and table lookups — the corpus side of ADC never leaves
+    whole-stage codegen, which is the point: the big side's per-row
+    cost is m adds, independent of the embedding dim."""
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.size(codes) - 1),
+            lambda c, j: F.element_at(lut, j * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 64,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    seed: int = 42,
+    books=None,
+) -> DataFrame:
+    """PQ-accelerated top-k cosine: ADC shortlist → exact re-rank.
+
+    Stage 1 (shortlist): every corpus vector is collapsed to ``m``
+    codebook ids (Arrow kernel, one pass); each query carries a m×ksub
+    lookup table. The |corpus| × |queries| scoring pass then runs
+    ENTIRELY JVM-side over the m-int code arrays (:func:`_adc_score`)
+    — per pair it does m table lookups instead of a dim-length float
+    fold, and the scan payload is m ints instead of the embedding.
+    A per-query window keeps the ``refine`` best ADC candidates.
+
+    Stage 2 (re-rank): the shortlist joins back to the TRUE corpus
+    vectors (a |queries|·refine-row probe — AQE broadcasts it into the
+    corpus scan) and exact rounded cosine re-ranks the top ``k``
+    through :func:`_score_topk` — identical rounding/tie-break
+    semantics to every other kernel here, and returned scores are
+    exact, never quantized.
+
+    With ``refine >= |corpus|`` the ADC ordering is irrelevant and the
+    result must equal :func:`cosine_topk_bruteforce` exactly (asserted
+    in tests). NULL/NaN vectors drop on both sides, as everywhere.
+
+    Scale note (100 TB): stage 1 reads the code table (m bytes/vector
+    — the only full-corpus artifact the query path touches); stage 2
+    touches raw vectors for |queries|·refine rows only. Pass a
+    pre-trained ``books`` (from :func:`pq_train`) to amortize training
+    across query batches — the production shape; when omitted, one is
+    trained inline on the bounded deterministic sample.
+    """
+    if books is None:
+        books = pq_train(
+            corpus, corpus_id=corpus_id, vec=vec, m=m, ksub=ksub, seed=seed
+        )
+    else:
+        m, ksub = len(books), len(books[0])
+    encode, lut = _pq_encode_arrow(books), _pq_lut_arrow(books)
+
+    c = corpus.filter(_valid_vec(F.col(vec))).select(
+        F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")
+    )
+    codes = c.select(corpus_id, encode(F.col("__cv")).alias("__codes"))
+    q0 = queries.filter(_valid_vec(F.col(vec))).select(
+        F.col(query_id), _as_double(F.col(vec)).alias("__qv")
+    )
+    q_lut = q0.select(query_id, lut(F.col("__qv")).alias("__lut"))
+
+    adc = codes.join(F.broadcast(q_lut)).select(
+        query_id,
+        corpus_id,
+        _adc_score(F.col("__codes"), F.col("__lut"), ksub).alias("__adc"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("__adc"), F.col(corpus_id))
+    shortlist = (
+        adc.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= refine)
+        .select(query_id, corpus_id)
+    )
+
+    cn = c.withColumn("__cn", l2_norm(F.col("__cv")))
+    qn = q0.withColumn("__qn", l2_norm(F.col("__qv")))
+    return _score_topk(shortlist, qn, cn, k, query_id, corpus_id)
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 10_000,
+    seed: int = 42,
+    mode: str = "overwrite",
+    books=None,
+) -> None:
+    """Materialize the PQ ANN index: codebooks + m-int code rows + the
+    raw vectors the exact re-rank needs. Pass pre-trained ``books``
+    (from :func:`pq_train`) to skip the fresh-build training pass —
+    e.g. codebooks trained on a wider corpus than this build's batch;
+    they must match ``m``/``ksub`` (checked) and are ignored on append
+    (the STORED codebooks are authoritative — encoding a batch under
+    different books than the index serves would corrupt every ADC
+    score).
+
+    PQ persistence is what turns :func:`cosine_topk_pq` into the
+    production shape — the codebook training pass and the full-corpus
+    encode are paid ONCE, and every query batch afterwards scans only
+    the m-ints-per-vector ``codes`` table (the 100 TB point: the
+    shortlist stage reads m bytes/vector, not the embedding). Stored
+    tables under a generation directory: ``codebooks`` (subspace,
+    entry, center), ``codes`` (corpus_id, codes), ``vectors``
+    (corpus_id, v, norm — the re-rank side), committed by the 1-row
+    meta overwrite exactly like :func:`signlsh_index_write` /
+    :func:`ivf_index_write`: a crash mid-rebuild can never pair new
+    codebooks with old codes (codes are meaningless under the wrong
+    codebook — silently garbage ADC scores), because meta still points
+    at the old, internally-consistent generation.
+
+    ``mode='append'`` encodes a NEW batch against the CURRENT
+    generation's codebooks (no retrain — quantization drifts only if
+    the data distribution does; periodic full rebuild is the remedy,
+    as in every PQ system) and refuses an m/ksub/dim mismatch; a
+    crashed-then-retried append's duplicate rows are absorbed by
+    search-side dedup. NULL/NaN vectors are dropped at build, the
+    module-wide convention.
+    """
+    _require_mode(mode)
+    spark = corpus.sparkSession
+    c0 = corpus.filter(_valid_vec(F.col(vec))).select(
+        F.col(corpus_id).alias("corpus_id"), _as_double(F.col(vec)).alias("v")
+    )
+    dim = _first_vec_dim(corpus, vec)
+
+    meta = _read_index_meta(spark, path)
+    if mode == "append":
+        if meta is None:
+            raise ValueError(f"no PQ index at {path} to append to")
+        if meta["m"] != m or meta["ksub"] != ksub:
+            raise ValueError(
+                f"index at {path} stores m={meta['m']}, ksub={meta['ksub']}; "
+                f"refusing to append with m={m}, ksub={ksub} (codes are "
+                f"meaningless across codebook shapes)"
+            )
+        _check_index_dim(meta, dim, path, "append")
+        gen = meta["gen"]
+        gdir = f"{path}/gen={gen}"
+        books = _read_codebooks(spark, gdir)
+    else:
+        gen = meta["gen"] + 1 if meta is not None else 1
+        gdir = f"{path}/gen={gen}"
+        if books is None:
+            books = pq_train(
+                corpus,
+                corpus_id=corpus_id,
+                vec=vec,
+                m=m,
+                ksub=ksub,
+                train_sample=train_sample,
+                seed=seed,
+            )
+        else:
+            import numpy as np
+
+            books = np.asarray(books, dtype=np.float64)
+            if books.shape[:2] != (m, ksub):
+                raise ValueError(
+                    f"pre-trained books shape {books.shape} does not match "
+                    f"m={m}, ksub={ksub}"
+                )
+        dsub = books.shape[2]
+        # Same small-table trade as the IVF centroids: JVM-side literal
+        # rows below _LITERAL_BUDGET (createDataFrame pays a per-call
+        # Python-serialization penalty), createDataFrame above it
+        # (production 768-dim x ksub=256 codebooks are ~200k literals —
+        # past what Catalyst analysis should chew per build).
+        if m * ksub * dsub <= _LITERAL_BUDGET:
+            cb_df = (
+                spark.range(1)
+                .select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(j).cast("int").alias("subspace"),
+                                    F.lit(r).cast("int").alias("entry"),
+                                    F.array(
+                                        *[F.lit(float(x)) for x in books[j][r]]
+                                    ).alias("center"),
+                                )
+                                for j in range(m)
+                                for r in range(ksub)
+                            ]
+                        )
+                    ).alias("s")
+                )
+                .select("s.subspace", "s.entry", "s.center")
+            )
+        else:
+            cb_df = spark.createDataFrame(
+                [
+                    (j, r, [float(x) for x in books[j][r]])
+                    for j in range(m)
+                    for r in range(ksub)
+                ],
+                "subspace int, entry int, center array<double>",
+            )
+        cb_df.coalesce(1).write.mode("overwrite").parquet(f"{gdir}/codebooks")
+
+    encode = _pq_encode_arrow(books)
+    wmode = "append" if mode == "append" else "overwrite"
+    # Two writes share only the narrow (id, v) scan; the Arrow encode
+    # kernel runs once (codes write only), so no cross-write persist is
+    # needed here, unlike the sign-LSH build.
+    c0.withColumn("norm", l2_norm(F.col("v"))).write.mode(wmode).parquet(
+        f"{gdir}/vectors"
+    )
+    c0.select("corpus_id", encode(F.col("v")).alias("codes")).write.mode(
+        wmode
+    ).parquet(f"{gdir}/codes")
+    if mode != "append":
+        _meta_row(spark, m=m, ksub=ksub, seed=seed, gen=gen, dim=dim).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
+
+
+def _read_codebooks(spark, gdir: str):
+    """The stored (m, ksub, dsub) codebook array, reconstructed in
+    subspace/entry order — one tiny collect (m*ksub rows)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{gdir}/codebooks").collect()
+    if not rows:
+        raise ValueError(f"empty codebooks table under {gdir}")
+    m = 1 + max(r["subspace"] for r in rows)
+    ksub = 1 + max(r["entry"] for r in rows)
+    dsub = len(rows[0]["center"])
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["entry"]] = r["center"]
+    return books
+
+
+def pq_index_search(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    refine: int = 64,
+    query_id: str = "query_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k ANN against a persisted PQ index: ADC shortlist over the
+    stored code table, exact cosine re-rank against the stored raw
+    vectors.
+
+    Codebook shape and the live generation come from meta, so a query
+    batch can never score codes under a mismatched codebook or read a
+    half-committed rebuild. Plan shape matches the in-memory
+    :func:`cosine_topk_pq` — the corpus-side cost is ONE scan of the
+    m-int code parquet (never a re-encode), plus the |queries|*refine
+    vector fetch for the re-rank. With ``refine`` >= the indexed corpus
+    the result equals brute force over the indexed vectors exactly.
+    Duplicate rows left by a crashed-then-retried append are absorbed
+    both in the shortlist (dropDuplicates pre-window) and in the
+    re-rank (:func:`_score_topk` ``dedup=True``).
+    """
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no PQ index at {path}")
+    _check_index_dim(meta, _first_vec_dim(queries, vec), path, "search")
+    ksub = meta["ksub"]
+    gdir = f"{path}/gen={meta['gen']}"
+    books = _read_codebooks(spark, gdir)
+    codes = spark.read.parquet(f"{gdir}/codes")
+    vectors = spark.read.parquet(f"{gdir}/vectors")
+
+    lut = _pq_lut_arrow(books)
+    q0 = queries.filter(_valid_vec(F.col(vec))).select(
+        F.col(query_id), _as_double(F.col(vec)).alias("__qv")
+    )
+    q_lut = q0.select(query_id, lut(F.col("__qv")).alias("__lut"))
+    adc = (
+        codes.join(F.broadcast(q_lut))
+        .select(
+            query_id,
+            "corpus_id",
+            _adc_score(F.col("codes"), F.col("__lut"), ksub).alias("__adc"),
+        )
+        # retry-duplicate absorption BEFORE the rank window — duplicate
+        # code rows carry identical ADC scores, so dropping any is exact
+        .dropDuplicates([query_id, "corpus_id"])
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("__adc"), F.col("corpus_id"))
+    shortlist = (
+        adc.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= refine)
+        .select(query_id, "corpus_id")
+    )
+    qn = q0.withColumn("__qn", l2_norm(F.col("__qv")))
+    cn = vectors.select(
+        "corpus_id", F.col("v").alias("__cv"), F.col("norm").alias("__cn")
+    )
+    return _score_topk(shortlist, qn, cn, k, query_id, "corpus_id", dedup=True)

@@ -394,6 +394,30 @@ def ns_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ns_sim_topk_pq",
+    note="product-quantization ANN (operators/similarity.py "
+    "cosine_topk_pq): corpus collapsed to m=8 codebook bytes/vector, "
+    "JVM-side ADC table-lookup scoring shortlists refine=64 "
+    "candidates/query, exact cosine re-ranks the top-5 on the raw "
+    "vectors — the artifact that makes 100 TB embedding search "
+    "feasible (scan m bytes, not the embedding). Codebook-dependent "
+    "→ rows-only; self-verifying: recall_sample/recall_ok vs an "
+    "exact pass over a fixed 5-query sample (refine==|corpus| == "
+    "bruteforce equality asserted in tests/test_pq.py)",
+    tags=("northstar", "similarity", "pq"),
+)
+def ns_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = SIM.cosine_topk_pq(queries, corpus, k=5, m=8, ksub=16, refine=64)
+    out = out.select("query_id", "corpus_id", "cos_sim", "rank")
+    return _with_recall_rider(out, queries, corpus, k=5, n_sample=5, bound=0.5)
+
+
+@query(
     "ns_sim_topk_lsh_indexed",
     note="persisted sign-LSH ANN: build the parquet index (buckets + "
     "normalized vectors + generation-committed meta) from half the "
@@ -442,6 +466,57 @@ def ns_sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exceptAll's replicate-and-sum rewrite trips an optimizer bug
     # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) over the Generate+Window
     # subplans here.
+    cols = ["query_id", "corpus_id", "cos_sim", "rank"]
+    diff = out.join(inmem, cols, "left_anti").unionByName(
+        inmem.join(out, cols, "left_anti")
+    )
+    parity = diff.agg((F.count(F.lit(1)) == F.lit(0)).alias("matches_inmemory"))
+    return out.crossJoin(F.broadcast(parity))
+
+
+@query(
+    "ns_sim_topk_pq_indexed",
+    note="persisted PQ ANN: train codebooks + encode the even half of "
+    "the corpus into m-int code rows, APPEND the odd half encoded "
+    "under the STORED codebooks, then probe (operators/similarity.py "
+    "pq_index_write/search) — the build-once/probe-many shape where "
+    "query batches scan m bytes/vector, never the embeddings. "
+    "Codebook-dependent → rows-only; self-verifying: "
+    "matches_inmemory asserts the indexed search equals the in-memory "
+    "cosine_topk_pq under the same codebooks (deterministic training "
+    "sample + seed → identical shortlists, scores, tie-breaks)",
+    tags=("northstar", "similarity", "pq", "index"),
+)
+def ns_sim_topk_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    idx = _scratch_index_dir(spark, "pq")
+    # Codebooks must come from the FULL corpus's deterministic training
+    # sample (not the even half's) so the in-memory parity arm below
+    # quantizes identically; production would pass a pre-trained books
+    # the same way.
+    books = SIM.pq_train(corpus, m=8, ksub=16, seed=42)
+    SIM.pq_index_write(
+        corpus.filter(F.col("corpus_id") % 2 == 0), idx, m=8, ksub=16, books=books
+    )
+    SIM.pq_index_write(
+        corpus.filter(F.col("corpus_id") % 2 == 1),
+        idx,
+        m=8,
+        ksub=16,
+        mode="append",
+    )
+    out = SIM.pq_index_search(spark, queries, idx, k=5, refine=64).select(
+        "query_id", "corpus_id", "cos_sim", "rank"
+    )
+    inmem = SIM.cosine_topk_pq(
+        queries, corpus, k=5, refine=64, books=books
+    ).select("query_id", "corpus_id", "cos_sim", "rank")
+    # Parity rider, anti-join form (see ns_sim_topk_lsh_indexed on why
+    # not exceptAll): symmetric difference must be empty.
     cols = ["query_id", "corpus_id", "cos_sim", "rank"]
     diff = out.join(inmem, cols, "left_anti").unionByName(
         inmem.join(out, cols, "left_anti")
@@ -754,6 +829,62 @@ def ns_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     return lsh.crossJoin(
         F.broadcast(_recall_scalar(exact, _pairs_in(lsh, in_win)))
     ).withColumn("recall_ok", F.col("recall_vs_exact") >= 0.7)
+
+
+@query(
+    "ns_dedup_semantic",
+    note="SemDeDup (Abbas et al. 2023): semantic near-dup removal via "
+    "KMeans cells + within-cell dense-cosine pairs, keeping each dup "
+    "group's LEAST-central member (operators/dedup.py semantic_dedup). "
+    "Where the LSH sibling buckets by random projections, this buckets "
+    "by LEARNED structure — n_cells is the 100 TB knob (the paper runs "
+    "50k cells so each cell is one matmul task). Centroid-dependent → "
+    "rows-only; self-verifying: recall_vs_exact vs the exact kernel on "
+    "the FIXED 400-vector window ≥ 0.6 (cells drop cross-cell pairs by "
+    "design; n_cells=1 == exact equality is asserted in "
+    "tests/test_semantic_dedup.py), and kept_plus_lost_ok asserts "
+    "kept + dropped == corpus (the anti-join loses nobody silently)",
+    tags=("northstar", "dedup", "semantic"),
+)
+def ns_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    emb = _emb_with_planted(spark, sf_dir)
+    pairs = _scoped_persist(
+        DD.semantic_dedup_pairs(
+            emb, "embedding", "vec_id", threshold=0.9, n_cells=8
+        )
+    )
+    # keep = least_central, derived from the SAME pair frame (the
+    # operator's greedy rule, inlined so the expensive KMeans +
+    # per-cell matmul runs once for pairs, kept AND the rider)
+    a_wins = (F.col("cent_sim_a") < F.col("cent_sim_b")) | (
+        (F.col("cent_sim_a") == F.col("cent_sim_b"))
+        & (F.col("id_a") < F.col("id_b"))
+    )
+    losers = pairs.select(
+        F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("vec_id")
+    ).distinct()
+    kept = emb.join(losers, "vec_id", "left_anti")
+    counts = kept.agg(F.count(F.lit(1)).alias("__nk")).crossJoin(
+        losers.agg(F.count(F.lit(1)).alias("__nl"))
+    ).crossJoin(emb.agg(F.count(F.lit(1)).alias("__na")))
+    conserved = counts.select(
+        (F.col("__nk") + F.col("__nl") == F.col("__na")).alias("kept_plus_lost_ok")
+    )
+    # recall rider over the same fixed window as the LSH sibling
+    sample = emb.filter(
+        (F.col("vec_id") < 200)
+        | ((F.col("vec_id") >= 100000) & (F.col("vec_id") < 100200))
+    )
+    exact = DD.embedding_cosine_pairs(sample, "embedding", "vec_id", threshold=0.9)
+    in_win = lambda c: (c < 200) | ((c >= 100000) & (c < 100200))
+    return (
+        kept.select("vec_id")
+        .crossJoin(F.broadcast(_recall_scalar(exact, _pairs_in(pairs, in_win))))
+        .crossJoin(F.broadcast(conserved))
+        .withColumn("recall_ok", F.col("recall_vs_exact") >= 0.6)
+    )
 
 
 @query(

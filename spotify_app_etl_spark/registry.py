@@ -98,6 +98,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_agg_percentile_disc",
     "q_agg_approx_percentile",  # rider uses percentile_cont_by
     "ns_sim_topk_ivf",
+    "ns_sim_topk_pq",  # NEW r06: product-quantization ANN
+    "ns_dedup_semantic",  # NEW r06: SemDeDup cluster-scoped dedup
+    "ns_sim_topk_pq_indexed",  # NEW r06: persisted PQ build/append/probe
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

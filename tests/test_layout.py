@@ -66,7 +66,7 @@ def test_salted_join_spreads_hot_key(spark):
 
     li = t(spark, SF, "lineitem").select("l_suppkey", "l_orderkey", "l_linenumber")
     salted = li.withColumn(
-        "__salt", skew._salt(li, ["l_orderkey", "l_linenumber"], 8)
+        "__salt", skew._salt(["l_orderkey", "l_linenumber"], 8)
     )
     top = (
         salted.groupBy("l_suppkey")

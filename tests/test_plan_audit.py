@@ -66,6 +66,19 @@ NLJ_ALLOWED = {
     # same scalar + the exact block-matmul baseline's bounded
     # block-grid broadcast (the rider embeds ns_dedup_embedding_cosine)
     "ns_dedup_embedding_cosine_lsh": 2,
+    # r06 PQ ANN: the ADC stage joins the corpus CODE stream against
+    # the broadcast 20-query LUT set (O(1) in corpus size — that join
+    # IS the kernel), plus the recall rider's bounded 5-query exact
+    # pass and its 1-row recall scalar
+    "ns_sim_topk_pq": 4,
+    # r06 persisted PQ: the indexed arm's code-scan × broadcast-LUT
+    # join, the in-memory parity arm's same join, the parity arm's
+    # bounded exact re-rank joins, and the 1-row parity scalar — every
+    # broadcast side is O(1) in corpus size (20 queries / 1 row)
+    "ns_sim_topk_pq_indexed": 8,
+    # r06 SemDeDup: two 1-row verification scalars (recall +
+    # kept/lost conservation) crossJoined onto the kept output
+    "ns_dedup_semantic": 2,
 }
 
 #: A Window fed by an Exchange SinglePartition pulls EVERY row into one
