@@ -80,6 +80,7 @@ HEADLINE = [
     "ns_sim_topk_pq",
     "ns_dedup_semantic",
     "ns_sim_topk_pq_indexed",
+    "ns_select_importance",
 ]
 
 

@@ -40,6 +40,22 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+def bigrams(tk: Column) -> Column:
+    """Non-distinct consecutive bigrams of a pre-projected token array;
+    a 1-token doc yields its lone token (concat_ws skips the NULL
+    second element — mirrored on the SQL side, where the list is
+    1-indexed the same way). Pass a MATERIALIZED token column, not an
+    inline ``tokens(text)`` expression: per-element lambda references
+    re-evaluate their argument, so inlining re-runs the whole
+    tokenization chain once per bigram (a measured 7x)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(tk, i), F.try_element_at(tk, i + F.lit(1))
+        ),
+    )
+
+
 def stopword_hits(text: str | Column, lang: str) -> Column:
     """Number of token occurrences that are stopwords of ``lang``."""
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

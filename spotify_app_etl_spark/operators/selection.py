@@ -1,0 +1,159 @@
+"""Target-distribution data selection (DSIR-style importance scoring).
+
+Given a corpus with a small TARGET subset (the distribution you want
+more of — curated text, a quality domain) and a large RAW pool, score
+every raw document by how target-like its n-gram distribution is and
+keep the top-k. This is the selection step of Data Selection via
+Importance Resampling (Xie et al. 2023): DSIR fits target vs raw
+unigram/bigram distributions over hashed n-gram buckets and weights
+each document by its importance ratio. Here the features are the
+bigrams themselves, capped to the ``vocab_size`` most frequent
+corpus-wide — at 100 TB the vocab cap plays the role DSIR's hashing
+plays (bounds the feature table so it broadcasts), without hash
+collisions muddying the estimates.
+
+Two scoring modes:
+
+* ``log_ratio`` (the paper's scoring): per-gram weight
+  ``ln(p_target(g) / p_raw(g))`` with add-one smoothing over the
+  vocab; a document's score is its m-weighted mean weight. Float —
+  correct to double precision, but cross-engine ``ln`` is not
+  guaranteed bit-identical, so the oracle-checked query uses:
+* ``rate_diff``: per-gram weight ``tc*SCALE div tN - rc*SCALE div
+  rN`` (integer per-million rates; ``div`` truncates — identical to
+  DuckDB ``//`` for the non-negative counts here). All-integer until
+  ONE final double division per document, so a SQL oracle reproduces
+  it bit-for-bit. Monotone-comparable to log_ratio in the
+  small-weight regime (ln(a/b) ≈ (a-b)/b); ranking agreement on real
+  corpora is asserted in tests, not assumed.
+
+Scale notes (100 TB): the gram→stats table is capped at
+``vocab_size`` rows (broadcast join — the per-document scoring never
+shuffles the corpus on gram), the vocab pick is a distributed
+TakeOrdered, and the final top-k is another TakeOrdered, never a
+single-partition window. Documents whose bigrams all fall outside the
+vocab have no in-vocab evidence and are not selected (they drop from
+the scoring join); the oracle mirrors this via the same inner join.
+
+The resampling half of DSIR (Gumbel-noise sampling proportional to
+importance) is deliberately out of scope: at pipeline scale the
+deterministic top-k is what reproducible data recipes use, and a
+seeded-hash Gumbel column composes on top of ``scored`` if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from spotify_app_etl_spark.functions.text import bigrams, tokens
+
+#: Integer rate scale (events per million). Bounded so ``count *
+#: _SCALE`` stays far from int64 overflow: a 100 TB corpus has ~1e13
+#: bigram instances; 1e13 * 1e6 = 1e19 would overflow, so counts that
+#: large must raise, not wrap — ANSI mode does exactly that.
+_SCALE = 1_000_000
+
+
+def importance_score_grams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    vocab_size: int = 2000,
+    scoring: str = "rate_diff",
+) -> DataFrame:
+    """Per-RAW-document importance scores: (id, n_grams, score).
+
+    ``is_target`` is a boolean Column over ``df`` marking the target
+    subset; every other row is the raw pool being scored. ``score`` is
+    the m-weighted mean per-gram weight (mode semantics in the module
+    docstring): double in both modes, but in ``rate_diff`` it is the
+    ratio of two exactly-computed integers, so it is reproducible
+    bit-for-bit across engines.
+    """
+    if scoring not in ("rate_diff", "log_ratio"):
+        raise ValueError(f"scoring must be 'rate_diff' or 'log_ratio', got {scoring!r}")
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__t"),
+        tokens(F.col(text_col)).alias("__tk"),
+    )
+    per_doc = (
+        base.select("__id", "__t", F.explode(bigrams(F.col("__tk"))).alias("__g"))
+        .groupBy("__id", "__t", "__g")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    gram_tot = per_doc.groupBy("__g").agg(
+        F.sum(F.when(F.col("__t"), F.col("__m")).otherwise(F.lit(0))).alias("__tc"),
+        F.sum(F.when(~F.col("__t"), F.col("__m")).otherwise(F.lit(0))).alias("__rc"),
+        F.sum("__m").alias("__c"),
+    )
+    # Distributed TakeOrdered, not a global window: the vocab cap is
+    # what keeps the weight table broadcast-sized at any corpus scale.
+    vocab = gram_tot.orderBy(F.desc("__c"), "__g").limit(vocab_size)
+    tots = vocab.agg(
+        F.sum("__tc").alias("__tn"),
+        F.sum("__rc").alias("__rn"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    rated = vocab.crossJoin(F.broadcast(tots))
+    if scoring == "rate_diff":
+        # integer per-million rates; div truncation == DuckDB // for
+        # the non-negative counts here, so the weight is engine-exact
+        weights = rated.select(
+            "__g",
+            (
+                F.when(
+                    F.col("__tn") > 0,
+                    F.expr(f"{_SCALE}L * __tc div __tn"),
+                ).otherwise(F.lit(0))
+                - F.when(
+                    F.col("__rn") > 0,
+                    F.expr(f"{_SCALE}L * __rc div __rn"),
+                ).otherwise(F.lit(0))
+            ).alias("__w"),
+        )
+        agg_score = (
+            F.sum(F.col("__m") * F.col("__w")).cast("double") / F.sum("__m")
+        ).alias("score")
+    else:
+        # add-one smoothing over the vocab: every in-vocab gram has a
+        # finite weight even when absent from one side
+        weights = rated.select(
+            "__g",
+            (
+                F.log((F.col("__tc") + 1).cast("double") / (F.col("__tn") + F.col("__v")))
+                - F.log((F.col("__rc") + 1).cast("double") / (F.col("__rn") + F.col("__v")))
+            ).alias("__w"),
+        )
+        agg_score = (F.sum(F.col("__m") * F.col("__w")) / F.sum("__m")).alias("score")
+    return (
+        per_doc.filter(~F.col("__t"))
+        .join(F.broadcast(weights), "__g")
+        .groupBy("__id")
+        .agg(F.sum("__m").alias("n_grams"), agg_score)
+        .select(F.col("__id").alias(id_col), "n_grams", "score")
+    )
+
+
+def importance_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    k: int,
+    vocab_size: int = 2000,
+    scoring: str = "rate_diff",
+) -> DataFrame:
+    """The top-``k`` most target-like raw documents: (id, n_grams,
+    score), ties broken on id. Distributed TakeOrdered — ``k`` bounds
+    driver/output size, never a single-partition sort of the corpus."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    scored = importance_score_grams(
+        df, text_col, id_col, is_target, vocab_size=vocab_size, scoring=scoring
+    )
+    return scored.orderBy(F.desc("score"), id_col).limit(k)

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from spotify_app_etl_spark.functions.text import tokens
+from spotify_app_etl_spark.functions.text import bigrams as _bigrams, tokens
 from spotify_app_etl_spark.plans.common import SQL_TOKS, t
 from spotify_app_etl_spark.registry import query
 
@@ -226,13 +226,6 @@ _SQL_BIGRAMS = """list_transform(
     i -> concat_ws(' ', tk[i], tk[i+1]))"""
 
 
-def _bigrams(tk: F.Column) -> F.Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(tk, i), F.try_element_at(tk, i + F.lit(1))
-        ),
-    )
 
 
 @query(

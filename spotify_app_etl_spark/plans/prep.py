@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from spotify_app_etl_spark.functions import pii
 from spotify_app_etl_spark.operators import sampling as SA
 from spotify_app_etl_spark.operators.dedup import normalized, token_ngrams
-from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.plans.common import SQL_TOKS, t
 from spotify_app_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -244,4 +244,76 @@ def ns_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return global_row_number(docs, ["__key", "doc_id"], out="shuffle_pos").select(
         "doc_id", F.col("shuffle_pos").cast("bigint").alias("shuffle_pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (operators/selection.py).
+# ---------------------------------------------------------------------------
+
+#: DuckDB mirror of functions.text.bigrams — same expression as
+#: plans/indexing's novelty oracle; keep all three in sync.
+_SQL_SEL_BIGRAMS = """list_transform(
+    range(1, greatest(len(tk) - 1, 1) + 1),
+    i -> concat_ws(' ', tk[i], tk[i+1]))"""
+
+
+@query(
+    "ns_select_importance",
+    note="DSIR-style target-distribution data selection "
+    "(operators/selection.py importance_select): en docs are the "
+    "target, every other doc is the raw pool; per-gram weights are "
+    "integer per-million target-vs-raw rate differences over the "
+    "2000-gram vocab (the integer-exact sibling of the paper's "
+    "log-ratio, which the operator also implements), docs ranked by "
+    "m-weighted mean weight, top-100 kept. Vocab pick and final "
+    "top-k are distributed TakeOrdereds; the weight table broadcasts. "
+    "Integer until one final division per doc → exact DuckDB oracle "
+    "(Spark `div` == DuckDB `//` on the non-negative counts here)",
+    oracle=f"""
+WITH inst AS (
+  SELECT doc_id, (lang = 'en') AS is_t, unnest({_SQL_SEL_BIGRAMS}) AS g
+  FROM (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents) s
+), per_doc AS (
+  SELECT doc_id, is_t, g, COUNT(*) AS m FROM inst GROUP BY 1, 2, 3
+), gram_tot AS (
+  SELECT g,
+         SUM(CASE WHEN is_t THEN m ELSE 0 END) AS tc,
+         SUM(CASE WHEN NOT is_t THEN m ELSE 0 END) AS rc,
+         SUM(m) AS c
+  FROM per_doc GROUP BY g
+), vocab AS (
+  SELECT * FROM gram_tot ORDER BY c DESC, g LIMIT 2000
+), tots AS (
+  SELECT SUM(tc) AS tn, SUM(rc) AS rn FROM vocab
+), weights AS (
+  SELECT g,
+         (CASE WHEN tn > 0 THEN 1000000 * tc // tn ELSE 0 END
+          - CASE WHEN rn > 0 THEN 1000000 * rc // rn ELSE 0 END) AS w
+  FROM vocab CROSS JOIN tots
+), scored AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.m) AS BIGINT) AS n_grams,
+         CAST(SUM(p.m * w.w) AS DOUBLE) / SUM(p.m) AS score
+  FROM per_doc p JOIN weights w ON p.g = w.g
+  WHERE NOT p.is_t
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_grams, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 100
+""",
+    tags=("northstar", "selection", "prep"),
+)
+def ns_select_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators import selection as SEL
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return SEL.importance_select(
+        docs,
+        "text",
+        "doc_id",
+        F.col("lang") == "en",
+        k=100,
+        vocab_size=2000,
+        scoring="rate_diff",
     )

@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_sim_topk_pq",  # NEW r06: product-quantization ANN
     "ns_dedup_semantic",  # NEW r06: SemDeDup cluster-scoped dedup
     "ns_sim_topk_pq_indexed",  # NEW r06: persisted PQ build/append/probe
+    "ns_select_importance",  # NEW r06: DSIR-style data selection (oracle-exact)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

@@ -76,6 +76,9 @@ NLJ_ALLOWED = {
     # bounded exact re-rank joins, and the 1-row parity scalar — every
     # broadcast side is O(1) in corpus size (20 queries / 1 row)
     "ns_sim_topk_pq_indexed": 8,
+    # r06 importance selection: the vocab×totals crossJoin — a
+    # vocab_size-row table against a 1-row scalar aggregate
+    "ns_select_importance": 1,
     # r06 SemDeDup: two 1-row verification scalars (recall +
     # kept/lost conservation) crossJoined onto the kept output
     "ns_dedup_semantic": 2,
