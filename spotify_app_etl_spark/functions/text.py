@@ -44,15 +44,22 @@ def bigrams(tk: Column) -> Column:
     """Non-distinct consecutive bigrams of a pre-projected token array;
     a 1-token doc yields its lone token (concat_ws skips the NULL
     second element — mirrored on the SQL side, where the list is
-    1-indexed the same way). Pass a MATERIALIZED token column, not an
-    inline ``tokens(text)`` expression: per-element lambda references
-    re-evaluate their argument, so inlining re-runs the whole
-    tokenization chain once per bigram (a measured 7x)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(tk, i), F.try_element_at(tk, i + F.lit(1))
+    1-indexed the same way), and an EMPTY array yields [] — without
+    the trailing filter, concat_ws(NULL, NULL) hands every empty doc
+    a phantom '' gram that counts as corpus evidence (real grams are
+    never '': tokens() filters empty tokens). Keep in sync with
+    ``plans.common.SQL_BIGRAMS``. Pass a MATERIALIZED token column,
+    not an inline ``tokens(text)`` expression: per-element lambda
+    references re-evaluate their argument, so inlining re-runs the
+    whole tokenization chain once per bigram (a measured 7x)."""
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(tk, i), F.try_element_at(tk, i + F.lit(1))
+            ),
         ),
+        lambda g: g != "",
     )
 
 

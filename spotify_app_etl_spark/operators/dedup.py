@@ -1405,10 +1405,16 @@ def semantic_dedup(
     n_cells: int = 16,
     seed: int = 42,
     keep: str = "least_central",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Drop semantic near-dups: for every within-cell pair at cosine ≥
     threshold, the endpoint LATER in the keep order loses; survivors
-    are rows that never lose a pair.
+    are rows that never lose a pair. Pass precomputed (persisted)
+    ``pairs`` from :func:`semantic_dedup_pairs` to reuse its expensive
+    KMeans + per-cell matmul across the kept set and any side outputs
+    (the registered query does this for its verification riders);
+    threshold/n_cells/seed are then ignored — the pairs ARE the
+    candidate set.
 
     ``keep='least_central'`` (the SemDeDup paper's policy — retain the
     most atypical member, it carries the most marginal information)
@@ -1422,11 +1428,20 @@ def semantic_dedup(
     One extra shuffle beyond the pair kernel: the losers' distinct-id
     anti-join back onto the corpus.
     """
+    if pairs is None:
+        pairs = semantic_dedup_pairs(
+            df, vec_col, id_col, threshold=threshold, n_cells=n_cells, seed=seed
+        )
+    return df.join(semantic_losers(pairs, id_col, keep), id_col, "left_anti")
+
+
+def semantic_losers(pairs: DataFrame, id_col: str, keep: str = "least_central") -> DataFrame:
+    """The distinct ids dropped by :func:`semantic_dedup`'s greedy
+    keep policy, as a 1-column frame named ``id_col`` — the ONE
+    definition of the policy (the operator and the registered query's
+    conservation rider both consume it, so they cannot drift)."""
     if keep not in ("least_central", "min_id"):
         raise ValueError(f"keep must be 'least_central' or 'min_id', got {keep!r}")
-    pairs = semantic_dedup_pairs(
-        df, vec_col, id_col, threshold=threshold, n_cells=n_cells, seed=seed
-    )
     if keep == "least_central":
         a_wins = (F.col("cent_sim_a") < F.col("cent_sim_b")) | (
             (F.col("cent_sim_a") == F.col("cent_sim_b"))
@@ -1434,7 +1449,6 @@ def semantic_dedup(
         )
     else:
         a_wins = F.col("id_a") < F.col("id_b")  # always true; loser = id_b
-    losers = pairs.select(
+    return pairs.select(
         F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias(id_col)
     ).distinct()
-    return df.join(losers, id_col, "left_anti")

@@ -81,7 +81,13 @@ def importance_score_grams(
         is_target.alias("__t"),
         tokens(F.col(text_col)).alias("__tk"),
     )
-    per_doc = (
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    # per_doc feeds BOTH the corpus-wide gram totals and the final
+    # scoring join; persisted so the tokenize+explode pass runs once
+    # (AQE exchange reuse would often dedup it, but reuse is plan-shape
+    # dependent — a pin beats a hope at corpus scale)
+    per_doc = _scoped_persist(
         base.select("__id", "__t", F.explode(bigrams(F.col("__tk"))).alias("__g"))
         .groupBy("__id", "__t", "__g")
         .agg(F.count(F.lit(1)).alias("__m"))
@@ -93,7 +99,11 @@ def importance_score_grams(
     )
     # Distributed TakeOrdered, not a global window: the vocab cap is
     # what keeps the weight table broadcast-sized at any corpus scale.
-    vocab = gram_tot.orderBy(F.desc("__c"), "__g").limit(vocab_size)
+    # Persisted (≤ vocab_size rows) — consumed by tots AND the
+    # weight projection.
+    vocab = _scoped_persist(
+        gram_tot.orderBy(F.desc("__c"), "__g").limit(vocab_size)
+    )
     tots = vocab.agg(
         F.sum("__tc").alias("__tn"),
         F.sum("__rc").alias("__rn"),

@@ -1039,13 +1039,39 @@ def _pq_split(dim: int, m: int) -> int:
 
 
 def _pq_normalize(mat):
-    """Row-normalize to unit L2; zero vectors stay zero (they have no
-    direction — their cosine vs anything is 0/NaN on the exact kernels
-    too, so ranking them last via an all-zero code row is consistent)."""
+    """Row-normalize to unit L2; zero rows stay zero. Only the training
+    path can legitimately see a zero row (a zero training point is a
+    harmless origin sample) — the encode/LUT kernels EXCLUDE zero
+    vectors up front (NULL codes, same convention as NULL/NaN), because
+    a zero vector has no direction: encoding it would hand it real
+    argmin codes and its exact re-rank cosine is 0/0 = NaN, which
+    Spark's ordering ranks FIRST, not last."""
     import numpy as np
 
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     return np.divide(mat, norms, out=np.zeros_like(mat), where=norms > 0)
+
+
+def _check_books_dim(books, dim: int):
+    """Validate caller-supplied codebooks against the data they will
+    quantize: a (m, ksub, dsub) array with m*dsub == the vector dim.
+    Without this, mismatched books make the encode kernel emit NULL
+    for EVERY vector and the shortlist degenerates to arbitrary ids —
+    silently wrong top-k, the worst failure mode."""
+    import numpy as np
+
+    books = np.asarray(books, dtype=np.float64)
+    if books.ndim != 3:
+        raise ValueError(
+            f"books must be a (m, ksub, dsub) array; got shape {books.shape}"
+        )
+    if dim and books.shape[0] * books.shape[2] != dim:
+        raise ValueError(
+            f"books quantize {books.shape[0] * books.shape[2]}-dim vectors "
+            f"(m={books.shape[0]} × dsub={books.shape[2]}); the data is "
+            f"{dim}-dim — every code would be NULL and the result arbitrary"
+        )
+    return books
 
 
 def pq_train(
@@ -1138,7 +1164,10 @@ def _pq_encode_arrow(books):
         idx = [
             i
             for i, v in enumerate(vals)
-            if v is not None and v.size == m * dsub and not np.isnan(v).any()
+            if v is not None
+            and v.size == m * dsub
+            and not np.isnan(v).any()
+            and (v != 0).any()  # zero vectors: no direction → NULL
         ]
         if idx:
             V = _pq_normalize(np.stack([vals[i] for i in idx]))
@@ -1174,7 +1203,10 @@ def _pq_lut_arrow(books):
         idx = [
             i
             for i, v in enumerate(vals)
-            if v is not None and v.size == m * dsub and not np.isnan(v).any()
+            if v is not None
+            and v.size == m * dsub
+            and not np.isnan(v).any()
+            and (v != 0).any()  # zero vectors: no direction → NULL
         ]
         if idx:
             Q = _pq_normalize(np.stack([vals[i] for i in idx])).reshape(
@@ -1239,7 +1271,10 @@ def cosine_topk_pq(
 
     With ``refine >= |corpus|`` the ADC ordering is irrelevant and the
     result must equal :func:`cosine_topk_bruteforce` exactly (asserted
-    in tests). NULL/NaN vectors drop on both sides, as everywhere.
+    in tests). NULL/NaN vectors drop on both sides, as everywhere;
+    ZERO vectors drop too (NULL codes/LUT — no direction to quantize),
+    one deliberate divergence from brute force, which surfaces a zero
+    vector as a NaN score that IEEE ordering ranks first.
 
     Scale note (100 TB): stage 1 reads the code table (m bytes/vector
     — the only full-corpus artifact the query path touches); stage 2
@@ -1253,17 +1288,24 @@ def cosine_topk_pq(
             corpus, corpus_id=corpus_id, vec=vec, m=m, ksub=ksub, seed=seed
         )
     else:
+        books = _check_books_dim(books, _first_vec_dim(corpus, vec))
         m, ksub = len(books), len(books[0])
     encode, lut = _pq_encode_arrow(books), _pq_lut_arrow(books)
 
     c = corpus.filter(_valid_vec(F.col(vec))).select(
         F.col(corpus_id), _as_double(F.col(vec)).alias("__cv")
     )
-    codes = c.select(corpus_id, encode(F.col("__cv")).alias("__codes"))
+    # zero vectors encode to NULL (no direction to quantize) — drop
+    # their code rows so they can never occupy shortlist slots
+    codes = c.select(corpus_id, encode(F.col("__cv")).alias("__codes")).filter(
+        F.col("__codes").isNotNull()
+    )
     q0 = queries.filter(_valid_vec(F.col(vec))).select(
         F.col(query_id), _as_double(F.col(vec)).alias("__qv")
     )
-    q_lut = q0.select(query_id, lut(F.col("__qv")).alias("__lut"))
+    q_lut = q0.select(query_id, lut(F.col("__qv")).alias("__lut")).filter(
+        F.col("__lut").isNotNull()
+    )
 
     adc = codes.join(F.broadcast(q_lut)).select(
         query_id,
@@ -1360,9 +1402,7 @@ def pq_index_write(
                 seed=seed,
             )
         else:
-            import numpy as np
-
-            books = np.asarray(books, dtype=np.float64)
+            books = _check_books_dim(books, dim)
             if books.shape[:2] != (m, ksub):
                 raise ValueError(
                     f"pre-trained books shape {books.shape} does not match "
@@ -1409,13 +1449,16 @@ def pq_index_write(
 
     encode = _pq_encode_arrow(books)
     wmode = "append" if mode == "append" else "overwrite"
+    # Zero vectors are excluded from BOTH tables (the encode kernel
+    # returns NULL for them — no direction to quantize; see
+    # _pq_normalize); filtering on the vector side keeps codes and
+    # vectors row-for-row consistent.
+    c1 = c0.withColumn("norm", l2_norm(F.col("v"))).filter(F.col("norm") > 0)
     # Two writes share only the narrow (id, v) scan; the Arrow encode
     # kernel runs once (codes write only), so no cross-write persist is
     # needed here, unlike the sign-LSH build.
-    c0.withColumn("norm", l2_norm(F.col("v"))).write.mode(wmode).parquet(
-        f"{gdir}/vectors"
-    )
-    c0.select("corpus_id", encode(F.col("v")).alias("codes")).write.mode(
+    c1.write.mode(wmode).parquet(f"{gdir}/vectors")
+    c1.select("corpus_id", encode(F.col("v")).alias("codes")).write.mode(
         wmode
     ).parquet(f"{gdir}/codes")
     if mode != "append":
@@ -1479,9 +1522,14 @@ def pq_index_search(
     q0 = queries.filter(_valid_vec(F.col(vec))).select(
         F.col(query_id), _as_double(F.col(vec)).alias("__qv")
     )
-    q_lut = q0.select(query_id, lut(F.col("__qv")).alias("__lut"))
+    # zero-vector queries have NULL LUTs (no direction — same exclusion
+    # as at build time); NULL code rows are additionally dropped in
+    # case an index written before the zero-vector exclusion holds them
+    q_lut = q0.select(query_id, lut(F.col("__qv")).alias("__lut")).filter(
+        F.col("__lut").isNotNull()
+    )
     adc = (
-        codes.join(F.broadcast(q_lut))
+        codes.filter(F.col("codes").isNotNull()).join(F.broadcast(q_lut))
         .select(
             query_id,
             "corpus_id",

@@ -68,6 +68,16 @@ SQL_TOKS = (
     " ' '), tk -> tk <> '')"
 )
 
+#: DuckDB mirror of functions.text.bigrams (over a column named
+#: ``tk``): non-distinct consecutive bigrams; a 1-token doc yields its
+#: lone token (concat_ws skips the NULL second element), an empty
+#: token list yields [] (the trailing filter drops the phantom ''
+#: that concat_ws(NULL, NULL) would otherwise emit). Keep in sync
+#: with functions.text.bigrams.
+SQL_BIGRAMS = """list_filter(list_transform(
+    range(1, greatest(len(tk) - 1, 1) + 1),
+    i -> concat_ws(' ', tk[i], tk[i+1])), g -> g <> '')"""
+
 
 #: Scratch roots already registered for exit-time removal.
 _SCRATCH_CLEANUPS: set[str] = set()

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from spotify_app_etl_spark.functions.text import bigrams as _bigrams, tokens
-from spotify_app_etl_spark.plans.common import SQL_TOKS, t
+from spotify_app_etl_spark.plans.common import SQL_BIGRAMS, SQL_TOKS, t
 from spotify_app_etl_spark.registry import query
 
 #: DuckDB mirror of functions.text.tokens() — the shared single
@@ -219,11 +219,9 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
 # Bigram novelty: corpus-frequency LM proxy (no float risk at all).
 # ---------------------------------------------------------------------------
 
-#: Non-distinct consecutive bigrams; a 1-token doc yields its lone
-#: token (concat_ws skips the null second element on both engines).
-_SQL_BIGRAMS = """list_transform(
-    range(1, greatest(len(tk) - 1, 1) + 1),
-    i -> concat_ws(' ', tk[i], tk[i+1]))"""
+#: The shared DuckDB bigram mirror (plans.common.SQL_BIGRAMS),
+#: aliased for the oracle below.
+_SQL_BIGRAMS = SQL_BIGRAMS
 
 
 

@@ -855,17 +855,11 @@ def ns_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, "embedding", "vec_id", threshold=0.9, n_cells=8
         )
     )
-    # keep = least_central, derived from the SAME pair frame (the
-    # operator's greedy rule, inlined so the expensive KMeans +
-    # per-cell matmul runs once for pairs, kept AND the rider)
-    a_wins = (F.col("cent_sim_a") < F.col("cent_sim_b")) | (
-        (F.col("cent_sim_a") == F.col("cent_sim_b"))
-        & (F.col("id_a") < F.col("id_b"))
-    )
-    losers = pairs.select(
-        F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("vec_id")
-    ).distinct()
-    kept = emb.join(losers, "vec_id", "left_anti")
+    # keep = least_central over the SAME persisted pair frame (the
+    # expensive KMeans + per-cell matmul runs once for pairs, kept AND
+    # the rider); the policy lives in ONE place — dedup.semantic_losers
+    losers = DD.semantic_losers(pairs, "vec_id", keep="least_central")
+    kept = DD.semantic_dedup(emb, "embedding", "vec_id", pairs=pairs)
     counts = kept.agg(F.count(F.lit(1)).alias("__nk")).crossJoin(
         losers.agg(F.count(F.lit(1)).alias("__nl"))
     ).crossJoin(emb.agg(F.count(F.lit(1)).alias("__na")))

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from spotify_app_etl_spark.functions import pii
 from spotify_app_etl_spark.operators import sampling as SA
 from spotify_app_etl_spark.operators.dedup import normalized, token_ngrams
-from spotify_app_etl_spark.plans.common import SQL_TOKS, t
+from spotify_app_etl_spark.plans.common import SQL_BIGRAMS, SQL_TOKS, t
 from spotify_app_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -251,11 +251,9 @@ def ns_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DSIR-style importance selection (operators/selection.py).
 # ---------------------------------------------------------------------------
 
-#: DuckDB mirror of functions.text.bigrams — same expression as
-#: plans/indexing's novelty oracle; keep all three in sync.
-_SQL_SEL_BIGRAMS = """list_transform(
-    range(1, greatest(len(tk) - 1, 1) + 1),
-    i -> concat_ws(' ', tk[i], tk[i+1]))"""
+#: The shared DuckDB bigram mirror (plans.common.SQL_BIGRAMS),
+#: aliased for the oracle below.
+_SQL_SEL_BIGRAMS = SQL_BIGRAMS
 
 
 @query(

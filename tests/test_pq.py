@@ -218,3 +218,48 @@ def test_pq_index_rebuild_bumps_generation(spark, emb, tmp_path):
     assert (m1["gen"], m2["gen"]) == (1, 2)
     out = SIM.pq_index_search(spark, q, idx, k=5, refine=64)
     assert out.count() == 50
+
+
+def test_pq_books_dim_mismatch_raises(spark, emb):
+    """Pre-trained codebooks for a different embedding dim must be
+    refused loudly — mismatched books would NULL-encode every vector
+    and the shortlist would be arbitrary ids (silently wrong top-k)."""
+    import numpy as np
+
+    q, c = _qc(emb)
+    bad = np.zeros((8, 16, 4))  # quantizes 32-dim; corpus is 64-dim
+    with pytest.raises(ValueError, match="64-dim"):
+        SIM.cosine_topk_pq(q, c, k=5, books=bad)
+
+
+def test_pq_index_books_dim_mismatch_raises(spark, emb, tmp_path):
+    import numpy as np
+
+    _, c = _qc(emb)
+    bad = np.zeros((8, 16, 4))
+    with pytest.raises(ValueError, match="64-dim"):
+        SIM.pq_index_write(c, str(tmp_path / "pq"), m=8, ksub=16, books=bad)
+
+
+def test_pq_zero_vectors_excluded(spark, tmp_path):
+    """Zero vectors have no direction: they must never occupy shortlist
+    slots (their exact cosine is 0/0 = NaN, which IEEE ordering would
+    rank FIRST) — dropped on both sides, in-memory and persisted."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero corpus vector
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.1, 0.9, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    c = df.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = SIM.cosine_topk_pq(q, c, k=5, m=2, ksub=4, refine=10).collect()
+    ids = {r.query_id for r in out} | {r.corpus_id for r in out}
+    assert 2 not in ids
+    idx = str(tmp_path / "pq")
+    SIM.pq_index_write(c, idx, m=2, ksub=4)
+    out2 = SIM.pq_index_search(spark, q, idx, k=5, refine=10).collect()
+    ids2 = {r.query_id for r in out2} | {r.corpus_id for r in out2}
+    assert 2 not in ids2

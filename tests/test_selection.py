@@ -114,3 +114,23 @@ def test_input_guards(spark, planted):
         )
     with pytest.raises(ValueError, match="k must be"):
         SEL.importance_select(planted, "text", "doc_id", F.col("is_t"), k=0)
+
+
+def test_empty_docs_produce_no_grams(spark):
+    """Empty/whitespace-only docs must contribute NO bigram evidence —
+    without the '' filter in functions.text.bigrams they would each
+    emit a phantom '' gram, enter the vocab, and empty raw docs could
+    be SELECTED as target-like."""
+    rows = [
+        (0, "alpha beta alpha", True),
+        (1, "", True),
+        (2, "   ", True),
+        (10, "alpha beta", False),
+        (11, "", False),
+        (12, "gamma delta", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    scored = SEL.importance_score_grams(
+        df, "text", "doc_id", F.col("is_t"), vocab_size=100
+    ).collect()
+    assert {r.doc_id for r in scored} == {10, 12}  # empty doc 11 unscored
