@@ -1282,6 +1282,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     n_cells: int = 16,
     seed: int = 42,
+    max_cell_rows: int = 10_000,
 ) -> DataFrame:
     """Semantic near-dup pairs, confined to KMeans cells (the SemDeDup
     recipe — Abbas et al. 2023: cluster the embedding space, compare
@@ -1289,11 +1290,11 @@ def semantic_dedup_pairs(
 
     Where the sign-LSH sibling buckets by random projections, this
     buckets by LEARNED structure: one Spark-ML KMeans fit (a few corpus
-    passes), then each cell's members score pairwise in ONE dense numpy
-    matmul per cell (`mapInPandas`) — the same vectorized kernel shape
+    passes), then each cell's members score pairwise in dense numpy
+    matmuls (`mapInPandas`) — the same vectorized kernel shape
     as :func:`embedding_cosine_pairs`, but the candidate universe is
-    within-cell only, never O(n²) global. The one shuffle is the
-    groupBy on cell id.
+    within-cell only, never O(n²) global. The one data shuffle is the
+    groupBy on (cell, block) id.
 
     Output: (id_a, id_b, cos_sim, cell, cent_sim_a, cent_sim_b) with
     id_a < id_b; ``cent_sim_*`` is each endpoint's cosine to its cell
@@ -1302,7 +1303,17 @@ def semantic_dedup_pairs(
 
     Scale (100 TB): ``n_cells`` is the knob — the paper runs 50k cells
     on 100M+ docs so each cell is a few thousand vectors (one matmul
-    task). Cross-cell near-dups are missed by design; that recall cost
+    task). KMeans cells are NOT balanced, though — real embedding
+    corpora pile near-dups into a few dense cells, exactly the rows
+    this operator exists to find — so a cell larger than
+    ``max_cell_rows`` is split into hash blocks and scored block-pair
+    by block-pair (the :func:`embedding_cosine_pairs` grid, scoped to
+    one cell): same within-cell-complete result, but no task ever
+    materializes more than two ``max_cell_rows`` blocks, where the
+    single-row-per-cell packing would OOM on the one skewed cell.
+    Block counts are per cell (from one persisted count pass), so a
+    million near-empty cells don't pay the dense cell's grid.
+    Cross-cell near-dups are missed by design; that recall cost
     is measured against the exact kernel in tests and in the registered
     query's rider. Integer ids required, as in the exact kernel (the
     numpy pack is int64).
@@ -1310,6 +1321,8 @@ def semantic_dedup_pairs(
     NULL / NaN / empty vectors are dropped (KMeans dies on them), same
     convention as every vector kernel here.
     """
+    import math
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.types import IntegerType, LongType, ShortType
@@ -1322,6 +1335,8 @@ def semantic_dedup_pairs(
             f"semantic_dedup_pairs requires an integer id column; "
             f"{id_col} is {id_type.simpleString()}"
         )
+    if max_cell_rows <= 0:
+        raise ValueError(f"max_cell_rows must be positive, got {max_cell_rows}")
     side = df.filter(_valid_vec(F.col(vec_col))).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
@@ -1349,11 +1364,43 @@ def semantic_dedup_pairs(
         assigned = model.transform(feat).select(
             "__id", "__v", F.col("prediction").alias("__cell")
         )
-    packed = assigned.groupBy("__cell").agg(
-        F.collect_list(F.struct("__id", "__v")).alias("__rows")
+    # Per-cell block counts: one tiny (n_cells-row) aggregate over the
+    # persisted assignment. Driver state is O(n_cells) — the same budget
+    # as `centers` above. 256 is the exact kernel's grid cap (past
+    # ~2.5M rows per cell the matmul flops are the problem, not the
+    # grid; such a cell means n_cells is set far too low).
+    assigned = _scoped_persist(assigned)
+    cell_counts = {
+        r["__cell"]: r["__n"]
+        for r in assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    nblocks = {
+        c: max(1, min(256, math.ceil(n / max_cell_rows))) for c, n in cell_counts.items()
+    }
+    tasks = sum(b * (b + 1) // 2 for b in nblocks.values())
+    blocks_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(c, b) for c, b in nblocks.items()], "__cell int, __nb int"
+        )
     )
-    # one matmul task per cell
-    packed = packed.repartition(n_cells, "__cell")
+    packed = (
+        assigned.join(blocks_df, "__cell")
+        .withColumn("__sb", F.pmod(F.xxhash64("__id"), F.col("__nb")).cast("int"))
+        .groupBy("__cell", "__sb")
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("__rows"))
+    )
+    # one matmul task per within-cell block pair (ba <= bb)
+    block_pairs = (
+        packed.select("__cell", F.col("__sb").alias("__ba"), F.col("__rows").alias("rows_a"))
+        .join(
+            packed.select(
+                "__cell", F.col("__sb").alias("__bb"), F.col("__rows").alias("rows_b")
+            ),
+            "__cell",
+        )
+        .filter(F.col("__ba") <= F.col("__bb"))
+        .repartition(max(1, tasks), "__cell", "__ba", "__bb")
+    )
 
     def score(batches):
         import numpy as np
@@ -1361,36 +1408,62 @@ def semantic_dedup_pairs(
 
         C = np.asarray(centers, dtype=np.float64)
         c_norm = np.linalg.norm(C, axis=1)
+
+        def unpack(rows, cell):
+            ids = np.fromiter((r["__id"] for r in rows), dtype=np.int64)
+            M = np.vstack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = np.divide(M, norms, out=np.zeros_like(M), where=norms > 0)
+            cn = c_norm[cell]
+            cent = np.round(
+                (Mn @ C[cell]) / cn if cn > 0 else np.zeros(len(rows)), 8
+            )
+            return ids, Mn, cent
+
         for pdf in batches:
             out = {k: [] for k in ("id_a", "id_b", "cos_sim", "cell", "cent_sim_a", "cent_sim_b")}
-            for cell, rows in zip(pdf["__cell"], pdf["__rows"]):
-                if len(rows) < 2:
+            for cell, same, rows_a, rows_b in zip(
+                pdf["__cell"],
+                pdf["__ba"].to_numpy() == pdf["__bb"].to_numpy(),
+                pdf["rows_a"],
+                pdf["rows_b"],
+            ):
+                if same and len(rows_a) < 2:
                     continue
-                ids = np.fromiter((r["__id"] for r in rows), dtype=np.int64)
-                M = np.vstack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
-                norms = np.linalg.norm(M, axis=1, keepdims=True)
-                Mn = np.divide(M, norms, out=np.zeros_like(M), where=norms > 0)
-                cos = np.round(Mn @ Mn.T, 8)
-                cn = c_norm[cell]
-                cent = np.round(
-                    (Mn @ C[cell]) / cn if cn > 0 else np.zeros(len(rows)), 8
+                ids_a, ma, cent_a = unpack(rows_a, cell)
+                ids_b, mb, cent_b = (
+                    (ids_a, ma, cent_a) if same else unpack(rows_b, cell)
                 )
+                cos = np.round(ma @ mb.T, 8)
                 ia, ib = np.nonzero(cos >= threshold)
-                m = ids[ia] < ids[ib]  # by ID, not position (list order
-                # is not guaranteed stable across re-evaluations)
-                ia, ib = ia[m], ib[m]
-                out["id_a"].append(ids[ia])
-                out["id_b"].append(ids[ib])
+                # mask BY ID, not position (same rationale as the exact
+                # kernel: the self-join re-evaluates the collect_list,
+                # whose element order is not guaranteed stable)
+                m = ids_a[ia] < ids_b[ib]
+                if same:
+                    ia, ib = ia[m], ib[m]
+                    lo, hi = ids_a[ia], ids_b[ib]
+                    c_lo, c_hi = cent_a[ia], cent_b[ib]
+                else:
+                    # cross-block: both orientations are valid pairs;
+                    # canonicalize to id_a < id_b and carry each
+                    # endpoint's own centroid-cosine with it
+                    lo = np.where(m, ids_a[ia], ids_b[ib])
+                    hi = np.where(m, ids_b[ib], ids_a[ia])
+                    c_lo = np.where(m, cent_a[ia], cent_b[ib])
+                    c_hi = np.where(m, cent_b[ib], cent_a[ia])
+                out["id_a"].append(lo)
+                out["id_b"].append(hi)
                 out["cos_sim"].append(cos[ia, ib])
-                out["cell"].append(np.full(ia.size, cell, dtype=np.int32))
-                out["cent_sim_a"].append(cent[ia])
-                out["cent_sim_b"].append(cent[ib])
+                out["cell"].append(np.full(lo.size, cell, dtype=np.int32))
+                out["cent_sim_a"].append(c_lo)
+                out["cent_sim_b"].append(c_hi)
             if out["id_a"]:
                 yield pd.DataFrame(
                     {k: np.concatenate(v) for k, v in out.items()}
                 )
 
-    return packed.mapInPandas(
+    return block_pairs.mapInPandas(
         score,
         "id_a long, id_b long, cos_sim double, cell int, "
         "cent_sim_a double, cent_sim_b double",

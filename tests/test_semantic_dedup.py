@@ -64,6 +64,45 @@ def test_cell_confined_recall(spark, emb):
     assert sem <= exact, "within-cell pairs must be a subset of exact pairs"
 
 
+def test_blocked_cells_equal_unblocked(spark, emb):
+    """A cell larger than max_cell_rows splits into hash blocks and
+    scores block-pair by block-pair; the result (including cent_sim
+    endpoint alignment) must be identical to the single-block packing —
+    blocking is a memory bound, never a semantics change."""
+
+    def run(mcr):
+        return {
+            (r.id_a, r.id_b, r.cos_sim, r.cent_sim_a, r.cent_sim_b)
+            for r in DD.semantic_dedup_pairs(
+                emb, "embedding", "vec_id", threshold=0.9, n_cells=4,
+                max_cell_rows=mcr,
+            ).collect()
+        }
+
+    blocked, whole = run(7), run(10_000)
+    assert whole, "fixture should contain within-cell near-dup pairs"
+    assert blocked == whole
+    # and through the degenerate n_cells=1 path too (one cell = the
+    # whole corpus — exactly the skew case the blocking exists for)
+    one_blocked = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in DD.semantic_dedup_pairs(
+            emb, "embedding", "vec_id", threshold=0.9, n_cells=1,
+            max_cell_rows=13,
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in DD.embedding_cosine_pairs(
+            emb, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    assert one_blocked == exact
+
+    with pytest.raises(ValueError, match="max_cell_rows"):
+        DD.semantic_dedup_pairs(emb, "embedding", "vec_id", max_cell_rows=0)
+
+
 def test_keep_policies(spark, emb):
     pairs = DD.semantic_dedup_pairs(
         emb, "embedding", "vec_id", threshold=0.9, n_cells=8
