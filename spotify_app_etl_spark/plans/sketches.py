@@ -185,3 +185,105 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("s_suppkey", "s_name").agg(
         dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items")
     )
+
+
+@query(
+    "ns_corpus_overlap_sketch",
+    note="cross-corpus vocabulary overlap from HLL sketches: one "
+    "9-char-shingle pass builds a KB-sized sketch per corpus slice "
+    "(lang), then every slice PAIR gets |A∩B| and Jaccard by "
+    "inclusion-exclusion over merged sketches — the dataset-mixing "
+    "question ('how redundant are these two sources?') answered "
+    "without ever joining the corpora. At 100 TB the sketches are the "
+    "only cross-slice artifact (a k-row table; pairing is a tiny "
+    "self-join), vs the exact path's shingle-keyed shuffle join of "
+    "everything against everything. Rows-only (estimator-defined "
+    "values); self-verifying: the exact overlap rides along and "
+    "err_ok bounds the estimate within 5% of the exact union "
+    "(~6 sigma at lgConfigK=14's 0.81% standard error, compounded "
+    "over the three estimates in the inclusion-exclusion).",
+    oracle=None,
+    tags=("sketch", "hll", "northstar", "dedup"),
+)
+def ns_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.dedup import (
+        _scoped_persist,
+        char_shingles,
+        normalized,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    # one shingle pass feeds both the sketch and the exact rider
+    # (persisted: three consumers below); __norm pre-projected per the
+    # char_shingles contract; distinct (side, shingle) first so the
+    # rider's self-join is over the minimal set (HLL is
+    # duplicate-insensitive either way)
+    sh = _scoped_persist(
+        docs.select(
+            F.col("lang").alias("side"), normalized(F.col("text")).alias("__norm")
+        )
+        .select(
+            "side",
+            F.explode(char_shingles("__norm", 9, assume_normalized=True)).alias("sh"),
+        )
+        .distinct()
+    )
+    per = sh.groupBy("side").agg(
+        F.hll_sketch_agg("sh", 14).alias("sk"),
+        F.count(F.lit(1)).alias("exact_n"),
+    )
+    pairs = (
+        per.select(
+            F.col("side").alias("side_a"),
+            F.col("sk").alias("sk_a"),
+            F.col("exact_n").alias("exact_a"),
+        )
+        .join(
+            per.select(
+                F.col("side").alias("side_b"),
+                F.col("sk").alias("sk_b"),
+                F.col("exact_n").alias("exact_b"),
+            ),
+            F.col("side_a") < F.col("side_b"),
+        )
+        .select(
+            "side_a",
+            "side_b",
+            "exact_a",
+            "exact_b",
+            F.hll_sketch_estimate("sk_a").alias("est_a"),
+            F.hll_sketch_estimate("sk_b").alias("est_b"),
+            F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_union"),
+        )
+    )
+    # exact rider: true pairwise overlap via the shingle-keyed
+    # self-join — the cost the sketch path exists to avoid, carried
+    # here as the per-run accuracy canary
+    exact_overlap = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.side") < F.col("b.side"))
+        .groupBy(
+            F.col("a.side").alias("side_a"), F.col("b.side").alias("side_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        pairs.join(exact_overlap, ["side_a", "side_b"], "left")
+        .withColumn("exact_overlap", F.coalesce("exact_overlap", F.lit(0)))
+        .withColumn(
+            "overlap_est",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 2),
+        )
+        .withColumn(
+            "jaccard_est", F.round(F.col("overlap_est") / F.col("est_union"), 6)
+        )
+        .withColumn("exact_union", F.col("exact_a") + F.col("exact_b") - F.col("exact_overlap"))
+        .withColumn(
+            "err_ok",
+            F.abs(F.col("overlap_est") - F.col("exact_overlap"))
+            <= 0.05 * F.col("exact_union"),
+        )
+        .drop("est_a", "est_b")
+        .orderBy("side_a", "side_b")
+    )

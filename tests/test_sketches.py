@@ -299,3 +299,21 @@ def test_sorted_percentile_operator_randomized(spark):
         for n in qs:
             assert cont[k][n] == r[n], (k, n, cont[k][n], r[n])
             assert disc[k][n] == r[f"d_{n}"], (k, n, disc[k][n], r[f"d_{n}"])
+
+
+def test_corpus_overlap_sketch(spark):
+    """Inclusion-exclusion overlap estimates stay within the registered
+    err_ok bound AND the exact rider obeys set algebra (overlap <= each
+    side, union = a + b - overlap) — a broken pairing join would
+    violate one of these long before the sketch error bound trips."""
+    pdf = load_all()["ns_corpus_overlap_sketch"].fn(spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert pdf["err_ok"].all(), pdf[~pdf["err_ok"]]
+    assert (pdf["exact_overlap"] <= pdf[["exact_a", "exact_b"]].min(axis=1)).all()
+    assert (
+        pdf["exact_union"] == pdf["exact_a"] + pdf["exact_b"] - pdf["exact_overlap"]
+    ).all()
+    assert (pdf["side_a"] < pdf["side_b"]).all()
+    # every unordered slice pair appears exactly once
+    sides = set(pdf["side_a"]) | set(pdf["side_b"])
+    assert len(pdf) == len(sides) * (len(sides) - 1) // 2
