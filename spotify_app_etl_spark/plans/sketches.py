@@ -287,3 +287,51 @@ def ns_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("est_a", "est_b")
         .orderBy("side_a", "side_b")
     )
+
+
+@query(
+    "ns_vocab_cms_estimate",
+    note="count-min sketch frequency estimates for the exact top-30 "
+    "tokens: the sketch build is a groupBy whose key space is capped "
+    "at depth*width, so map-side partial aggregation bounds shuffle "
+    "volume at O(partitions * depth * width) regardless of corpus or "
+    "vocabulary size — the bounded, mergeable, probe-without-rescan "
+    "summary an exact frequency table can't be at 100 TB. Rows-only "
+    "(sketch values are hash-layout-defined but deterministic: "
+    "xxhash64). Self-verifying riders: lower_ok pins the CMS "
+    "one-sided guarantee (est >= exact, always), upper_ok pins the "
+    "collision bound (est <= exact + 5*N/width — ~5 expected "
+    "collision masses; a broken merge or bucket map inflates far "
+    "past it).",
+    oracle=None,
+    tags=("sketch", "cms", "northstar", "text"),
+)
+def ns_vocab_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.functions.text import tokens
+    from spotify_app_etl_spark.operators.cms import cms_build, cms_estimate
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    depth, width = 4, 2048
+    docs = t(spark, sf_dir, "documents")
+    tok = _scoped_persist(
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    sketch = cms_build(tok, "tok", depth=depth, width=width)
+    exact_top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(30)
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        cms_estimate(sketch, exact_top, "tok", depth=depth, width=width)
+        .crossJoin(F.broadcast(total))
+        .withColumn("lower_ok", F.col("est") >= F.col("n_exact"))
+        .withColumn(
+            "upper_ok",
+            F.col("est") <= F.col("n_exact") + F.lit(5.0) * F.col("__n") / width,
+        )
+        .drop("__n")
+        .orderBy(F.desc("n_exact"), "tok")
+    )

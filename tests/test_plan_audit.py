@@ -82,6 +82,13 @@ NLJ_ALLOWED = {
     # r06 SemDeDup: two 1-row verification scalars (recall +
     # kept/lost conservation) crossJoined onto the kept output
     "ns_dedup_semantic": 2,
+    # r06 HLL corpus overlap: the side_a < side_b pairing join over
+    # the per-slice SKETCH table — k rows (one per corpus slice, KB
+    # each), O(1) in corpus size; pairing sketches is the point
+    "ns_corpus_overlap_sketch": 1,
+    # r06 CMS: the 1-row total-increments scalar crossJoined onto the
+    # 30-row estimate output for the upper_ok rider bound
+    "ns_vocab_cms_estimate": 1,
 }
 
 #: A Window fed by an Exchange SinglePartition pulls EVERY row into one
