@@ -81,6 +81,10 @@ HEADLINE = [
     "ns_dedup_semantic",
     "ns_sim_topk_pq_indexed",
     "ns_select_importance",
+    # round-6 additions (cont.): HLL cross-corpus overlap and the
+    # count-min frequency summary
+    "ns_corpus_overlap_sketch",
+    "ns_vocab_cms_estimate",
 ]
 
 
