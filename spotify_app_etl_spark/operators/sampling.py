@@ -129,3 +129,66 @@ def split_assign(
             F.lit("train")
         ),
     )
+
+
+#: 13 hex chars = 52 bits — the largest hex prefix whose integer value
+#: is exactly representable in a double on every engine.
+_U_PREFIX = 13
+
+
+def uniform01(key: str | Column, seed: int) -> Column:
+    """Deterministic uniform in (0, 1) keyed on ``(seed, key)``.
+
+    The first 13 hex chars (52 bits) of the same sha256 the samplers
+    above use, as an exactly-representable double; +0.5 keeps the value
+    strictly inside (0, 1) (u = 0 would blow up ln-based keys). Like
+    :func:`sample_key`, NULL keys propagate to NULL. Bit-identical in
+    DuckDB via :func:`sql_uniform01` (integer hex parse + exact double
+    arithmetic — no engine-specific RNG anywhere).
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    h = F.substring(
+        F.sha2(F.concat(F.lit(str(seed)), F.lit("|"), col.cast("string")), 256),
+        1,
+        _U_PREFIX,
+    )
+    return (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(2**52))
+
+
+def sql_uniform01(key_sql: str, seed: int) -> str:
+    """DuckDB mirror of :func:`uniform01` (hex-literal cast to UBIGINT,
+    then the same exact double arithmetic)."""
+    return (
+        f"(CAST(concat('0x', substr(sha256('{seed}' || '|' || "
+        f"CAST({key_sql} AS VARCHAR)), 1, {_U_PREFIX})) AS UBIGINT) + 0.5) "
+        f"/ power(2, 52)"
+    )
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight_col: str, k: int, *, seed: int = 42
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``k`` rows where row i's
+    inclusion probability scales with ``weight_col`` (Efraimidis &
+    Spirakis 2006, A-ES): rank by ``ln(u_i) / w_i`` descending — the
+    order statistic of ``u^(1/w)`` — and keep the top ``k``.
+
+    Deterministic (the uniform is a pure function of ``(seed, key)``),
+    so re-runs, re-partitioning, and cluster growth keep the same
+    sample — same contract as :func:`hash_sample`, which remains the
+    right tool for UNweighted rate-based sampling. Distributed
+    TakeOrdered: ``k`` bounds driver/output size, never a full sort.
+
+    Rows with NULL/zero/negative weights carry no sampling mass and are
+    excluded (a zero weight's key would be ln(u)/0 = -inf/NaN).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es", F.log(uniform01(key, seed)) / w)
+        .orderBy(F.desc("__es"), key)
+        .limit(k)
+        .drop("__es")
+    )

@@ -178,3 +178,74 @@ def test_decontaminate_ignores_short_and_blank_docs(spark):
     clean = {r["doc_id"] for r in
              DC.decontaminate(train, bench, "text", "doc_id", n=3).collect()}
     assert clean == {1, 2, 3, 4, 6}, clean
+
+
+def _py_uniform01(key, seed: int) -> float:
+    """Driver-side mirror of SA.uniform01 — same sha256, same 52-bit
+    prefix, same exact double arithmetic."""
+    import hashlib
+
+    h = hashlib.sha256(f"{seed}|{key}".encode()).hexdigest()[:13]
+    return (int(h, 16) + 0.5) / 2**52
+
+
+def test_uniform01_matches_python_mirror(spark, docs):
+    rows = (
+        docs.select("doc_id", SA.uniform01("doc_id", 19).alias("u"))
+        .orderBy("doc_id")
+        .limit(25)
+        .collect()
+    )
+    for r in rows:
+        assert r["u"] == _py_uniform01(r["doc_id"], 19), r
+        assert 0.0 < r["u"] < 1.0
+
+
+def test_weighted_sample_deterministic_and_guards(spark):
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(200)], "id long, w double"
+    )
+    a = sorted(r["id"] for r in SA.weighted_sample(df, "id", "w", 20, seed=5).collect())
+    b = sorted(r["id"] for r in SA.weighted_sample(df, "id", "w", 20, seed=5).collect())
+    assert a == b and len(a) == 20
+    c = sorted(r["id"] for r in SA.weighted_sample(df, "id", "w", 20, seed=6).collect())
+    assert a != c  # a different seed draws a different sample
+
+    bad = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None)], "id long, w double"
+    )
+    got = {r["id"] for r in SA.weighted_sample(bad, "id", "w", 10).collect()}
+    assert got == {1}  # zero/negative/NULL weights carry no mass
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        SA.weighted_sample(bad, "id", "w", 0)
+
+
+def test_weighted_sample_inclusion_scales_with_weight(spark):
+    """A-ES with k=1 selects row i with probability w_i / sum(w)
+    exactly. The uniform is a pure (seed, key) hash, so the law is
+    checked over 4000 seeds in the python mirror (same arithmetic as
+    the Spark expression, proven equal above), plus a handful of live
+    Spark draws as plumbing proof."""
+    import math
+
+    weights = {"a": 4.0, "b": 1.0}
+    wins = {"a": 0, "b": 0}
+    for seed in range(4000):
+        best = max(
+            weights, key=lambda k: math.log(_py_uniform01(k, seed)) / weights[k]
+        )
+        wins[best] += 1
+    p_a = wins["a"] / 4000
+    assert abs(p_a - 0.8) < 0.03, p_a  # 4/(4+1), ±5 sigma
+
+    df = spark.createDataFrame([("a", 4.0), ("b", 1.0)], "id string, w double")
+    live = {
+        seed: SA.weighted_sample(df, "id", "w", 1, seed=seed).first()["id"]
+        for seed in range(8)
+    }
+    mirror = {
+        seed: max(weights, key=lambda k: math.log(_py_uniform01(k, seed)) / weights[k])
+        for seed in range(8)
+    }
+    assert live == mirror
