@@ -192,3 +192,37 @@ def weighted_sample(
         .limit(k)
         .drop("__es")
     )
+
+
+def weighted_sample_by(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    stratum: str,
+    k: int,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """``k`` rows PER STRATUM, weighted without replacement within each
+    stratum (A-ES ranking as :func:`weighted_sample`, partitioned by
+    ``stratum``) — 'sample 100 docs per language, proportional to
+    quality'. One shuffle on the stratum key; the per-stratum rank is a
+    partitioned window, never a global sort, so strata scale
+    independently (a skewed stratum costs its own partition only).
+    Same determinism contract as every sampler here."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col)
+    rank = F.row_number().over(
+        Window.partitionBy(stratum).orderBy(
+            F.desc(F.log(uniform01(key, seed)) / w), F.col(key)
+        )
+    )
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__r", rank)
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

@@ -249,3 +249,36 @@ def test_weighted_sample_inclusion_scales_with_weight(spark):
         for seed in range(8)
     }
     assert live == mirror
+
+
+def test_weighted_sample_by_quota_and_determinism(spark):
+    """Every stratum gets exactly min(k, |stratum|) rows; the within-
+    stratum pick matches the python mirror of the A-ES ranking."""
+    import math
+
+    rows = [(f"d{i}", "x" if i % 3 else "y", float(1 + i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id string, g string, w double")
+    got = SA.weighted_sample_by(df, "id", "w", "g", 5, seed=9).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], set()).add(r["id"])
+    assert {g: len(v) for g, v in by_g.items()} == {"x": 5, "y": 5}
+
+    for g in ("x", "y"):
+        members = [(i, w) for i, gg, w in rows if gg == g]
+        ranked = sorted(
+            members,
+            key=lambda t: (-(math.log(_py_uniform01(t[0], 9)) / t[1]), t[0]),
+        )
+        assert by_g[g] == {i for i, _ in ranked[:5]}
+
+    # a stratum smaller than k yields all its (positive-weight) rows
+    small = spark.createDataFrame(
+        [("a", "g1", 1.0), ("b", "g1", 0.0), ("c", "g2", 2.0)],
+        "id string, g string, w double",
+    )
+    got2 = {(r["id"], r["g"]) for r in SA.weighted_sample_by(small, "id", "w", "g", 5).collect()}
+    assert got2 == {("a", "g1"), ("c", "g2")}
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        SA.weighted_sample_by(small, "id", "w", "g", -1)
