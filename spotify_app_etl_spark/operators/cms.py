@@ -125,3 +125,74 @@ def cms_estimate(
         joined.groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted sketch: generation-committed state for build-once/probe-many
+# and streaming maintenance (same meta protocol as the ANN indexes —
+# operators/similarity.py signlsh_index_write: tables live under
+# {path}/gen=N/ and the 1-row meta overwrite is the ONLY commit point,
+# so a crashed write leaves readers at the previous consistent
+# generation).
+# ---------------------------------------------------------------------------
+
+
+def cms_state_read(spark, path: str):
+    """The committed sketch at ``path`` as ``(sketch_df, meta_row)``,
+    or ``(None, None)`` if nothing is committed yet."""
+    from spotify_app_etl_spark.operators.similarity import _read_index_meta
+
+    meta = _read_index_meta(spark, path)
+    if meta is None:
+        return None, None
+    return spark.read.parquet(f"{path}/gen={meta['gen']}"), meta
+
+
+def cms_ingest_batch(
+    batch_df: DataFrame,
+    path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch into the persisted sketch (counter-wise sum into
+    a NEW generation; the meta overwrite is the commit point).
+
+    Retry-idempotent when ``batch_id`` is supplied (foreachBatch
+    semantics): the committed meta records the last merged batch, and a
+    re-delivered batch is skipped instead of double-counted. A crash
+    between the generation write and the meta flip leaves the committed
+    state untouched, so the retry recomputes the SAME merge from the
+    same previous generation — convergent, never cumulative.
+
+    depth/width are sketch identity: a mismatch against the stored meta
+    raises (bucket math from a different geometry would merge garbage).
+    """
+    from spotify_app_etl_spark.operators.similarity import _meta_row
+
+    _check_params(depth, width)
+    spark = batch_df.sparkSession
+    prev, meta = cms_state_read(spark, path)
+    if meta is not None:
+        if meta["depth"] != depth or meta["width"] != width:
+            raise ValueError(
+                f"sketch at {path} is {meta['depth']}x{meta['width']}; "
+                f"refusing to merge a {depth}x{width} batch into it"
+            )
+        if batch_id is not None and meta.asDict().get("last_batch") == batch_id:
+            return  # re-delivered batch: already committed, skip
+        gen = meta["gen"] + 1
+    else:
+        gen = 1
+    sketch = cms_build(batch_df, key_col, depth=depth, width=width, weight_col=weight_col)
+    merged = sketch if prev is None else cms_merge(prev, sketch)
+    merged.write.mode("overwrite").parquet(f"{path}/gen={gen}")
+    _meta_row(
+        spark,
+        gen=gen,
+        depth=depth,
+        width=width,
+        last_batch=-1 if batch_id is None else batch_id,
+    ).write.mode("overwrite").parquet(f"{path}/meta")

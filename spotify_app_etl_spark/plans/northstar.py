@@ -1219,3 +1219,76 @@ def ns_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.crossJoin(
         F.broadcast(_recall_scalar(exact, _pairs_in(cand, in_win)))
     ).withColumn("recall_ok", F.col("recall_vs_exact") == 1.0)
+
+
+@query(
+    "ns_streaming_cms_ingest",
+    note="STREAMING frequency-sketch maintenance under the driver's "
+    "eye: bootstrap the persisted CMS from the even-id docs' tokens, "
+    "stream the odd-id docs' tokens through trigger(availableNow) "
+    "foreachBatch merges (operators.cms.cms_ingest_batch — "
+    "generation-committed, last_batch-idempotent under retries), then "
+    "probe the final sketch for the exact top-20 tokens of the FULL "
+    "corpus. Rows-only (hash-layout-defined estimates); "
+    "self-verifying: lower_ok pins the CMS one-sided guarantee "
+    "against full-corpus exact counts, and merge_exact_ok asserts the "
+    "streamed-and-merged sketch is row-identical to a one-shot batch "
+    "build over the whole corpus — the merge-of-parts == "
+    "sketch-of-union law, end to end through the streaming machinery.",
+    tags=("northstar", "sketch", "cms", "streaming"),
+)
+def ns_streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_ingest_batch,
+        cms_state_read,
+    )
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.streaming import jobs as SJ
+
+    depth, width = 4, 2048
+    docs = t(spark, sf_dir, "documents")
+    tok = _scoped_persist(
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    )
+    root = _scratch_index_dir(spark, "stream_cms")
+    sk, src, ckpt = f"{root}/sketch", f"{root}/src", f"{root}/ckpt"
+    # bootstrap: the even-id history merges as one batch job…
+    cms_ingest_batch(tok.filter(F.col("doc_id") % 2 == 0), sk, "tok", depth, width)
+    # …the odd-id delta arrives as a stream
+    batch = tok.filter(F.col("doc_id") % 2 == 1).select("tok")
+    batch.write.parquet(src)
+    q = SJ.streaming_cms_ingest(
+        spark.readStream.schema(batch.schema).parquet(src),
+        sk,
+        ckpt,
+        "tok",
+        depth=depth,
+        width=width,
+        available_now=True,
+    )
+    q.awaitTermination()
+    sketch, _ = cms_state_read(spark, sk)
+    whole = cms_build(tok, "tok", depth=depth, width=width)
+    mismatches = (
+        sketch.join(whole, ["d", "bucket"], "full")
+        .filter(
+            (sketch["cnt"].isNull())
+            | (whole["cnt"].isNull())
+            | (sketch["cnt"] != whole["cnt"])
+        )
+        .agg((F.count(F.lit(1)) == F.lit(0)).alias("merge_exact_ok"))
+    )
+    exact_top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(20)
+    )
+    return (
+        cms_estimate(sketch, exact_top, "tok", depth=depth, width=width)
+        .withColumn("lower_ok", F.col("est") >= F.col("n_exact"))
+        .crossJoin(F.broadcast(mismatches))
+        .orderBy(F.desc("n_exact"), "tok")
+    )

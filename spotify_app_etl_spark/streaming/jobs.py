@@ -450,3 +450,49 @@ def streaming_dedup_ingest(
         output_mode="append",
         available_now=available_now,
     )
+
+
+def streaming_cms_ingest(
+    keys_stream: DataFrame,
+    sketch_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+    available_now: bool = False,
+):
+    """Maintain a persisted count-min sketch over a key stream: each
+    micro-batch builds its own bounded sketch (map-side partial agg —
+    O(depth*width) rows regardless of batch size) and counter-wise
+    merges it into the committed state (operators.cms.cms_ingest_batch).
+
+    State lives in the generation-committed sketch parquet, NOT the
+    streaming state store: the stream restarts cold with full history,
+    batch jobs probe the same sketch concurrently, and a re-delivered
+    micro-batch is skipped by the last_batch commit record instead of
+    double-counted — frequencies stay exactly
+    merge-of-batches == sketch-of-union under retries.
+    """
+    from spotify_app_etl_spark.operators.cms import cms_ingest_batch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        cms_ingest_batch(
+            batch_df,
+            sketch_path,
+            key_col,
+            depth=depth,
+            width=width,
+            weight_col=weight_col,
+            batch_id=batch_id,
+        )
+
+    return stream_to_batch_sink(
+        keys_stream,
+        process,
+        checkpoint_dir,
+        output_mode="append",
+        available_now=available_now,
+    )

@@ -97,3 +97,32 @@ def test_registered_query_riders(spark):
     assert pdf["upper_ok"].all(), pdf[~pdf["upper_ok"]]
     # top-30 exact counts are sorted descending, ties by token
     assert list(pdf["n_exact"]) == sorted(pdf["n_exact"], reverse=True)
+
+
+def test_persisted_ingest_retry_idempotent(spark, words, tmp_path):
+    """Re-delivering a committed batch_id is a no-op (the foreachBatch
+    retry case); a NEW batch merges; a geometry mismatch refuses."""
+    from spotify_app_etl_spark.operators.cms import cms_ingest_batch, cms_state_read
+
+    path = str(tmp_path / "cms")
+    w = words.filter(F.col("tok").isNotNull())
+    cms_ingest_batch(w, path, "tok", depth=3, width=128, batch_id=0)
+    once = {(r["d"], r["bucket"]): r["cnt"] for r in cms_state_read(spark, path)[0].collect()}
+
+    cms_ingest_batch(w, path, "tok", depth=3, width=128, batch_id=0)  # retry
+    again = {(r["d"], r["bucket"]): r["cnt"] for r in cms_state_read(spark, path)[0].collect()}
+    assert again == once, "re-delivered batch was double-counted"
+
+    cms_ingest_batch(w, path, "tok", depth=3, width=128, batch_id=1)  # new batch
+    merged = {(r["d"], r["bucket"]): r["cnt"] for r in cms_state_read(spark, path)[0].collect()}
+    assert merged == {k: 2 * v for k, v in once.items()}
+
+    with pytest.raises(ValueError, match="refusing to merge"):
+        cms_ingest_batch(w, path, "tok", depth=2, width=128, batch_id=2)
+
+
+def test_streaming_ingest_query_riders(spark):
+    pdf = load_all()["ns_streaming_cms_ingest"].fn(spark, SF).toPandas()
+    assert len(pdf) == 20
+    assert pdf["lower_ok"].all(), pdf[~pdf["lower_ok"]]
+    assert pdf["merge_exact_ok"].all(), "streamed sketch != one-shot batch sketch"

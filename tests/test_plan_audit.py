@@ -89,6 +89,10 @@ NLJ_ALLOWED = {
     # r06 CMS: the 1-row total-increments scalar crossJoined onto the
     # 30-row estimate output for the upper_ok rider bound
     "ns_vocab_cms_estimate": 1,
+    # r06 streaming CMS: the 1-row merge_exact_ok scalar (streamed
+    # sketch == one-shot batch sketch) crossJoined onto the 20-row
+    # estimate output
+    "ns_streaming_cms_ingest": 1,
 }
 
 #: A Window fed by an Exchange SinglePartition pulls EVERY row into one
