@@ -85,6 +85,7 @@ HEADLINE = [
     # count-min frequency summary
     "ns_corpus_overlap_sketch",
     "ns_vocab_cms_estimate",
+    "ns_bpe_token_count",
 ]
 
 
