@@ -1,9 +1,14 @@
-"""Target-distribution data selection (DSIR-style importance scoring).
+"""Target-distribution data selection: DSIR-style importance scoring
+and the discriminative classifier filter.
 
 Given a corpus with a small TARGET subset (the distribution you want
 more of — curated text, a quality domain) and a large RAW pool, score
-every raw document by how target-like its n-gram distribution is and
-keep the top-k. This is the selection step of Data Selection via
+every raw document by how target-like it is and keep the top-k. Two
+families, one contract: the generative importance ratio
+(:func:`importance_select`) and the trained linear classifier
+(:func:`classifier_select` — the GPT-3/LLaMA-pipeline shape).
+
+The importance scoring is the selection step of Data Selection via
 Importance Resampling (Xie et al. 2023): DSIR fits target vs raw
 unigram/bigram distributions over hashed n-gram buckets and weights
 each document by its importance ratio. Here the features are the
@@ -167,3 +172,96 @@ def importance_select(
         df, text_col, id_col, is_target, vocab_size=vocab_size, scoring=scoring
     )
     return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
+def classifier_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_features: int = 4096,
+    max_iter: int = 30,
+    reg_param: float = 0.01,
+) -> DataFrame:
+    """P(target-like) for EVERY document under a logistic regression
+    trained to separate the TARGET subset from the raw pool — the
+    discriminative sibling of :func:`importance_score_grams`
+    (GPT-3/LLaMA-style data filtering trains exactly this shape: a
+    linear classifier over hashed n-gram features scoring 'looks like
+    the curated corpus').
+
+    Features are hashed token counts (``HashingTF`` — JVM murmur3, no
+    Python in the featurize path), so the feature space is a fixed
+    ``n_features`` regardless of vocabulary: the model is one
+    ``n_features``-long coefficient vector (bounded driver state), the
+    LBFGS fit aggregates gradients executor-side (treeAggregate), and
+    scoring is a broadcast dot product per row. Deterministic: no
+    sampling anywhere, LBFGS from a fixed start on fixed data.
+
+    Returns (id, is_target, score, n_tokens) for every row, score
+    rounded to 9 digits. Target rows ride along so callers can check
+    separation (do held-in target docs actually score higher?) without
+    a second fit.
+    """
+    if n_features <= 1:
+        raise ValueError(f"n_features must be > 1, got {n_features}")
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__t"),
+        tokens(F.col(text_col)).alias("__tk"),
+    )
+    tf = HashingTF(inputCol="__tk", outputCol="features", numFeatures=n_features)
+    feat = tf.transform(base).withColumn(
+        "label", F.col("__t").cast("double")
+    )
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False
+    ).fit(feat)
+    # P(label=1) — the target class
+    prob_target = F.element_at(vector_to_array(F.col("probability")), 2)
+    return model.transform(feat).select(
+        F.col("__id").alias(id_col),
+        F.col("__t").alias("is_target"),
+        F.round(prob_target, 9).alias("score"),
+        F.size("__tk").alias("n_tokens"),
+    )
+
+
+def classifier_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    k: int,
+    n_features: int = 4096,
+    max_iter: int = 30,
+    reg_param: float = 0.01,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """The top-``k`` most target-like RAW documents under
+    :func:`classifier_scores` (pass precomputed/persisted ``scores`` to
+    reuse one fit across the selection and any riders): (id, score,
+    n_tokens), ties broken on id — a distributed TakeOrdered, never a
+    global sort."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if scores is None:
+        scores = classifier_scores(
+            df,
+            text_col,
+            id_col,
+            is_target,
+            n_features=n_features,
+            max_iter=max_iter,
+            reg_param=reg_param,
+        )
+    return (
+        scores.filter(~F.col("is_target"))
+        .drop("is_target")
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

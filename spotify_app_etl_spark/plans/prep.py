@@ -315,3 +315,40 @@ def ns_select_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab_size=2000,
         scoring="rate_diff",
     )
+
+
+@query(
+    "ns_select_classifier",
+    note="classifier-based quality selection (the GPT-3/LLaMA-style "
+    "filter): one logistic regression over hashed token counts "
+    "(HashingTF murmur3 -> LBFGS, gradients aggregated executor-side, "
+    "driver holds one n_features coefficient vector) separates the "
+    "en-language target subset from the raw pool; the top-100 raw "
+    "docs by P(target-like) are kept. The discriminative sibling of "
+    "ns_select_importance. Rows-only (model-defined scores, but "
+    "deterministic: no sampling, fixed start, fixed data); "
+    "self-verifying: separation_ok asserts the held-in target docs' "
+    "mean score exceeds the raw pool's mean — a classifier that "
+    "learned nothing (or a flipped probability index) fails it.",
+    tags=("northstar", "selection", "prep"),
+)
+def ns_select_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators import selection as SEL
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scores = _scoped_persist(
+        SEL.classifier_scores(docs, "text", "doc_id", F.col("lang") == "en")
+    )
+    separation = scores.agg(
+        (
+            F.avg(F.when(F.col("is_target"), F.col("score")))
+            > F.avg(F.when(~F.col("is_target"), F.col("score")))
+        ).alias("separation_ok")
+    )
+    return (
+        SEL.classifier_select(docs, "text", "doc_id", F.col("lang") == "en",
+                              k=100, scores=scores)
+        .crossJoin(F.broadcast(separation))
+        .orderBy(F.desc("score"), "doc_id")
+    )

@@ -199,9 +199,11 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join), vs the exact path's shingle-keyed shuffle join of "
     "everything against everything. Rows-only (estimator-defined "
     "values); self-verifying: the exact overlap rides along and "
-    "err_ok bounds the estimate within 5% of the exact union "
-    "(~6 sigma at lgConfigK=14's 0.81% standard error, compounded "
-    "over the three estimates in the inclusion-exclusion).",
+    "err_ok bounds the estimate within 8% of the exact union "
+    "(~5.7 sigma at lgConfigK=14's 0.81% standard error compounded "
+    "over the three estimates in the inclusion-exclusion — wide "
+    "enough to hold for every pair on any dataset, tight enough to "
+    "catch a broken pairing join).",
     oracle=None,
     tags=("sketch", "hll", "northstar", "dedup"),
 )
@@ -279,10 +281,16 @@ def ns_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_est", F.round(F.col("overlap_est") / F.col("est_union"), 6)
         )
         .withColumn("exact_union", F.col("exact_a") + F.col("exact_b") - F.col("exact_overlap"))
+        # 0.08 of the union ≈ 5.7 sigma: the inclusion-exclusion error
+        # compounds three lgConfigK=14 estimates (1σ ≈ √3·0.81% ≈ 1.4%
+        # of union, scale-free), and like q_hll_sketch_merge the bound
+        # must hold for EVERY pair on any dataset while still tripping
+        # on a broken pairing join (off by tens of percent). Measured
+        # error at sf0.1: 0.3-2% of union.
         .withColumn(
             "err_ok",
             F.abs(F.col("overlap_est") - F.col("exact_overlap"))
-            <= 0.05 * F.col("exact_union"),
+            <= 0.08 * F.col("exact_union"),
         )
         .drop("est_a", "est_b")
         .orderBy("side_a", "side_b")

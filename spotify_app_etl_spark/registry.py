@@ -108,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_sample_weighted_by_lang",  # NEW r06: per-stratum A-ES quota (oracle-exact)
     "ns_streaming_cms_ingest",  # NEW r06: streaming CMS maintenance
     "ns_bpe_token_count",  # NEW r06: learned-BPE tokenizer counting
+    "ns_select_classifier",  # NEW r06: LR quality filter (GPT-3 style)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

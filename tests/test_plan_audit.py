@@ -93,6 +93,10 @@ NLJ_ALLOWED = {
     # sketch == one-shot batch sketch) crossJoined onto the 20-row
     # estimate output
     "ns_streaming_cms_ingest": 1,
+    # r06 classifier selection: the 1-row separation_ok scalar
+    # (target mean score > raw mean score) crossJoined onto the
+    # 100-row selection
+    "ns_select_classifier": 1,
 }
 
 #: A Window fed by an Exchange SinglePartition pulls EVERY row into one

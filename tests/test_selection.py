@@ -134,3 +134,40 @@ def test_empty_docs_produce_no_grams(spark):
         df, "text", "doc_id", F.col("is_t"), vocab_size=100
     ).collect()
     assert {r.doc_id for r in scored} == {10, 12}  # empty doc 11 unscored
+
+
+def test_classifier_ranks_target_like_raw_docs_first(spark, planted):
+    got = SEL.classifier_select(
+        planted, "text", "doc_id", F.col("is_t"), k=3
+    ).collect()
+    assert [r.doc_id for r in got] == [10, 11, 12], got  # alpha-heavy raw pool
+    assert all(0.0 <= r.score <= 1.0 for r in got)
+
+    scores = SEL.classifier_scores(planted, "text", "doc_id", F.col("is_t"))
+    rows = {r.doc_id: r for r in scores.collect()}
+    assert len(rows) == 10  # every row scored, target included
+    t_mean = sum(r.score for r in rows.values() if r.is_target) / 3
+    off = [rows[i].score for i in (20, 21, 22)]
+    assert t_mean > max(off), (t_mean, off)  # separation on planted signal
+
+
+def test_classifier_deterministic_and_guards(spark, planted):
+    a = SEL.classifier_scores(planted, "text", "doc_id", F.col("is_t")).collect()
+    b = SEL.classifier_scores(planted, "text", "doc_id", F.col("is_t")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    with pytest.raises(ValueError, match="k must be"):
+        SEL.classifier_select(planted, "text", "doc_id", F.col("is_t"), k=0)
+    with pytest.raises(ValueError, match="n_features"):
+        SEL.classifier_scores(planted, "text", "doc_id", F.col("is_t"), n_features=1)
+
+
+def test_classifier_registered_query_rider(spark):
+    from spotify_app_etl_spark.registry import load_all
+
+    pdf = load_all()["ns_select_classifier"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(pdf) == 100
+    assert pdf["separation_ok"].all()
+    assert pdf["score"].is_monotonic_decreasing or len(set(pdf["score"])) < 100
