@@ -86,6 +86,7 @@ HEADLINE = [
     "ns_corpus_overlap_sketch",
     "ns_vocab_cms_estimate",
     "ns_bpe_token_count",
+    "ns_select_classifier",
 ]
 
 

@@ -180,3 +180,26 @@ def bpe_segment(
         )
     )
     return rejoined
+
+
+def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge list as a (rank, left, right) parquet — the
+    whole tokenizer state, engine-neutral. Overwrites atomically enough
+    for this shape (one tiny file; the read side orders by rank, so a
+    torn listing is unreadable, not silently reordered)."""
+    if not merges:
+        raise ValueError("bpe_save: empty merge list")
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge list saved by :func:`bpe_save`, in training order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    if not rows:
+        raise ValueError(f"bpe_load: no merges at {path}")
+    if [r["rank"] for r in rows] != list(range(len(rows))):
+        raise ValueError(f"bpe_load: merge ranks at {path} are not contiguous")
+    return [(r["left"], r["right"]) for r in rows]

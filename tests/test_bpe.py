@@ -78,3 +78,16 @@ def test_registered_query_riders(spark):
     # characters overall (150 merges over a real corpus)
     assert pdf["n_bpe_tokens"].sum() < pdf["n_word_chars"].sum()
     assert (pdf["n_bpe_tokens"] >= pdf["n_words"]).all()
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    from spotify_app_etl_spark.operators.bpe import bpe_load, bpe_save
+
+    df = spark.createDataFrame([("aaab aaab ab",)], "text string")
+    merges = bpe_train(df, "text", num_merges=3)
+    path = str(tmp_path / "bpe")
+    bpe_save(spark, merges, path)
+    assert bpe_load(spark, path) == merges
+
+    with pytest.raises(ValueError, match="empty merge list"):
+        bpe_save(spark, [], path)
