@@ -63,6 +63,24 @@ def bigrams(tk: Column) -> Column:
     )
 
 
+def transitions(tk: Column) -> Column:
+    """Consecutive (prev, cur) token transitions of a pre-projected
+    token array, as ``array<struct<prev,cur>>`` — the bigram *events* a
+    language model scores (``w_i | w_{i-1}`` for i ≥ 2). Unlike
+    :func:`bigrams` there is no 1-token fallback and no string
+    concatenation: a doc with fewer than 2 tokens has NO transitions
+    and yields []. Built from two shifted slices zipped positionally —
+    pure column expression, no shuffle, no Python. SQL mirror:
+    ``plans.common.sql_transitions`` (two zipped unnests over the same
+    slices — DuckDB aligns equal-length unnests positionally)."""
+    n1 = F.greatest(F.size(tk) - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(tk, F.lit(1), n1),
+        F.slice(tk, F.lit(2), n1),
+        lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+    )
+
+
 def stopword_hits(text: str | Column, lang: str) -> Column:
     """Number of token occurrences that are stopwords of ``lang``."""
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

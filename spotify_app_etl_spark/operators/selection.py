@@ -198,6 +198,19 @@ def classifier_scores(
     scoring is a broadcast dot product per row. Deterministic: no
     sampling anywhere, LBFGS from a fixed start on fixed data.
 
+    Scoring deliberately does NOT use ``model.transform``: the fitted
+    model carries its training summary, the summary holds the
+    SparkSession, and serializing the prediction closure then tries to
+    serialize the session itself — which blows up with
+    ``NotSerializableException: ObservationManager`` whenever any
+    ``df.observe`` has run in the session (order-dependent, so it
+    passes alone and fails in a suite). Instead the coefficient vector
+    and intercept come to the driver once (``n_features`` doubles —
+    bounded model state, the same budget the docstring already claims)
+    and the sigmoid margin is a pure column expression over the sparse
+    vector via ``unwrap_udt``: per-row cost stays O(distinct tokens),
+    and no ML object ever enters a task closure.
+
     Returns (id, is_target, score, n_tokens) for every row, score
     rounded to 9 digits. Target rows ride along so callers can check
     separation (do held-in target docs actually score higher?) without
@@ -205,9 +218,17 @@ def classifier_scores(
     """
     if n_features <= 1:
         raise ValueError(f"n_features must be > 1, got {n_features}")
+    if n_features > 65536:
+        # the coefficient vector rides the plan as a literal array —
+        # the same bounded-literal trade as the IVF centroid tables
+        # (operators/similarity.py _LITERAL_BUDGET); beyond this,
+        # switch to a (bucket, coef) broadcast-join scoring path
+        raise ValueError(
+            f"n_features {n_features} exceeds the literal-array scoring "
+            "budget (65536)"
+        )
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
-    from pyspark.ml.functions import vector_to_array
 
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -221,9 +242,36 @@ def classifier_scores(
     model = LogisticRegression(
         maxIter=max_iter, regParam=reg_param, standardization=False
     ).fit(feat)
+    coef = [float(c) for c in model.coefficients.toArray()]
+    coef_arr = F.array(*[F.lit(c) for c in coef])
+    sv = F.unwrap_udt(F.col("features"))
+    # HashingTF always emits sparse vectors (type 0: size/indices/
+    # values); keep a dense arm anyway so a swapped featurizer can't
+    # silently mis-score
+    sparse_dot = F.aggregate(
+        F.zip_with(
+            sv["indices"],
+            sv["values"],
+            lambda i, v: F.element_at(coef_arr, i + F.lit(1)) * v,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dense_dot = F.aggregate(
+        F.zip_with(
+            sv["values"],
+            F.sequence(F.lit(1), F.size(sv["values"])),
+            lambda v, j: F.element_at(coef_arr, j) * v,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    margin = F.lit(float(model.intercept)) + F.when(
+        sv["type"] == 0, sparse_dot
+    ).otherwise(dense_dot)
     # P(label=1) — the target class
-    prob_target = F.element_at(vector_to_array(F.col("probability")), 2)
-    return model.transform(feat).select(
+    prob_target = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return feat.select(
         F.col("__id").alias(id_col),
         F.col("__t").alias("is_target"),
         F.round(prob_target, 9).alias("score"),

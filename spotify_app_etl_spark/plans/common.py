@@ -79,6 +79,21 @@ SQL_BIGRAMS = """list_filter(list_transform(
     i -> concat_ws(' ', tk[i], tk[i+1])), g -> g <> '')"""
 
 
+def sql_transitions(tk: str = "tk") -> str:
+    """DuckDB mirror of ``functions.text.transitions`` for use in a
+    FROM clause: two positionally-zipped unnests over the same shifted
+    slices (DuckDB aligns equal-length unnests in one SELECT). Emits
+    columns ``prev`` and ``cur``; a sub-2-token doc yields no rows.
+    The ``greatest(len-1, 0)`` guard stops the empty-array slice from
+    going negative (DuckDB negative indexes count from the END — a
+    silent wrong-answer, not an error). Keep in sync with
+    functions.text.transitions."""
+    return (
+        f"unnest({tk}[1:greatest(len({tk}) - 1, 0)]) AS prev, "
+        f"unnest({tk}[2:len({tk})]) AS cur"
+    )
+
+
 #: Scratch roots already registered for exit-time removal.
 _SCRATCH_CLEANUPS: set[str] = set()
 

@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from spotify_app_etl_spark.functions import pii
 from spotify_app_etl_spark.operators import sampling as SA
 from spotify_app_etl_spark.operators.dedup import normalized, token_ngrams
-from spotify_app_etl_spark.plans.common import SQL_BIGRAMS, SQL_TOKS, t
+from spotify_app_etl_spark.plans.common import (
+    SQL_BIGRAMS,
+    SQL_TOKS,
+    sql_transitions,
+    t,
+)
 from spotify_app_etl_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -351,4 +356,79 @@ def ns_select_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                               k=100, scores=scores)
         .crossJoin(F.broadcast(separation))
         .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-Backoff bigram-LM perplexity selection (operators/lm.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ns_select_lm_perplexity",
+    note="CCNet-style LM perplexity filtering (operators/lm.py): a "
+    "Stupid-Backoff bigram LM (Brants et al. 2007) is counted over the "
+    "en-language target docs (unigram vocab capped at 2000, bigram "
+    "table at 8000 — distributed TakeOrdereds with total tie-breaks), "
+    "then every non-en doc is scored by its mean transition score and "
+    "the top-100 most model-probable kept. The generative-LM sibling "
+    "of ns_select_importance/ns_select_classifier. The registered "
+    "query uses the integer per-million 'rate' mode (1e6*bc div "
+    "prev_uc on a bigram hit, 400000*uc div N backoff, 400000 div N "
+    "OOV floor; ONE final double division per doc) → exact DuckDB "
+    "oracle; the paper's ln-score mode ships alongside, "
+    "ranking-agreement-tested. Scoring is two broadcast joins against "
+    "the bounded model + one map-side-combinable groupBy(doc); the "
+    "1-row token-total rides a broadcast crossJoin (scalar-subquery "
+    "pattern, enumerated in the plan audit).",
+    oracle=f"""
+WITH tgt AS (
+  SELECT {SQL_TOKS} AS tk FROM documents WHERE lang = 'en'
+), toks AS (
+  SELECT unnest(tk) AS tok FROM tgt
+), tots AS (
+  SELECT COUNT(*) AS n FROM toks
+), uni AS (
+  SELECT tok, COUNT(*) AS uc FROM toks
+  GROUP BY tok ORDER BY uc DESC, tok LIMIT 2000
+), tr_t AS (
+  SELECT {sql_transitions("tk")} FROM tgt
+), bg AS (
+  SELECT prev, cur, bc, prev_uc FROM (
+    SELECT b.prev, b.cur, b.bc, u.uc AS prev_uc
+    FROM (SELECT prev, cur, COUNT(*) AS bc FROM tr_t GROUP BY prev, cur) b
+    JOIN uni u ON b.prev = u.tok
+  ) ORDER BY bc DESC, prev, cur LIMIT 8000
+), raw AS (
+  SELECT doc_id, {SQL_TOKS} AS tk FROM documents WHERE lang <> 'en'
+), tr_r AS (
+  SELECT doc_id, {sql_transitions("tk")} FROM raw
+), w AS (
+  SELECT tr_r.doc_id,
+         CASE WHEN bg.bc IS NOT NULL THEN 1000000 * bg.bc // bg.prev_uc
+              WHEN cu.uc IS NOT NULL AND tots.n > 0 THEN 400000 * cu.uc // tots.n
+              WHEN tots.n > 0 THEN 400000 // tots.n
+              ELSE 0 END AS wt
+  FROM tr_r
+  LEFT JOIN bg ON tr_r.prev = bg.prev AND tr_r.cur = bg.cur
+  LEFT JOIN uni cu ON tr_r.cur = cu.tok
+  CROSS JOIN tots
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+       CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS score
+FROM w GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 100
+""",
+    tags=("northstar", "selection", "lm", "prep"),
+)
+def ns_select_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators import lm as LM
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    model = LM.train_bigram_lm(
+        docs.filter(F.col("lang") == "en"), "text", vocab_size=2000, bigram_cap=8000
+    )
+    return LM.lm_select(
+        docs.filter(F.col("lang") != "en"), "text", "doc_id", model, k=100,
+        scoring="rate",
     )

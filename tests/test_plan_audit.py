@@ -93,6 +93,10 @@ NLJ_ALLOWED = {
     # sketch == one-shot batch sketch) crossJoined onto the 20-row
     # estimate output
     "ns_streaming_cms_ingest": 1,
+    # r06 LM perplexity selection: the 1-row target-token-total scalar
+    # crossJoined onto the transition stream (scalar-subquery pattern;
+    # the model tables themselves ride bounded broadcast HASH joins)
+    "ns_select_lm_perplexity": 1,
     # r06 classifier selection: the 1-row separation_ok scalar
     # (target mean score > raw mean score) crossJoined onto the
     # 100-row selection
