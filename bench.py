@@ -87,6 +87,7 @@ HEADLINE = [
     "ns_vocab_cms_estimate",
     "ns_bpe_token_count",
     "ns_select_classifier",
+    "ns_select_lm_perplexity",
 ]
 
 

@@ -1,0 +1,88 @@
+"""Entity-resolution queries: blocked fuzzy matching + entity closure
+(operators/fuzzy.py).
+
+Reference parity: none — master-data/entity-resolution surface on top
+of the reference ETL, same family as the near-dup operators.
+
+The ORACLES here are deliberately the brute-force O(n²) definition
+(DuckDB can afford it at sf0.01), while the Spark side runs the
+deletion-neighborhood blocked plan — so every driver check is also a
+machine-checked proof that the blocking is COMPLETE, not just fast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spotify_app_etl_spark.operators import fuzzy as FZ
+from spotify_app_etl_spark.plans.common import t
+from spotify_app_etl_spark.registry import query
+
+
+@query(
+    "q_fuzzy_match_customers",
+    note="blocked fuzzy self-match over customer names "
+    "(operators/fuzzy.py): FastSS deletion-neighborhood blocking "
+    "(explode ≤ len+1 keys/name, one shuffle on the key) + exact "
+    "levenshtein ≤ 1 verify on candidates only. The oracle is the "
+    "BRUTE-FORCE all-pairs definition, so a hash match proves the "
+    "blocking lost no pair (completeness), not just that the verify "
+    "filter agrees.",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    tags=("entity", "fuzzy", "join"),
+)
+def q_fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return FZ.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1).withColumn(
+        "dist", F.col("dist").cast("bigint")
+    )
+
+
+@query(
+    "q_fuzzy_entity_clusters",
+    note="entity ids from fuzzy matches: a 1-in-3 customer subset "
+    "(custkey % 3 = 0 — non-empty at every test sf, unlike a nation "
+    "slice) is matched at levenshtein ≤ 1 (same blocked plan as "
+    "q_fuzzy_match_customers) and the verified pairs are closed into "
+    "entities via min-label connected components "
+    "(operators/cluster.py, one shuffle/round). Oracle: brute-force "
+    "pairs + recursive-CTE fixpoint — the same closure proof shape as "
+    "ns_dedup_clusters, over an independently-derived edge set.",
+    oracle="""
+WITH RECURSIVE cust AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+), pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM cust a JOIN cust b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node
+), cc AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+)
+SELECT node, component,
+       COUNT(*) OVER (PARTITION BY component) AS cluster_size
+FROM cc
+""",
+    tags=("entity", "fuzzy", "cluster"),
+)
+def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    pairs = FZ.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    return FZ.entity_clusters(pairs)

@@ -57,6 +57,7 @@ _PLAN_MODULES = (
     "spotify_app_etl_spark.plans.layout",
     "spotify_app_etl_spark.plans.chunks",
     "spotify_app_etl_spark.plans.reshape",
+    "spotify_app_etl_spark.plans.entity",
 )
 
 
@@ -109,6 +110,9 @@ _PRIORITY: tuple[str, ...] = (
     "ns_streaming_cms_ingest",  # NEW r06: streaming CMS maintenance
     "ns_bpe_token_count",  # NEW r06: learned-BPE tokenizer counting
     "ns_select_classifier",  # NEW r06: LR quality filter (GPT-3 style)
+    "ns_select_lm_perplexity",  # NEW r06: Stupid-Backoff LM filter (oracle-exact)
+    "q_fuzzy_match_customers",  # NEW r06: FastSS blocked fuzzy match (oracle-exact)
+    "q_fuzzy_entity_clusters",  # NEW r06: entity closure (oracle-exact)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",
