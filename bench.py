@@ -88,6 +88,8 @@ HEADLINE = [
     "ns_bpe_token_count",
     "ns_select_classifier",
     "ns_select_lm_perplexity",
+    "q_fuzzy_match_customers",
+    "ns_pack_sequences",
 ]
 
 

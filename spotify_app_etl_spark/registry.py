@@ -113,6 +113,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_select_lm_perplexity",  # NEW r06: Stupid-Backoff LM filter (oracle-exact)
     "q_fuzzy_match_customers",  # NEW r06: FastSS blocked fuzzy match (oracle-exact)
     "q_fuzzy_entity_clusters",  # NEW r06: entity closure (oracle-exact)
+    "ns_pack_sequences",  # NEW r06: BFD packing without truncation (riders)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

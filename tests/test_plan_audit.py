@@ -93,6 +93,10 @@ NLJ_ALLOWED = {
     # sketch == one-shot batch sketch) crossJoined onto the 20-row
     # estimate output
     "ns_streaming_cms_ingest": 1,
+    # r06 sequence packing: the 1-row invariant rider (conservation /
+    # capacity / fill bounds) built from two 1-row aggregates
+    # (crossJoin of stats × input count, then rider onto the output)
+    "ns_pack_sequences": 2,
     # r06 LM perplexity selection: the 1-row target-token-total scalar
     # crossJoined onto the transition stream (scalar-subquery pattern;
     # the model tables themselves ride bounded broadcast HASH joins)
