@@ -81,13 +81,16 @@ def fuzzy_pairs(
     (id_a, id_b, name_a, name_b, dist) with id_a < id_b.
 
     Exact result (blocking is complete — module docstring), produced
-    as: explode deletion keys → self-join on key with id_a < id_b →
-    distinct candidate pairs (zero-runs make many keys collide, so
-    dedup BEFORE the verify, not after) → ``levenshtein ≤ max_dist``.
+    as: explode deletion keys as narrow (id, key) rows — names do NOT
+    ride the key shuffle, which would copy each name ``len+1`` times
+    through the join (measured ~2x the whole query) → self-join on key
+    with id_a < id_b → distinct id pairs (strings whose keys collide
+    many times — zero runs, repeated chars — candidate once, not once
+    per shared key) → attach each side's name with an equi join →
+    ``levenshtein ≤ max_dist``.
     """
     keyed = df.select(
         F.col(id_col).alias("__id"),
-        F.col(name_col).alias("__name"),
         F.explode(deletion_variants(F.col(name_col), max_ops=max_dist)).alias("__key"),
     )
     cand = (
@@ -97,17 +100,17 @@ def fuzzy_pairs(
             (F.col("a.__key") == F.col("b.__key"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__name").alias("name_a"),
-            F.col("b.__name").alias("name_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    return cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b")
-    ).filter(F.col("dist") <= max_dist)
+    names = df.select(F.col(id_col).alias("__id"), F.col(name_col).alias("__name"))
+    return (
+        cand.join(names.withColumnsRenamed({"__id": "id_a", "__name": "name_a"}), "id_a")
+        .join(names.withColumnsRenamed({"__id": "id_b", "__name": "name_b"}), "id_b")
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
 
 
 def entity_clusters(pairs: DataFrame) -> DataFrame:

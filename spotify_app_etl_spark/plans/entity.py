@@ -86,3 +86,42 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = FZ.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
     return FZ.entity_clusters(pairs)
+
+
+@query(
+    "ns_graph_pagerank",
+    note="distributed PageRank (operators/graph.py) over the "
+    "customer→supplier purchase graph (distinct o_custkey → l_suppkey "
+    "edges; 2n/2n+1 node encoding keeps the two key spaces disjoint). "
+    "Suppliers have no out-edges, so the dangling-mass redistribution "
+    "path is genuinely exercised every round. Rows-only (float "
+    "fixpoint — no SQL oracle) but self-verifying: mass_ok asserts "
+    "total rank mass ≈ 1 (the invariant the dangling convention "
+    "exists to preserve) and pr_rounds records the fixed iteration "
+    "budget (GraphX-style fixed_rounds mode: one driver scalar per "
+    "round, no per-round delta action — power iteration converges at "
+    "rate damping^k, so a tol-mode run costs ~5x the rounds for "
+    "digits the ranking doesn't need). Output bounded to the top-100 "
+    "ranks via distributed TakeOrdered.",
+    tags=("northstar", "graph", "rank"),
+)
+def ns_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.graph import pagerank
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    ranks, rounds = pagerank(edges, fixed_rounds=15)
+    mass = ranks.agg(
+        (F.abs(F.sum("rank") - 1.0) < 1e-6).alias("mass_ok")
+    )
+    return (
+        ranks.orderBy(F.desc("rank"), "node")
+        .limit(100)
+        .select("node", F.round("rank", 9).alias("rank"))
+        .crossJoin(F.broadcast(mass))
+        .withColumn("pr_rounds", F.lit(rounds))
+    )

@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_fuzzy_match_customers",  # NEW r06: FastSS blocked fuzzy match (oracle-exact)
     "q_fuzzy_entity_clusters",  # NEW r06: entity closure (oracle-exact)
     "ns_pack_sequences",  # NEW r06: BFD packing without truncation (riders)
+    "ns_graph_pagerank",  # NEW r06: distributed PageRank (mass rider)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

@@ -93,6 +93,9 @@ NLJ_ALLOWED = {
     # sketch == one-shot batch sketch) crossJoined onto the 20-row
     # estimate output
     "ns_streaming_cms_ingest": 1,
+    # r06 PageRank: the 1-row mass-conservation rider crossJoined onto
+    # the bounded top-100 rank output
+    "ns_graph_pagerank": 1,
     # r06 sequence packing: the 1-row invariant rider (conservation /
     # capacity / fill bounds) built from two 1-row aggregates
     # (crossJoin of stats × input count, then rider onto the output)
