@@ -82,13 +82,16 @@ def query(
 #: everything else follows in registration order and keeps its green
 #: round-1/2 row as evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-6 window (~50 rows). Cumulative state after r05: all
-    # 157 registered queries carry a driver row, zero broken, zero
+    # --- round-6 window (~50 rows; 173 registered after this session's
+    # additions). Cumulative state after r05: every previously
+    # registered query carries a driver row, zero broken, zero
     # mismatches. The rotation policy stays: (1) queries whose CODE
-    # changed this round re-prove first, regardless of row age;
-    # (2) the 33 queries whose latest row is from round 2 (the oldest
-    # evidence in the repo now); (3) the oldest round-3 rows as fill.
-    # r04/r05 rows stay as standing evidence. ---
+    # changed this round (or are NEW this round) re-prove first,
+    # regardless of row age; (2) the queries whose latest row is from
+    # round 2 (the oldest evidence in the repo now); (3) the oldest
+    # round-3 rows as fill. With the five session additions the window
+    # cut falls inside section (2): its tail and section (3) keep
+    # their green r02/r03 rows and roll into r07. ---
     # (1) code changed this round: the percentile operator rewrite
     # (all-NULL groups kept with NULL values, count(*) count_col —
     # ADVICE r05), the _cell_rank NULL backstop + large-centroid Arrow
@@ -163,7 +166,8 @@ _PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q13_customer_distribution",
-    # (Next in line for the r07 window: the rest of the r03-latest
+    # (Next in line for the r07 window: whatever of sections (2)/(3)
+    # above fell past the r06 cut, then the rest of the r03-latest
     # rows — q15/q18/q19/q20/q22, the q_agg_grouping_id/histogram/
     # mode_argmax/salted family, the q_cdc_* set, q_events_funnel/
     # gapfill, q_join_bucketed_colocated/full_outer/lateral_topk/
