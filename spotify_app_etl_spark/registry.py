@@ -118,6 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_fuzzy_entity_clusters",  # NEW r06: entity closure (oracle-exact)
     "ns_pack_sequences",  # NEW r06: BFD packing without truncation (riders)
     "ns_graph_pagerank",  # NEW r06: distributed PageRank (mass rider)
+    "ns_quality_gopher_rules",  # NEW r06: Gopher rule filter (oracle-exact)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",
