@@ -89,6 +89,36 @@ def q_fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fuzzy_match_part_names",
+    note="dictionary fuzzy matching at edit distance ≤ 2 — FastSS's "
+    "native use case: the DISTINCT part-name vocabulary (bounded by "
+    "the name dictionary, ~64 names at every sf, NOT by corpus rows) "
+    "is self-matched with the 2-deletion neighborhood. Matching "
+    "distinct names first is also the degenerate-bucket doctrine from "
+    "the near-dup family: matching the raw rows would put every "
+    "same-name group (hundreds of rows per name at sf0.1) into every "
+    "shared key bucket — exact-dedup BEFORE fuzzy, always. Oracle is "
+    "the brute-force all-pairs definition (completeness proof, d=2).",
+    oracle="""
+WITH d AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM d a JOIN d b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+    tags=("entity", "fuzzy", "join"),
+)
+def q_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = t(spark, sf_dir, "part").select("p_name").distinct()
+    pairs = FZ.fuzzy_pairs(
+        names.withColumn("__nid", F.col("p_name")), "__nid", "p_name", max_dist=2
+    )
+    return pairs.select(
+        F.col("name_a"), F.col("name_b"), F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+@query(
     "ns_graph_pagerank",
     note="distributed PageRank (operators/graph.py) over the "
     "customer→supplier purchase graph (distinct o_custkey → l_suppkey "
