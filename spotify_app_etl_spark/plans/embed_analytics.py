@@ -263,3 +263,79 @@ def ns_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(monotone)).alias("rayleigh_monotone_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (engine-exact).
+# ---------------------------------------------------------------------------
+
+#: JL output dimension. 16 on purpose: sqrt(16) = 4 is a power of two,
+#: so the final /4.0 is EXACT in IEEE double — the whole projection is
+#: then bit-reproducible across engines (per-row sequential fold, no
+#: cross-row float aggregation anywhere).
+_JL_DIM = 16
+
+#: Deterministic ±1 sign matrix entry for (input dim i, output dim j):
+#: integer LCG-style mix, identical arithmetic on both engines (all
+#: terms non-negative, % semantics agree). The Achlioptas (2003)
+#: database-friendly JL construction uses exactly such ±1 entries —
+#: no gaussians needed, and a seeded FORMULA beats a stored random
+#: matrix (nothing to broadcast, nothing to version).
+_JL_MIX_A = 2654435761
+_JL_MIX_B = 40503
+_JL_MOD = 2147483647
+
+
+@query(
+    "ns_embed_random_projection",
+    note="Johnson-Lindenstrauss dimensionality reduction 64→16 "
+    "(Achlioptas ±1 construction): proj[j] = Σ_i emb[i]·sign(i,j) / "
+    "√16, with the sign matrix a deterministic integer formula — no "
+    "stored matrix, no broadcast, map-only (zero shuffles; the "
+    "projection inlines into whole-stage codegen). ENGINE-EXACT "
+    "despite being float math: the fold is per-row sequential (no "
+    "cross-row float aggregation), products by ±1 are exact, and "
+    "√16 = 4 makes the final division exact — so the oracle "
+    "hash-matches bit-for-bit, unusual for a float transform.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embd FROM embeddings
+)
+SELECT vec_id,
+       -- + 0.0 canonicalizes a possible -0.0 (Spark's fold seeds with
+       -- +0.0, which normalizes it there); / 4.0 = / sqrt(16), exact
+       -- because 4 is a power of two
+       list_transform(range(0, {_JL_DIM}), j ->
+         (list_reduce(
+            list_transform(range(0, len(embd)), i ->
+              embd[i + 1] * (CASE WHEN ((i * {_JL_MIX_A} + j * {_JL_MIX_B})
+                                        % {_JL_MOD}) % 2 = 0
+                             THEN 1.0 ELSE -1.0 END)),
+            (a, b) -> a + b) + 0.0) / 4.0
+         ) AS proj
+FROM e
+""",
+    tags=("northstar", "embedding", "projection"),
+)
+def ns_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embd"),
+    )
+
+    def sign(i, j):
+        return F.when(
+            ((i * F.lit(_JL_MIX_A) + j * F.lit(_JL_MIX_B)) % F.lit(_JL_MOD)) % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(_JL_DIM - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.size("embd") - 1),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(F.col("embd"), i + 1) * sign(i, j),
+        )
+        / F.lit(4.0),
+    )
+    return emb.select("vec_id", proj.alias("proj"))
