@@ -153,6 +153,42 @@ def quality_score(text: str | Column) -> Column:
     )
 
 
+def compression_signal():
+    """Arrow-batched zlib compression-ratio kernel: UTF-8 text in,
+    ``struct<orig_bytes, comp_bytes>`` out (ratio left to the caller so
+    it stays one exact integer division site). The
+    compression-ratio quality signal from the RefinedWeb/FineWeb
+    family of pipelines: highly repetitive text (boilerplate, spam,
+    generator loops) compresses far below normal prose, binary-ish
+    noise barely compresses at all. zlib at a FIXED level (6) is
+    deterministic — same bytes in, same length out, every run, every
+    machine — so the signal is reproducible even though no SQL oracle
+    can mirror it (rows-only + riders at the query level). Python is
+    the sanctioned Arrow-batch slow path here; the per-row work is
+    C-speed zlib, not Python arithmetic. NULL text → (NULL, NULL)
+    fields (Arrow struct columns carry field-level nulls); empty text
+    → (0, NULL) — a 0-byte payload has no meaningful ratio, and
+    zlib's 8-byte header would masquerade as infinite bloat."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<orig_bytes: long, comp_bytes: long>")
+    def sig(texts: pd.Series) -> pd.DataFrame:
+        orig, comp = [], []
+        for s in texts:
+            if s is None:
+                orig.append(None)
+                comp.append(None)
+                continue
+            raw = s.encode("utf-8")
+            orig.append(len(raw))
+            comp.append(len(zlib.compress(raw, 6)) if raw else None)
+        return pd.DataFrame({"orig_bytes": orig, "comp_bytes": comp})
+
+    return sig
+
+
 def fingerprint(
     text: str | Column, mod: int = 2147483647, *, assume_normalized: bool = False
 ) -> Column:

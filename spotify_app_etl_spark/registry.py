@@ -121,6 +121,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_quality_gopher_rules",  # NEW r06: Gopher rule filter (oracle-exact)
     "q_fuzzy_match_part_names",  # NEW r06: d=2 dictionary matching (oracle-exact)
     "ns_embed_random_projection",  # NEW r06: JL projection (bit-exact oracle)
+    "ns_quality_compression",  # NEW r06: zlib repetition signal (riders)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

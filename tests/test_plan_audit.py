@@ -93,6 +93,9 @@ NLJ_ALLOWED = {
     # sketch == one-shot batch sketch) crossJoined onto the 20-row
     # estimate output
     "ns_streaming_cms_ingest": 1,
+    # r06 compression signal: the 1-row corr/range rider crossJoined
+    # onto the per-doc output
+    "ns_quality_compression": 1,
     # r06 PageRank: the 1-row mass-conservation rider crossJoined onto
     # the bounded top-100 rank output
     "ns_graph_pagerank": 1,
