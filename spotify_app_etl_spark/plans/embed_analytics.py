@@ -301,19 +301,27 @@ _JL_MOD = 2147483647
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embd FROM embeddings
 )
+, p AS (
+  SELECT vec_id,
+         -- + 0.0 canonicalizes a possible -0.0 (Spark's fold seeds
+         -- with +0.0, which normalizes it there); / 4.0 = / sqrt(16),
+         -- exact because 4 is a power of two
+         list_transform(range(0, {_JL_DIM}), j ->
+           (list_reduce(
+              list_transform(range(0, len(embd)), i ->
+                embd[i + 1] * (CASE WHEN ((i * {_JL_MIX_A} + j * {_JL_MIX_B})
+                                          % {_JL_MOD}) % 2 = 0
+                               THEN 1.0 ELSE -1.0 END)),
+              (a, b) -> a + b) + 0.0) / 4.0
+           ) AS proj
+  FROM e
+)
+-- long form (vec_id, pos, value): the driver contract forbids
+-- array-typed output columns; DuckDB zips equal-length unnests
 SELECT vec_id,
-       -- + 0.0 canonicalizes a possible -0.0 (Spark's fold seeds with
-       -- +0.0, which normalizes it there); / 4.0 = / sqrt(16), exact
-       -- because 4 is a power of two
-       list_transform(range(0, {_JL_DIM}), j ->
-         (list_reduce(
-            list_transform(range(0, len(embd)), i ->
-              embd[i + 1] * (CASE WHEN ((i * {_JL_MIX_A} + j * {_JL_MIX_B})
-                                        % {_JL_MOD}) % 2 = 0
-                             THEN 1.0 ELSE -1.0 END)),
-            (a, b) -> a + b) + 0.0) / 4.0
-         ) AS proj
-FROM e
+       unnest(range(1, {_JL_DIM} + 1)) AS pos,
+       unnest(proj) AS value
+FROM p
 """,
     tags=("northstar", "embedding", "projection"),
 )
@@ -338,4 +346,8 @@ def ns_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(4.0),
     )
-    return emb.select("vec_id", proj.alias("proj"))
+    # long form — no array-typed output columns (driver contract);
+    # posexplode is narrow (no shuffle), the query stays map-only
+    return emb.select("vec_id", F.posexplode(proj).alias("pos0", "value")).select(
+        "vec_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "value"
+    )
