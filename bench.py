@@ -170,13 +170,15 @@ def main() -> None:
     # split — and a single end-of-run read would report whichever ran
     # last).
     cc_rounds: dict[str, list[int]] = {}
+    worst_ratio: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        best, worst = float("inf"), 0.0
         for _ in range(max(args.repeat, 1)):
             cluster.take_rounds()  # drop anything a previous query left
             start = time.perf_counter()
             force(registry[name].fn(spark, args.sf))
-            best = min(best, time.perf_counter() - start)
+            took = time.perf_counter() - start
+            best, worst = min(best, took), max(worst, took)
             rounds = cluster.take_rounds()
             if rounds:
                 # always a list (one entry per CC call): a query gaining
@@ -188,6 +190,7 @@ def main() -> None:
             # honest and a long --all run doesn't accumulate storage
             release_cached()
         timings[name] = round(best, 3)
+        worst_ratio[name] = worst / best if best > 0 else 1.0
 
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -205,6 +208,17 @@ def main() -> None:
                 # variance at sf0.1 is ±50%)
                 "repeat": max(args.repeat, 1),
                 "estimator": "min",
+                # host-noise indicator: median over queries of the
+                # worst/best repeat ratio. ~1.1-1.5 is a quiet host;
+                # >>2 means the sandbox hit a slow-CPU phase during the
+                # run and cross-run comparisons of THIS file are suspect
+                # (measured same-code swings up to 4.5x — COVERAGE.md
+                # bench-drift note)
+                "noise_worst_over_best_median": round(
+                    sorted(worst_ratio.values())[len(worst_ratio) // 2], 2
+                )
+                if worst_ratio
+                else None,
             }
         )
     )
