@@ -171,11 +171,15 @@ def lm_score(
     """
     if scoring not in ("rate", "log"):
         raise ValueError(f"scoring must be 'rate' or 'log', got {scoring!r}")
+    # project the token array FIRST: transitions() references its
+    # argument four times (two sizes, two slices), so inlining
+    # tokens(text) would re-run the whole normalize+split chain per
+    # reference on every scored doc (the measured-7x mistake the
+    # bigrams() docstring warns about; train_bigram_lm already
+    # two-steps it)
     tr = (
-        docs.select(
-            F.col(id_col).alias("__id"),
-            F.explode(transitions(tokens(F.col(text_col)))).alias("t"),
-        )
+        docs.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"))
+        .select("__id", F.explode(transitions(F.col("__tk"))).alias("t"))
         .select("__id", F.col("t.prev").alias("prev"), F.col("t.cur").alias("cur"))
         .join(
             F.broadcast(

@@ -66,8 +66,12 @@ def pack_sequences(
     if n_groups <= 0:
         raise ValueError(f"n_groups must be positive, got {n_groups}")
 
+    # ids keep their own type: casting to long would silently NULL
+    # string ids ('doc-0017'), corrupting the output AND the kernel's
+    # deterministic (__len, __id) tie-break
+    id_type = df.schema[id_col].dataType.simpleString()
     base = df.select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),
         F.col(len_col).cast("long").alias("__len"),
         F.pmod(F.xxhash64(F.col(id_col), F.lit(_SEED_GROUP)), F.lit(n_groups))
         .cast("int")
@@ -75,12 +79,21 @@ def pack_sequences(
     )
 
     out_schema = (
-        "__id long, __len long, __grp int, __bin long, __fill long, "
+        f"__id {id_type}, __len long, __grp int, __bin long, __fill long, "
         "__oversize boolean"
     )
 
     def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
         grp = int(pdf["__grp"].iloc[0])
+        # fail fast and diagnosable: a NULL length (NULL input or a
+        # non-castable len_col) would otherwise surface as an opaque
+        # "cannot convert float NaN to integer" inside pandas
+        if pdf["__len"].isna().any() or pdf["__id"].isna().any():
+            bad = pdf[pdf["__len"].isna() | pdf["__id"].isna()]["__id"].head(5)
+            raise ValueError(
+                f"pack_sequences: NULL id/length rows in group {grp} "
+                f"(first ids: {list(bad)}) — filter or fix them upstream"
+            )
         # BFD order: length desc, id asc — total, so the packing is a
         # pure function of the group's contents
         pdf = pdf.sort_values(["__len", "__id"], ascending=[False, True])
@@ -132,7 +145,9 @@ def pack_sequences(
     )
 
 
-def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
+def packing_stats(
+    packed: DataFrame, capacity: int, n_groups: int = 64
+) -> DataFrame:
     """One-row packing invariants over a :func:`pack_sequences` result
     — the rider aggregate the registered query crossJoins on:
 
@@ -140,10 +155,16 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
     * ``capacity_ok`` — every non-oversize bin's fill ≤ capacity (the
       packer's hard invariant; an oversize doc's singleton bin is
       exempt by definition);
-    * ``fill_ok`` — bins used ≤ 2 × the theoretical lower bound
-      ⌈sum(len)/capacity⌉ over packable docs (BFD guarantees ~11/9 OPT
-      per group; 2× absorbs per-group rounding with room to spare —
-      a packer that stopped packing, e.g. one-doc-per-bin, fails it).
+    * ``fill_ok`` — bins used ≤ 2 × ⌈sum(len)/capacity⌉ + ``n_groups``
+      over packable docs. The 2× absorbs BFD's ~11/9·OPT per-group
+      factor; the ``+ n_groups`` term is the grouped-BFD rounding
+      slack — each group independently rounds up to at least one bin,
+      so a tiny corpus spread over many groups legitimately uses up
+      to one bin per group (without this term an OPTIMAL packing of
+      100 unit-length docs across 64 groups fails the check). A
+      packer that stopped packing (one doc per bin) still fails at
+      any realistic corpus-to-group ratio. Pass the SAME ``n_groups``
+      the packing ran with.
     """
     bins = packed.groupBy("bin_id").agg(
         F.max("bin_fill").alias("fill"),
@@ -173,5 +194,6 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
                 )
                 / F.lit(float(capacity))
             )
+            + F.lit(n_groups)
         ).alias("fill_ok"),
     )

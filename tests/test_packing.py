@@ -58,7 +58,7 @@ def test_invariants_on_random_lengths(spark):
     # conservation: every doc exactly once
     assert sorted(pdf["id"]) == [i for i, _ in rows]
     # capacity + fill accounting via the rider aggregate
-    stats = PK.packing_stats(packed, capacity=2048).collect()[0]
+    stats = PK.packing_stats(packed, capacity=2048, n_groups=8).collect()[0]
     assert stats.n_docs == 500
     assert stats.capacity_ok and stats.fill_ok
     assert stats.n_fill_mismatch == 0
@@ -76,9 +76,39 @@ def test_oversize_docs_get_singleton_bins(spark):
     assert bool(over["oversize"].iloc[0])
     assert (pdf[pdf["oversize"]]["bin_id"].value_counts() == 1).all()
     stats = PK.packing_stats(
-        PK.pack_sequences(df, "id", "ln", capacity=1024, n_groups=1), capacity=1024
+        PK.pack_sequences(df, "id", "ln", capacity=1024, n_groups=1),
+        capacity=1024,
+        n_groups=1,
     ).collect()[0]
     assert stats.capacity_ok  # the oversize singleton is exempt
+
+
+def test_string_ids_survive_and_stay_deterministic(spark):
+    rows = [(f"doc-{i:04d}", (i * 13) % 300 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, ln long")
+    a = PK.pack_sequences(df, "id", "ln", capacity=1024, n_groups=4).collect()
+    b = PK.pack_sequences(df, "id", "ln", capacity=1024, n_groups=4).collect()
+    assert sorted(r.id for r in a) == sorted(i for i, _ in rows)  # no NULLed ids
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fill_ok_holds_for_tiny_corpus_across_many_groups(spark):
+    # 100 unit-length docs over 64 groups: an OPTIMAL packing uses up
+    # to one bin per group — the +n_groups slack must absorb that
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "id long, ln long")
+    packed = PK.pack_sequences(df, "id", "ln", capacity=2048, n_groups=64)
+    stats = PK.packing_stats(packed, capacity=2048, n_groups=64).collect()[0]
+    assert stats.fill_ok and stats.capacity_ok and stats.n_docs == 100
+
+
+def test_null_length_fails_loudly(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "id long, ln long"
+    )
+    with _pt.raises(Exception, match="NULL id/length"):
+        PK.pack_sequences(df, "id", "ln", capacity=100, n_groups=1).collect()
 
 
 def test_deterministic(spark):
