@@ -343,3 +343,56 @@ def ns_vocab_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__n")
         .orderBy(F.desc("n_exact"), "tok")
     )
+
+
+@query(
+    "ns_vocab_heavy_hitters",
+    note="Misra-Gries heavy hitters for the token vocabulary — the "
+    "top-k sibling of ns_vocab_cms_estimate (CMS overestimates "
+    "frequencies of known keys; MG finds the frequent keys with an "
+    "UNDERestimate and a completeness guarantee). One O(k) streaming "
+    "pass per partition, summaries merged by a plain sum (mergeable "
+    "per Agarwal et al. 2012), merged size ≤ k × partitions — never a "
+    "full vocabulary shuffle. Rows-only (estimates are "
+    "arrival-order-defined but deterministic per layout); riders pin "
+    "the one-sided guarantee (under_ok: est ≤ exact, always) and the "
+    "decrement bound (err_ok: exact − est ≤ n/(k+1)); the exact "
+    "counts come from a candidate-bounded groupBy (corpus filtered by "
+    "the broadcast 30-key candidate set), so the rider stays "
+    "scale-safe.",
+    oracle=None,
+    tags=("sketch", "heavy-hitters", "northstar", "text"),
+)
+def ns_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.functions.text import tokens
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.heavyhitters import mg_summary
+
+    k, top = 64, 30
+    docs = t(spark, sf_dir, "documents")
+    tok = _scoped_persist(
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    cand = _scoped_persist(
+        mg_summary(tok, "tok", k)
+        .withColumnRenamed("key", "tok")
+        .orderBy(F.desc("est"), "tok")
+        .limit(top)
+    )
+    exact = (
+        tok.join(F.broadcast(cand.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        cand.join(exact, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("under_ok", F.col("est") <= F.col("n_exact"))
+        .withColumn(
+            "err_ok",
+            F.col("n_exact") - F.col("est") <= F.col("__n") / F.lit(float(k + 1)),
+        )
+        .drop("__n")
+        .orderBy(F.desc("est"), "tok")
+    )

@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_fuzzy_match_part_names",  # NEW r06: d=2 dictionary matching (oracle-exact)
     "ns_embed_random_projection",  # NEW r06: JL projection (bit-exact oracle)
     "ns_quality_compression",  # NEW r06: zlib repetition signal (riders)
+    "ns_vocab_heavy_hitters",  # NEW r06: Misra-Gries top-k (riders)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

@@ -93,6 +93,9 @@ NLJ_ALLOWED = {
     # sketch == one-shot batch sketch) crossJoined onto the 20-row
     # estimate output
     "ns_streaming_cms_ingest": 1,
+    # r06 Misra-Gries heavy hitters: the 1-row total-token scalar
+    # crossJoined onto the 30-row candidate output for the err_ok bound
+    "ns_vocab_heavy_hitters": 1,
     # r06 compression signal: the 1-row corr/range rider crossJoined
     # onto the per-doc output
     "ns_quality_compression": 1,
