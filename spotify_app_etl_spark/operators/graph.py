@@ -154,3 +154,60 @@ def pagerank(
         f"pagerank: no convergence after {max_iter} rounds (tol {tol}) — "
         "raise max_iter or loosen tol"
     )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate every triangle of the undirected graph once:
+    (n1, n2, n3) with n1 < n2 < n3.
+
+    Degree-ordered edge orientation (the standard O(m^1.5) bound —
+    Schank & Wagner 2005's forward/compact algorithm, the shape every
+    distributed triangle counter uses): orient each undirected edge
+    from its lower-(degree, id) endpoint to the higher one, pair the
+    out-neighbors of each node (every node's out-degree is then at
+    most O(sqrt(m)), which is what kills the quadratic hub blowup a
+    plain id-ordered wedge join suffers on skewed graphs), and close
+    each wedge against the oriented edge set with an equi-join. Every
+    triangle appears exactly once — from its lowest-(degree, id)
+    corner. Duplicate/reversed input edges and self-loops are
+    collapsed first.
+
+    All equi-joins + one degree aggregation: three shuffles total,
+    no NLJ, no driver state.
+    """
+    u, v = F.col(src), F.col(dst)
+    und = (
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        und.join(deg.withColumnsRenamed({"node": "u", "deg": "du"}), "u")
+        .join(deg.withColumnsRenamed({"node": "v", "deg": "dv"}), "v")
+    )
+    # orient from the lower (deg, id) endpoint to the higher
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    o = withdeg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    # wedges at each node a: out-neighbor pairs ordered by (deg, id),
+    # so the closing edge is oriented b -> c and ONE equi-join closes it
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(y, "a").filter(
+        F.struct(F.col("x.db"), F.col("x.b")) < F.struct(F.col("y.db"), F.col("y.b"))
+    ).select(F.col("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c"))
+    tri = wedges.join(
+        o.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"]
+    )
+    nodes = F.array_sort(F.array("a", "b", "c"))
+    return tri.select(
+        nodes[0].alias("n1"), nodes[1].alias("n2"), nodes[2].alias("n3")
+    )

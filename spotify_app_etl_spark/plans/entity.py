@@ -119,6 +119,43 @@ def q_fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_graph_triangles",
+    note="triangle enumeration (operators/graph.triangles) over the "
+    "levenshtein≤1 similarity graph of the 1-in-3 customer subset — "
+    "the same verified edge set q_fuzzy_entity_clusters closes into "
+    "entities. Degree-ordered orientation (Schank-Wagner forward "
+    "algorithm): out-degrees are bounded by O(√m), so the wedge join "
+    "cannot blow up on hub nodes the way an id-ordered 3-way "
+    "self-join does; all equi-joins, three shuffles. Oracle is the "
+    "plain a<b<c 3-way join definition — same triangle set, "
+    "independently derived.",
+    oracle="""
+WITH cust AS (
+  SELECT c_custkey AS k, c_name AS n FROM customer WHERE c_custkey % 3 = 0
+), e AS (
+  SELECT a.k AS u, b.k AS v
+  FROM cust a JOIN cust b ON a.k < b.k AND levenshtein(a.n, b.n) <= 1
+)
+SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+    tags=("entity", "graph", "join"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators.graph import triangles
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name")
+    )
+    pairs = FZ.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    return triangles(pairs, src="id_a", dst="id_b")
+
+
+@query(
     "ns_graph_pagerank",
     note="distributed PageRank (operators/graph.py) over the "
     "customer→supplier purchase graph (distinct o_custkey → l_suppkey "

@@ -123,6 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_embed_random_projection",  # NEW r06: JL projection (bit-exact oracle)
     "ns_quality_compression",  # NEW r06: zlib repetition signal (riders)
     "ns_vocab_heavy_hitters",  # NEW r06: Misra-Gries top-k (riders)
+    "q_graph_triangles",  # NEW r06: degree-ordered triangles (oracle-exact)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

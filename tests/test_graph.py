@@ -91,3 +91,43 @@ def test_empty_graph(spark):
     df = spark.createDataFrame([], "src long, dst long")
     ranks, rounds = pagerank(df)
     assert ranks.count() == 0 and rounds == 0
+
+
+def _tri(spark, edges):
+    from spotify_app_etl_spark.operators.graph import triangles
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {(r.n1, r.n2, r.n3) for r in triangles(df).collect()}
+
+
+def test_triangles_k4(spark):
+    import itertools
+
+    k4 = list(itertools.combinations(range(4), 2))
+    assert _tri(spark, k4) == set(itertools.combinations(range(4), 3))
+
+
+def test_triangles_square_has_none(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == set()
+
+
+def test_triangles_duplicates_and_reversals_collapse(spark):
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 2), (5, 5)]
+    assert _tri(spark, noisy) == _tri(spark, base) == {(1, 2, 3)}
+
+
+def test_triangles_match_naive_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = [(u, v) for u, v in itertools.combinations(nodes, 2) if rng.random() < 0.2]
+    eset = set(edges)
+    naive = {
+        (a, b, c)
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    }
+    assert _tri(spark, edges) == naive
