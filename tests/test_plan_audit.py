@@ -131,6 +131,34 @@ _GLOBAL_WINDOW_RE = re.compile(
 )
 
 
+def _executed(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_gate_detects_planted_offenders(spark):
+    """Falsifiability of the gate itself: the regexes must actually
+    fire on the plans they claim to ban — a gate that matches nothing
+    passes every query and verifies nothing."""
+    from pyspark.sql import Window, functions as F
+
+    # O(n²) join: a crossJoin with no condition executes as
+    # CartesianProduct or (small side) BroadcastNestedLoopJoin
+    cart = _executed(spark.range(100).crossJoin(spark.range(100).withColumnRenamed("id", "id2")))
+    assert len(re.findall(r"CartesianProduct", cart)) + len(
+        re.findall(r"BroadcastNestedLoopJoin", cart)
+    ) >= 1, cart
+    # global window: orderBy with no partition spec pulls every row
+    # into one task via Exchange SinglePartition
+    gwin = _executed(
+        spark.range(1000).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+    )
+    assert _GLOBAL_WINDOW_RE.findall(gwin), gwin
+
+
 @pytest.mark.slow
 def test_no_unbounded_join_strategies(spark):
     offenders: dict[str, str] = {}
