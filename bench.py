@@ -90,6 +90,7 @@ HEADLINE = [
     "ns_select_lm_perplexity",
     "q_fuzzy_match_customers",
     "ns_pack_sequences",
+    "ns_pipeline_llm_recipe",
 ]
 
 

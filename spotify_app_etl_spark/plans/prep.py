@@ -432,3 +432,110 @@ def ns_select_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("lang") != "en"), "text", "doc_id", model, k=100,
         scoring="rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end recipe: quality gate → exact dedup → LM select.
+# ---------------------------------------------------------------------------
+
+from spotify_app_etl_spark.plans.corpus import (  # noqa: E402
+    SQL_GOPHER_FLAGS,
+    SQL_GOPHER_PASS,
+    SQL_GOPHER_STATS,
+)
+
+
+@query(
+    "ns_pipeline_llm_recipe",
+    note="the operators COMPOSED as a real data recipe — Gopher rule "
+    "gate (plans/corpus.gopher_rule_flags) → exact sha256 dedup keeping "
+    "min-id representatives (operators/dedup.exact_dedup) → "
+    "Stupid-Backoff LM trained on the surviving en docs scoring the "
+    "surviving non-en docs, top-50 kept (operators/lm.py). Every stage "
+    "is individually oracle-checked elsewhere; THIS query hash-checks "
+    "their composition end-to-end against one chained DuckDB WITH — "
+    "the filters feed the dedup feeds the LM training corpus, so a "
+    "row-set drift anywhere in the chain moves the final scores.",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, text, {SQL_TOKS} AS tk FROM documents
+), gst AS (
+  {SQL_GOPHER_STATS.format(src="s")}
+), gpassed AS (
+  SELECT doc_id FROM (SELECT doc_id, {SQL_GOPHER_FLAGS} FROM gst)
+  WHERE {SQL_GOPHER_PASS}
+), surv AS (
+  SELECT s.* FROM s JOIN gpassed USING (doc_id)
+), reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY sha256(text)
+), surv2 AS (
+  SELECT surv.* FROM surv JOIN reps USING (doc_id)
+), tgt AS (
+  SELECT tk FROM surv2 WHERE lang = 'en'
+), toks AS (
+  SELECT unnest(tk) AS tok FROM tgt
+), tots AS (
+  SELECT COUNT(*) AS n FROM toks
+), uni AS (
+  SELECT tok, COUNT(*) AS uc FROM toks
+  GROUP BY tok ORDER BY uc DESC, tok LIMIT 2000
+), tr_t AS (
+  SELECT {sql_transitions("tk")} FROM tgt
+), bg AS (
+  SELECT prev, cur, bc, prev_uc FROM (
+    SELECT b.prev, b.cur, b.bc, u.uc AS prev_uc
+    FROM (SELECT prev, cur, COUNT(*) AS bc FROM tr_t GROUP BY prev, cur) b
+    JOIN uni u ON b.prev = u.tok
+  ) ORDER BY bc DESC, prev, cur LIMIT 8000
+), raw AS (
+  SELECT doc_id, tk FROM surv2 WHERE lang <> 'en'
+), tr_r AS (
+  SELECT doc_id, {sql_transitions("tk")} FROM raw
+), w AS (
+  SELECT tr_r.doc_id,
+         CASE WHEN bg.bc IS NOT NULL THEN 1000000 * bg.bc // bg.prev_uc
+              WHEN cu.uc IS NOT NULL AND tots.n > 0 THEN 400000 * cu.uc // tots.n
+              WHEN tots.n > 0 THEN 400000 // tots.n
+              ELSE 0 END AS wt
+  FROM tr_r
+  LEFT JOIN bg ON tr_r.prev = bg.prev AND tr_r.cur = bg.cur
+  LEFT JOIN uni cu ON tr_r.cur = cu.tok
+  CROSS JOIN tots
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+       CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS score
+FROM w GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 50
+""",
+    tags=("northstar", "pipeline", "selection", "prep"),
+)
+def ns_pipeline_llm_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_app_etl_spark.operators import lm as LM
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist, exact_dedup
+    from spotify_app_etl_spark.plans.corpus import gopher_rule_flags
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    passed = (
+        gopher_rule_flags(docs)
+        .filter(
+            F.col("word_count_ok")
+            & F.col("word_len_ok")
+            & F.col("alpha_ok")
+            & F.col("symbol_ok")
+        )
+        .select("doc_id")
+    )
+    surv = docs.join(passed, "doc_id")
+    reps = exact_dedup(surv, "text", "doc_id").select(
+        F.col("representative_id").alias("doc_id")
+    )
+    # persisted: the deduped survivor set feeds BOTH the LM training
+    # slice and the scoring pool
+    surv2 = _scoped_persist(surv.join(reps, "doc_id"))
+    model = LM.train_bigram_lm(
+        surv2.filter(F.col("lang") == "en"), "text", vocab_size=2000, bigram_cap=8000
+    )
+    return LM.lm_select(
+        surv2.filter(F.col("lang") != "en"), "text", "doc_id", model, k=50,
+        scoring="rate",
+    )

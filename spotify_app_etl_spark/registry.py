@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_quality_compression",  # NEW r06: zlib repetition signal (riders)
     "ns_vocab_heavy_hitters",  # NEW r06: Misra-Gries top-k (riders)
     "q_graph_triangles",  # NEW r06: degree-ordered triangles (oracle-exact)
+    "ns_pipeline_llm_recipe",  # NEW r06: composed gate→dedup→LM (oracle-exact)
     "ns_sim_topk_lsh_indexed",
     "ns_dedup_minhash_incremental",
     "ns_streaming_dedup_ingest",

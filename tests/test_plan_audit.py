@@ -110,6 +110,8 @@ NLJ_ALLOWED = {
     # crossJoined onto the transition stream (scalar-subquery pattern;
     # the model tables themselves ride bounded broadcast HASH joins)
     "ns_select_lm_perplexity": 1,
+    # r06 composed recipe: same LM scoring stage, same 1-row scalar
+    "ns_pipeline_llm_recipe": 1,
     # r06 classifier selection: the 1-row separation_ok scalar
     # (target mean score > raw mean score) crossJoined onto the
     # 100-row selection
