@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -172,12 +173,19 @@ def main() -> None:
     # last).
     cc_rounds: dict[str, list[int]] = {}
     worst_ratio: dict[str, float] = {}
+    # Self-verifying queries carry an in-query proof (in-memory ANN
+    # parity, exact-kernel recall, rerun idempotence) that can cost as
+    # much as the operator; the driver's correctness sweep runs the
+    # proof-laden fn, the bench measures the rider-free bench_fn so
+    # the JSON reflects engine cost. Which queries did is recorded.
+    rider_free = sorted(n for n in names if registry[n].bench_fn is not None)
     for name in names:
+        bench_fn = registry[name].bench_fn or registry[name].fn
         best, worst = float("inf"), 0.0
         for _ in range(max(args.repeat, 1)):
             cluster.take_rounds()  # drop anything a previous query left
             start = time.perf_counter()
-            force(registry[name].fn(spark, args.sf))
+            force(bench_fn(spark, args.sf))
             took = time.perf_counter() - start
             best, worst = min(best, took), max(worst, took)
             rounds = cluster.take_rounds()
@@ -209,6 +217,10 @@ def main() -> None:
                 # variance at sf0.1 is ±50%)
                 "repeat": max(args.repeat, 1),
                 "estimator": "min",
+                # queries timed WITHOUT their in-query verification
+                # riders (r07+; earlier rounds timed fn riders-included,
+                # so cross-round deltas on these names are expected)
+                "rider_free": rider_free or None,
                 # host-noise indicator: median over queries of the
                 # worst/best repeat ratio. ~1.1-1.5 is a quiet host;
                 # >>2 means the sandbox hit a slow-CPU phase during the
@@ -216,7 +228,7 @@ def main() -> None:
                 # (measured same-code swings up to 4.5x — COVERAGE.md
                 # bench-drift note)
                 "noise_worst_over_best_median": round(
-                    sorted(worst_ratio.values())[len(worst_ratio) // 2], 2
+                    statistics.median(worst_ratio.values()), 2
                 )
                 if worst_ratio
                 else None,

@@ -94,6 +94,15 @@ def pack_sequences(
                 f"pack_sequences: NULL id/length rows in group {grp} "
                 f"(first ids: {list(bad)}) — filter or fix them upstream"
             )
+        # a negative length sorts last, always "fits" the first bin
+        # probed, and inflates residuals past capacity — capacity_ok
+        # could still pass while bin_fill is silently corrupt
+        if (pdf["__len"] < 0).any():
+            bad = pdf[pdf["__len"] < 0]["__id"].head(5)
+            raise ValueError(
+                f"pack_sequences: negative lengths in group {grp} "
+                f"(first ids: {list(bad)}) — filter or fix them upstream"
+            )
         # BFD order: length desc, id asc — total, so the packing is a
         # pure function of the group's contents
         pdf = pdf.sort_values(["__len", "__id"], ascending=[False, True])

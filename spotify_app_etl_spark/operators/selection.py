@@ -257,15 +257,23 @@ def classifier_scores(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    dense_dot = F.aggregate(
-        F.zip_with(
-            sv["values"],
-            F.sequence(F.lit(1), F.size(sv["values"])),
-            lambda v, j: F.element_at(coef_arr, j) * v,
+    # F.sequence(1, 0) on an empty dense vector is the DESCENDING
+    # [1, 0] (step inferred -1), and element_at(coef_arr, 0) errors
+    # under ANSI mode. Unreachable with HashingTF (always sparse), but
+    # this arm exists precisely to survive a swapped featurizer, so
+    # guard it: empty vector → dot product 0.0.
+    dense_dot = F.when(
+        F.size(sv["values"]) > 0,
+        F.aggregate(
+            F.zip_with(
+                sv["values"],
+                F.sequence(F.lit(1), F.greatest(F.size(sv["values"]), F.lit(1))),
+                lambda v, j: F.element_at(coef_arr, j) * v,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    ).otherwise(F.lit(0.0))
     margin = F.lit(float(model.intercept)) + F.when(
         sv["type"] == 0, sparse_dot
     ).otherwise(dense_dot)

@@ -337,14 +337,25 @@ def ns_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
         ).otherwise(F.lit(-1.0))
 
+    # Guard the index sequence: F.sequence(0, size-1) on an EMPTY array
+    # infers step -1 and yields the descending [0, -1], so element_at
+    # would then be probed out of range (error under ANSI mode). The
+    # embeddings table is fixed-width today, but keep the empty-array
+    # arm explicit so the query matches the DuckDB oracle's
+    # range(0, len(embd)) → empty → dot = 0.0 semantics on any input.
+    def jl_dot(j):
+        return F.when(
+            F.size("embd") > 0,
+            F.aggregate(
+                F.sequence(F.lit(0), F.greatest(F.size("embd"), F.lit(1)) - 1),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(F.col("embd"), i + 1) * sign(i, j),
+            ),
+        ).otherwise(F.lit(0.0))
+
     proj = F.transform(
         F.sequence(F.lit(0), F.lit(_JL_DIM - 1)),
-        lambda j: F.aggregate(
-            F.sequence(F.lit(0), F.size("embd") - 1),
-            F.lit(0.0),
-            lambda acc, i: acc + F.element_at(F.col("embd"), i + 1) * sign(i, j),
-        )
-        / F.lit(4.0),
+        lambda j: jl_dot(j) / F.lit(4.0),
     )
     # long form — no array-typed output columns (driver contract);
     # posexplode is narrow (no shuffle), the query stays map-only

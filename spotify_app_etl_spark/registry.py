@@ -28,6 +28,13 @@ class Query:
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     tags: tuple[str, ...] = ()
     note: str = ""
+    #: Rider-free variant for the benchmark harness. Self-verifying
+    #: queries (persisted-ANN parity, SemDeDup recall, streaming
+    #: idempotence) carry an in-query proof that can cost as much as
+    #: the operator itself; the driver's correctness sweep always runs
+    #: ``fn`` (proof included), while ``bench.py`` measures ``bench_fn``
+    #: so BENCH_r*.json reflects the engine, not the proof.
+    bench_fn: QueryFn | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -62,14 +69,20 @@ _PLAN_MODULES = (
 
 
 def query(
-    name: str, oracle: str | None = None, tags: tuple[str, ...] = (), note: str = ""
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    note: str = "",
+    bench_fn: QueryFn | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn`` as a named query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, note=note)
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, tags=tags, note=note, bench_fn=bench_fn
+        )
         return fn
 
     return deco

@@ -1,10 +1,15 @@
 """Misra-Gries heavy hitters (operators/heavyhitters.py): agreement
 with a local reference on one partition, the one-sided and decrement
 bounds, the completeness guarantee, merge behavior across partition
-layouts, and guards."""
+layouts, guards, and a planted-skew timing bound proving the kernel
+is vectorized (no per-row Python loop)."""
 
 from __future__ import annotations
 
+import time
+
+import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -12,17 +17,16 @@ from spotify_app_etl_spark.operators import heavyhitters as HH
 
 
 def _local_mg(stream, k):
+    """Local replay of the batched Agarwal-et-al. MERGE kernel: the
+    whole single-partition stream arrives as one Arrow batch, so the
+    summary is the exact histogram re-bounded once by the (k+1)-th
+    largest count."""
     c: dict = {}
     for x in stream:
-        if x in c:
-            c[x] += 1
-        elif len(c) < k:
-            c[x] = 1
-        else:
-            for key in list(c):
-                c[key] -= 1
-                if c[key] == 0:
-                    del c[key]
+        c[x] = c.get(x, 0) + 1
+    if len(c) > k:
+        t = sorted(c.values(), reverse=True)[k]
+        c = {key: n - t for key, n in c.items() if n > t}
     return c
 
 
@@ -83,6 +87,62 @@ def test_guards(spark):
         HH.mg_summary(df, "key", k=0)
     with pytest.raises(ValueError, match="top must be"):
         HH.mg_topk(df, "key", k=4, top=0)
+
+
+def test_bigint_keys_keep_their_type(spark):
+    # ADVICE r06: the output schema derives from the input key type —
+    # bigint ids must not be coerced through 'key string'
+    df = spark.createDataFrame([(7,), (7,), (9,)], "key bigint")
+    out = HH.mg_summary(df, "key", k=4)
+    assert out.schema["key"].dataType.simpleString() == "bigint"
+    assert {r.key: r.est for r in out.collect()} == {7: 2, 9: 1}
+
+
+def test_merge_batch_counts_bounds_across_batches():
+    # pure-kernel check: 3 batches, k=4; summary stays ≤ k keys and
+    # every estimate is a one-sided underestimate within n/(k+1)
+    rng = np.random.default_rng(7)
+    batches = [
+        pd.Series(rng.choice([f"w{i}" for i in range(40)], size=5000))
+        for _ in range(3)
+    ]
+    exact: dict = {}
+    counters: dict = {}
+    k = 4
+    for b in batches:
+        vc = b.value_counts()
+        for key, c in vc.items():
+            exact[key] = exact.get(key, 0) + int(c)
+        counters = HH._merge_batch_counts(counters, vc, k)
+    n = sum(exact.values())
+    assert len(counters) <= k
+    for key, est in counters.items():
+        assert 0 < est <= exact[key]
+        assert exact[key] - est <= n / (k + 1)
+
+
+def test_planted_skew_timing_is_vectorized():
+    # 20M rows of planted skew fold in well under a second via
+    # value_counts; the old per-row Python loop took ~10 s on this —
+    # a generous 5 s wall bound still separates the two by >5×
+    # k0 dominates (8M of 20M rows — far above n/(k+1) ≈ 1.18M, so MG
+    # completeness guarantees it survives and its estimate stays ≥
+    # 8M − n/(k+1) > any tail key's true count of 121k)
+    keys = pd.Series(
+        np.repeat(
+            np.array([f"k{i}" for i in range(100)]),
+            np.array([8_000_000] + [121_212] * 99),
+        )
+    )
+    t0 = time.monotonic()
+    counters: dict = {}
+    for lo in range(0, len(keys), 5_000_000):  # simulate 4 Arrow batches
+        counters = HH._merge_batch_counts(
+            counters, keys.iloc[lo : lo + 5_000_000].value_counts(), 16
+        )
+    assert time.monotonic() - t0 < 5.0
+    assert len(counters) <= 16
+    assert max(counters, key=counters.get) == "k0"
 
 
 def test_registered_query_riders(spark):

@@ -111,6 +111,16 @@ def test_null_length_fails_loudly(spark):
         PK.pack_sequences(df, "id", "ln", capacity=100, n_groups=1).collect()
 
 
+def test_negative_length_fails_loudly(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -3)], "id long, ln long"
+    )
+    with _pt.raises(Exception, match="negative lengths"):
+        PK.pack_sequences(df, "id", "ln", capacity=100, n_groups=1).collect()
+
+
 def test_deterministic(spark):
     rows = [(i, (i * 37) % 400 + 1) for i in range(200)]
     df = spark.createDataFrame(rows, "id long, ln long")
