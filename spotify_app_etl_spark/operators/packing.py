@@ -53,6 +53,7 @@ def pack_sequences(
     len_col: str,
     capacity: int,
     n_groups: int = 64,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Pack whole documents into fixed-``capacity`` sequences: one row
     per input doc with (id, length, group, bin_id, bin_fill, oversize).
@@ -60,6 +61,13 @@ def pack_sequences(
     ``bin_id`` is unique across groups (``group * 2^40 + local bin``);
     ``bin_fill`` is the summed length of the doc's bin (same value on
     every member row). Deterministic — module docstring.
+
+    ``group_col`` overrides the default xxhash64 group assignment with
+    a caller-provided column (values must land in ``[0, n_groups)``) —
+    useful when the grouping must be replayable outside Spark (the
+    registered query uses ``id % n_groups`` so its DuckDB oracle can
+    re-run the exact BFD), or when the caller already has a
+    load-balanced partition key.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
@@ -70,12 +78,15 @@ def pack_sequences(
     # string ids ('doc-0017'), corrupting the output AND the kernel's
     # deterministic (__len, __id) tie-break
     id_type = df.schema[id_col].dataType.simpleString()
+    grp = (
+        F.col(group_col)
+        if group_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col), F.lit(_SEED_GROUP)), F.lit(n_groups))
+    )
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(len_col).cast("long").alias("__len"),
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(_SEED_GROUP)), F.lit(n_groups))
-        .cast("int")
-        .alias("__grp"),
+        grp.cast("int").alias("__grp"),
     )
 
     out_schema = (

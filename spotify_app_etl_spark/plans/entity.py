@@ -155,21 +155,76 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(pairs, src="id_a", dst="id_b")
 
 
+def _pagerank_oracle(rounds: int = 15, damping: float = 0.85) -> str:
+    """Unrolled power iteration as a DuckDB WITH chain: fixed-rounds
+    PageRank is deterministic given the edge set, so each of the
+    ``rounds`` steps is one CTE computing the next rank vector from the
+    previous (same dangling-mass redistribution convention as
+    operators/graph.pagerank). Both sides round to 9 dp BEFORE the
+    order-by so an engine-level float wobble at 1e-12 can't reorder
+    near-ties across the LIMIT cut."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+dm{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(p.rank), 0.0) AS dm
+  FROM r{i - 1} p LEFT JOIN outdeg o ON o.src = p.node
+  WHERE o.src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0 - {damping}) / nn.n
+         + {damping} * (COALESCE(c.in_share, 0.0) + dm{i}.dm / nn.n) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank / o.outdeg) AS in_share
+    FROM e JOIN r{i - 1} p ON e.src = p.node JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+  CROSS JOIN nn CROSS JOIN dm{i}
+)""")
+    return (
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+        + "".join(steps)
+        + f"""
+SELECT node, round(rank, 9) AS rank,
+       (SELECT ABS(SUM(rank) - 1.0) < 1e-6 FROM r{rounds}) AS mass_ok,
+       CAST({rounds} AS BIGINT) AS pr_rounds
+FROM r{rounds}
+ORDER BY round(rank, 9) DESC, node
+LIMIT 100
+"""
+    )
+
+
 @query(
     "ns_graph_pagerank",
     note="distributed PageRank (operators/graph.py) over the "
     "customer→supplier purchase graph (distinct o_custkey → l_suppkey "
     "edges; 2n/2n+1 node encoding keeps the two key spaces disjoint). "
     "Suppliers have no out-edges, so the dangling-mass redistribution "
-    "path is genuinely exercised every round. Rows-only (float "
-    "fixpoint — no SQL oracle) but self-verifying: mass_ok asserts "
-    "total rank mass ≈ 1 (the invariant the dangling convention "
-    "exists to preserve) and pr_rounds records the fixed iteration "
-    "budget (GraphX-style fixed_rounds mode: one driver scalar per "
-    "round, no per-round delta action — power iteration converges at "
-    "rate damping^k, so a tol-mode run costs ~5x the rounds for "
-    "digits the ranking doesn't need). Output bounded to the top-100 "
-    "ranks via distributed TakeOrdered.",
+    "path is genuinely exercised every round. Fixed-rounds power "
+    "iteration is deterministic, so since r07 the DuckDB oracle "
+    "replays all 15 rounds as an unrolled WITH chain (hash-green, not "
+    "rows-only); both sides round to 9 dp BEFORE the order-by so "
+    "float wobble can't reorder near-ties across the LIMIT cut. "
+    "mass_ok additionally asserts total rank mass ≈ 1 and pr_rounds "
+    "records the iteration budget (GraphX-style fixed_rounds mode: "
+    "one driver scalar per round, no per-round delta action — power "
+    "iteration converges at rate damping^k, so a tol-mode run costs "
+    "~5x the rounds for digits the ranking doesn't need). Output "
+    "bounded to the top-100 ranks via distributed TakeOrdered.",
+    oracle=_pagerank_oracle(),
     tags=("northstar", "graph", "rank"),
 )
 def ns_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,10 +240,13 @@ def ns_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass = ranks.agg(
         (F.abs(F.sum("rank") - 1.0) < 1e-6).alias("mass_ok")
     )
+    # round BEFORE the order-by: the oracle replays the same 15 rounds
+    # in DuckDB and two nodes differing at 1e-12 must not order-swap
+    # across the LIMIT cut between engines
     return (
-        ranks.orderBy(F.desc("rank"), "node")
+        ranks.select("node", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
         .limit(100)
-        .select("node", F.round("rank", 9).alias("rank"))
         .crossJoin(F.broadcast(mass))
-        .withColumn("pr_rounds", F.lit(rounds))
+        .withColumn("pr_rounds", F.lit(rounds).cast("bigint"))
     )

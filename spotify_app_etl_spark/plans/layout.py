@@ -372,3 +372,70 @@ def ns_layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compacted"),
         )
     )
+
+
+@query(
+    "ns_layout_zorder_skipping",
+    note="Z-order (Morton) layout round-trip (io.write_zordered): "
+    "events' (user_id, hour) dims min-max scaled onto the full "
+    "[0, 255]² grid (the morton_key contract — equal per-dimension "
+    "resolution), written as 16 Z-range-partitioned parquet files into "
+    "a self-clearing scratch dir, read back. Emits one row per file "
+    "ordered along the curve (z_start = the file's minimum Morton key) "
+    "with its row count and per-dimension value spans — exactly the "
+    "footer min/max stats a scan would skip on. File layout is "
+    "write-defined → rows-only; self-verifying: rows_preserved pins "
+    "the round-trip row count against the source, and u_skip_ok / "
+    "h_skip_ok assert the mean per-file span of EACH dimension is "
+    "under 60% of its full domain — the two-dimensional skipping "
+    "property a single-column sort cannot give (the sorted-baseline "
+    "comparison lives in tests/test_layout.py).",
+    tags=("northstar", "layout", "zorder"),
+)
+def ns_layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from spotify_app_etl_spark.io import morton_key, write_zordered
+
+    base = _layout_dir(spark, sf_dir, "zorder_rt")
+    shutil.rmtree(base, ignore_errors=True)
+    raw = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("abs_hour"),
+    )
+    # domain bounds: one 4-scalar driver row (bounded state, like the
+    # zorder test) — production would take these from table stats
+    b = raw.agg(
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+        F.min("abs_hour").alias("h0"),
+        F.max("abs_hour").alias("h1"),
+    ).first()
+    bits, n_files = 8, 16
+    top = (1 << bits) - 1
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        F.floor((F.col("user_id") - b.u0) * top / (b.u1 - b.u0)).alias("u_s"),
+        (F.col("abs_hour") - b.h0).alias("hour"),
+        F.floor((F.col("abs_hour") - b.h0) * top / (b.h1 - b.h0)).alias("h_s"),
+    )
+    write_zordered(ev, base, "u_s", "h_s", n_files=n_files, bits=bits)
+    rb = spark.read.parquet(base).withColumn("__f", F.input_file_name())
+    per_file = rb.groupBy("__f").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(morton_key("u_s", "h_s", bits)).alias("z_start"),
+        (F.max("user_id") - F.min("user_id")).alias("u_span"),
+        (F.max("hour") - F.min("hour")).alias("h_span"),
+    )
+    riders = per_file.agg(
+        (F.sum("n_rows") == F.lit(int(ev.count()))).alias("rows_preserved"),
+        (F.avg("u_span") < 0.6 * float(b.u1 - b.u0)).alias("u_skip_ok"),
+        (F.avg("h_span") < 0.6 * float(b.h1 - b.h0)).alias("h_skip_ok"),
+    )
+    return (
+        per_file.select("z_start", "n_rows", "u_span", "h_span")
+        .crossJoin(F.broadcast(riders))
+        .orderBy("z_start")
+    )

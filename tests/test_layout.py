@@ -322,3 +322,16 @@ def test_morton_key_rejects_unrepresentable_bits(spark):
     for bad in (0, 32, 33, 64):
         with pytest.raises(ValueError, match="bits"):
             morton_key("a", "b", bits=bad)
+
+
+def test_zorder_skipping_query_riders(spark):
+    from spotify_app_etl_spark.registry import load_all
+
+    rows = load_all()["ns_layout_zorder_skipping"].fn(
+        spark, SF
+    ).collect()
+    assert len(rows) == 16
+    assert all(r.rows_preserved and r.u_skip_ok and r.h_skip_ok for r in rows)
+    # files are emitted in curve order
+    zs = [r.z_start for r in rows]
+    assert zs == sorted(zs)
