@@ -92,6 +92,8 @@ HEADLINE = [
     "q_fuzzy_match_customers",
     "ns_pack_sequences",
     "ns_pipeline_llm_recipe",
+    # round-7 addition: Z-order layout round-trip (write + span audit)
+    "ns_layout_zorder_skipping",
 ]
 
 

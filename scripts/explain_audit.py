@@ -99,7 +99,9 @@ def main() -> None:
     for name in HEADLINE + [n for n in extra if n not in HEADLINE]:
         q = registry[name]
         t0 = time.time()
-        df = q.fn(spark, args.sf)
+        # audit what bench.py times: the rider-free bench_fn where one
+        # exists (the driver still runs the proof-laden fn)
+        df = (q.bench_fn or q.fn)(spark, args.sf)
         # collect() (not count()/noop-save) finalizes THIS df's own
         # AdaptiveSparkPlan — other actions execute a cloned query and
         # leave df's plan un-finalized with no codegen/shuffle truth

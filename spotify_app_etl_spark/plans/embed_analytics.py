@@ -214,20 +214,69 @@ def _power_iteration(emb: DataFrame, vec_col: str, iters: int = 8):
     return v, eigvals
 
 
+def _eigvec_oracle(iters: int = 8, dim: int = 64, slack: float = 1e-9) -> str:
+    """DuckDB replay of the fixed-rounds Gram power iteration: each
+    round is two materialized 1-row CTEs — per-position sums of
+    x[pos]·(x·v) and the renormalized next vector. Both sides round
+    (loadings 8 dp, eigenvalue 5 dp) so cross-engine float-sum order
+    differences (~1e-12 relative over 8 rounds) can't flip a digit."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT x.pos, SUM(x.val * list_dot_product(x.emb, r{i - 1}.v)) AS w
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS emb,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings WHERE embedding IS NOT NULL) x
+  CROSS JOIN r{i - 1}
+  GROUP BY x.pos
+),
+r{i} AS MATERIALIZED (
+  SELECT sqrt(list_dot_product(list(w ORDER BY pos),
+              list(w ORDER BY pos))) AS norm,
+         list_transform(list(w ORDER BY pos),
+           e -> e / sqrt(list_dot_product(list(w ORDER BY pos),
+                         list(w ORDER BY pos)))) AS v
+  FROM d{i}
+)""")
+    mono = " AND ".join(
+        f"(SELECT norm FROM r{j + 1}) >= (SELECT norm FROM r{j}) * (1.0 - {slack})"
+        for j in range(1, iters)
+    )
+    return f"""
+WITH r0 AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim + 1}), i -> 1.0 / sqrt({dim})) AS v
+){''.join(steps)},
+mono AS (SELECT {mono} AS rayleigh_monotone_ok)
+SELECT CAST(p.pos AS INT) AS pos,
+       round(p.val, 8) AS loading,
+       round((SELECT norm FROM r{iters}), 5) AS eigenvalue,
+       mono.rayleigh_monotone_ok
+FROM (SELECT unnest(v) AS val, unnest(range(1, {dim + 1})) AS pos
+      FROM r{iters}) p
+CROSS JOIN mono
+"""
+
+
 @query(
     "ns_embed_top_eigvec",
     note="distributed power iteration (8 rounds) for the top "
     "eigenvector of the corpus Gram matrix — one pass per round, "
-    "O(dim) driver state, KMeans-style coordination; iterative + "
-    "float-sum order → rows-only; distributed==local equality and "
-    "spiked-data convergence vs numpy eigendecomposition asserted in "
-    "tests/test_operators.py (the i.i.d. testdata spectrum is too "
-    "flat for 8 rounds to converge to eigh — by design it reports "
-    "the 8-round iterate, which IS the deterministic contract). "
-    "Self-verifying: rayleigh_monotone_ok asserts the per-round norm "
-    "estimates ||X'X v_k|| never decrease — a theorem for power "
-    "iteration on PSD Gram matrices, so any broken dot/sum kernel "
-    "flips it; computed from the existing 8 passes, zero extra cost",
+    "O(dim) driver state, KMeans-style coordination; "
+    "distributed==local equality and spiked-data convergence vs numpy "
+    "eigendecomposition asserted in tests/test_operators.py (the "
+    "i.i.d. testdata spectrum is too flat for 8 rounds to converge to "
+    "eigh — by design it reports the 8-round iterate, which IS the "
+    "deterministic contract). Oracle-checked since r07: the fixed "
+    "8-round iteration replays in DuckDB as a materialized WITH chain "
+    "(like ns_graph_pagerank); loadings round to 8 dp and the "
+    "eigenvalue to 5 dp on BOTH sides so cross-engine float-sum order "
+    "can't flip a digit. Self-verifying rider kept: "
+    "rayleigh_monotone_ok asserts the per-round norm estimates "
+    "||X'X v_k|| never decrease — a theorem for power iteration on "
+    "PSD Gram matrices, so any broken dot/sum kernel flips it.",
+    oracle=_eigvec_oracle(),
     tags=("northstar", "embedding", "pca"),
 )
 def ns_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +298,7 @@ def ns_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(i + 1).cast("int").alias("pos"),
-                            F.lit(float(c)).alias("loading"),
+                            F.lit(round(float(c), 8)).alias("loading"),
                         )
                         for i, c in enumerate(v)
                     ]
@@ -259,7 +308,7 @@ def ns_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s.pos",
             "s.loading",
-            F.lit(eigvals[-1]).alias("eigenvalue"),
+            F.lit(round(float(eigvals[-1]), 5)).alias("eigenvalue"),
             F.lit(bool(monotone)).alias("rayleigh_monotone_ok"),
         )
     )

@@ -95,105 +95,85 @@ def query(
 #: everything else follows in registration order and keeps its green
 #: round-1/2 row as evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-6 window (~50 rows; 173 registered after this session's
-    # additions). Cumulative state after r05: every previously
-    # registered query carries a driver row, zero broken, zero
-    # mismatches. The rotation policy stays: (1) queries whose CODE
-    # changed this round (or are NEW this round) re-prove first,
-    # regardless of row age; (2) the queries whose latest row is from
-    # round 2 (the oldest evidence in the repo now); (3) the oldest
-    # round-3 rows as fill. With the five session additions the window
-    # cut falls inside section (2): its tail and section (3) keep
-    # their green r02/r03 rows and roll into r07. ---
-    # (1) code changed this round: the percentile operator rewrite
-    # (all-NULL groups kept with NULL values, count(*) count_col —
-    # ADVICE r05), the _cell_rank NULL backstop + large-centroid Arrow
-    # path in operators/similarity.py, the applicationId-scoped
-    # scratch dirs (northstar + layout), and the CC rounds-attribution
-    # rework in operators/cluster.py
-    "q_agg_percentiles",
-    "q_agg_percentile_disc",
-    "q_agg_approx_percentile",  # rider uses percentile_cont_by
-    "ns_sim_topk_ivf",
-    "ns_sim_topk_pq",  # NEW r06: product-quantization ANN
-    "ns_dedup_semantic",  # NEW r06: SemDeDup cluster-scoped dedup
-    "ns_sim_topk_pq_indexed",  # NEW r06: persisted PQ build/append/probe
-    "ns_select_importance",  # NEW r06: DSIR-style data selection (oracle-exact)
-    "ns_corpus_overlap_sketch",  # NEW r06: HLL cross-corpus overlap estimate
-    "ns_vocab_cms_estimate",  # NEW r06: count-min sketch frequency estimates
-    "ns_sample_weighted",  # NEW r06: A-ES weighted sampling (oracle-exact)
-    "ns_sample_weighted_by_lang",  # NEW r06: per-stratum A-ES quota (oracle-exact)
-    "ns_streaming_cms_ingest",  # NEW r06: streaming CMS maintenance
-    "ns_bpe_token_count",  # NEW r06: learned-BPE tokenizer counting
-    "ns_select_classifier",  # NEW r06: LR quality filter (GPT-3 style)
-    "ns_select_lm_perplexity",  # NEW r06: Stupid-Backoff LM filter (oracle-exact)
-    "q_fuzzy_match_customers",  # NEW r06: FastSS blocked fuzzy match (oracle-exact)
-    "q_fuzzy_entity_clusters",  # NEW r06: entity closure (oracle-exact)
-    "ns_pack_sequences",  # NEW r06: BFD packing without truncation (riders)
-    "ns_graph_pagerank",  # NEW r06: distributed PageRank (mass rider)
-    "ns_quality_gopher_rules",  # NEW r06: Gopher rule filter (oracle-exact)
-    "q_fuzzy_match_part_names",  # NEW r06: d=2 dictionary matching (oracle-exact)
-    "ns_embed_random_projection",  # NEW r06: JL projection (bit-exact oracle)
-    "ns_quality_compression",  # NEW r06: zlib repetition signal (riders)
-    "ns_vocab_heavy_hitters",  # NEW r06: Misra-Gries top-k (riders)
-    "q_graph_triangles",  # NEW r06: degree-ordered triangles (oracle-exact)
-    "ns_pipeline_llm_recipe",  # NEW r06: composed gate→dedup→LM (oracle-exact)
-    "ns_sim_topk_lsh_indexed",
-    "ns_dedup_minhash_incremental",
-    "ns_streaming_dedup_ingest",
-    "ns_layout_compact_roundtrip",
-    "ns_dedup_clusters",
-    # (2) the 33 round-2-latest rows, in registration order
-    "etl_recent_tracks",
-    "etl_followed_artists",
-    "etl_playlist_profile",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_product_profit",
-    "q12_ship_latency",
-    "q_dedup_bounded_window",
-    "q_scan_csv_roundtrip",
-    "q_scan_json_roundtrip",
-    "q_sql_revenue_filter",
-    "q_sql_exists_subquery",
-    "q_sql_in_subquery",
-    "q_sql_scalar_subquery",
-    "q_udf_pandas_scalar",
-    "q_udaf_grouped_median",
-    "q_udtf_tokenize",
-    "ns_decontaminate_report",
-    "ns_doc_fingerprint",
-    "ns_mm_features",
-    "ns_mm_frame_sample",
-    "ns_mm_metadata",
-    "ns_pii_scrub",
-    "ns_pipeline_training_prep",
+    # --- round-7 window (~50 rows; 181 registered). Cumulative state
+    # after r06: all 180 previously registered queries carry a driver
+    # row, zero broken, zero mismatches. Rotation policy unchanged:
+    # (1) queries whose CODE changed this round (or are NEW) re-prove
+    # first, regardless of row age; (2) the queries whose latest row is
+    # r02 (the oldest evidence left); (3) the r03-latest rows as fill —
+    # the cut falls inside (3); its tail (~8 names) keeps its green r03
+    # rows and rolls into r08, then the r04 rows by age. ---
+    # (1) code changed/new this round: the Z-order layout query is NEW;
+    # PageRank and BFD packing flipped from rows-only to replayed
+    # DuckDB oracles (packing also switched the registered query's
+    # grouping to id % 64 via the new group_col override); the
+    # Misra-Gries kernel was vectorized (batched Agarwal MERGE, typed
+    # key schema); the JL-projection and classifier dense-dot arms
+    # gained empty-array sequence guards; the four self-verifying
+    # ANN/dedup/streaming queries gained rider-free bench_fn variants
+    # (driver path unchanged, but re-prove anyway)
+    "ns_layout_zorder_skipping",  # NEW r07: Z-order round-trip + skipping riders
+    "ns_graph_pagerank",  # r07: unrolled 15-round DuckDB oracle (hash-green)
+    "ns_pack_sequences",  # r07: recursive-CTE BFD replay oracle (hash-green)
+    "ns_embed_top_eigvec",  # r07: replayed power-iteration oracle (hash-green)
+    "ns_vocab_heavy_hitters",  # r07: vectorized MG kernel
+    "ns_embed_random_projection",  # r07: empty-array sequence guard
+    "ns_select_classifier",  # r07: dense-dot empty-vector guard
+    "ns_sim_topk_lsh_indexed",  # r07: verify knob added
+    "ns_sim_topk_pq_indexed",  # r07: verify knob added
+    "ns_dedup_semantic",  # r07: verify knob added
+    "ns_streaming_dedup_ingest",  # r07: verify knob added
+    # (2) the 14 round-2-latest rows, in registration order
     "ns_sample_hash",
     "ns_sample_stratified",
     "ns_split_assign",
-    "ns_text_language_profile",
-    "ns_text_stats",
     "ns_text_vocab_topk",
+    "ns_decontaminate_report",
+    "ns_text_stats",
+    "ns_text_language_profile",
     "ns_token_count_bpe",
-    # (3) oldest round-3 rows as fill to ~50
-    "ns_bm25_search",
-    "ns_embed_centroid",
-    "ns_embed_norm_stats",
-    "ns_sim_range_search",
-    "ns_tfidf_topterms",
-    "ns_url_profile",
+    "ns_doc_fingerprint",
+    "ns_pipeline_training_prep",
+    "ns_mm_metadata",
+    "ns_mm_features",
+    "ns_mm_frame_sample",
+    "ns_pii_scrub",
+    # (3) the 34 round-3-latest rows (the cut falls ~8 from the end;
+    # the tail rolls into r08 with its green r03 rows intact)
     "q02_min_cost_supplier",
     "q11_important_stock",
     "q13_customer_distribution",
-    # (Next in line for the r07 window: whatever of sections (2)/(3)
-    # above fell past the r06 cut, then the rest of the r03-latest
-    # rows — q15/q18/q19/q20/q22, the q_agg_grouping_id/histogram/
-    # mode_argmax/salted family, the q_cdc_* set, q_events_funnel/
-    # gapfill, q_join_bucketed_colocated/full_outer/lateral_topk/
-    # salted_hotkey, q_json_variant, q_scan_orc_roundtrip/
-    # partition_pruning/schema_evolution, q_udtf_sliding_windows,
-    # q_window_range_frame — then the r04 rows by age.)
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_recent_suppliers",
+    "q22_dormant_customers",
+    "ns_tfidf_topterms",
+    "ns_bm25_search",
+    "ns_url_profile",
+    "q_cdc_scd1_merge",
+    "q_cdc_scd2_history",
+    "q_cdc_incremental_rollup",
+    "q_cdc_point_in_time",
+    "q_scan_orc_roundtrip",
+    "q_scan_partition_pruning",
+    "q_scan_schema_evolution",
+    "ns_embed_centroid",
+    "ns_embed_norm_stats",
+    "ns_sim_range_search",
+    "q_join_bucketed_colocated",
+    "q_agg_salted_twophase",
+    "q_join_salted_hotkey",
+    "q_agg_histogram",
+    "q_agg_mode_argmax",
+    "q_agg_grouping_id",
+    "q_window_range_frame",
+    "q_events_gapfill",
+    "q_events_funnel",
+    "q_udtf_sliding_windows",
+    "q_join_full_outer",
+    "q_join_lateral_topk",
+    "q_json_variant",
 )
 
 
