@@ -942,15 +942,39 @@ def ns_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ns_mm_features",
     note="Arrow-batched mapInPandas decode/feature stage (deterministic "
-    "fake decoder — real codecs absent; plumbing is real) — rows-only; "
-    "byte-stat math asserted against a Python reference in tests. "
-    "Self-verifying: bytes_ok cross-checks the Arrow kernel against "
-    "the JVM within the FIXED doc_id < 1000 window — n_bytes must "
-    "equal octet_length(payload) computed JVM-side, and byte_min ≤ "
-    "byte_mean ≤ byte_max — so a truncated Arrow batch or payload/"
-    "doc_id misalignment flips it. Windowed like every rider here: a "
-    "whole-corpus cross-check would pay a full shuffle join at scale "
-    "purely for verification",
+    "fake decoder — real codecs absent; plumbing is real). "
+    "Oracle-checked since r07: the fake decoder is pure byte "
+    "statistics over the UTF-8 payload, so DuckDB replays it exactly — "
+    "bytes materialize via hex-nibble parsing of hex(encode(text)) "
+    "(general, no ASCII assumption), byte_mean is an exact integer-sum "
+    "division on both engines (bit-identical, no rounding needed). "
+    "Self-verifying rider kept: bytes_ok cross-checks the Arrow kernel "
+    "against the JVM within the FIXED doc_id < 1000 window — n_bytes "
+    "must equal octet_length(payload) computed JVM-side, and byte_min "
+    "≤ byte_mean ≤ byte_max — so a truncated Arrow batch or payload/"
+    "doc_id misalignment flips it (the oracle emits the trivially-true "
+    "literal; a Spark-side false hashes differently and flags).",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT doc_id, n, h,
+    list_transform(range(1, n + 1),
+      i -> (strpos('0123456789abcdef', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, CAST(2*i AS INT), 1)) - 1)) AS bs
+  FROM b
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+  CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(bs) AS DOUBLE) / n END AS byte_mean,
+  CAST(CASE WHEN n = 0 THEN 0 ELSE list_min(bs) END AS INT) AS byte_min,
+  CAST(CASE WHEN n = 0 THEN 0 ELSE list_max(bs) END AS INT) AS byte_max,
+  CAST(len(list_distinct(bs)) AS INT) AS n_distinct_bytes,
+  substr(h, 1, 16) AS head_hex,
+  TRUE AS bytes_ok
+FROM bytes
+""",
     tags=("northstar", "multimodal", "pandas-udf"),
 )
 def ns_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,14 +1001,33 @@ def ns_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ns_mm_frame_sample",
     note="frame sampling over 'video' payloads: mapInPandas explode "
-    "(row-count-changing) — rows-only; counts asserted in tests. "
-    "Self-verifying: counts_ok recomputes the expected kept-frame "
-    "count JVM-side from meta.n_bytes (ceil(ceil(n/256)/4)) for every "
-    "doc in the FIXED doc_id < 1000 window and asserts the exploded "
-    "output matches doc-by-doc (docs too short for one frame "
-    "included) — a kernel that drops or duplicates frames, or "
+    "(row-count-changing). Oracle-checked since r07: frame slicing + "
+    "sha256 replay exactly in DuckDB — its sha256 only takes VARCHAR, "
+    "so the oracle slices the text by characters, which equals byte "
+    "slicing because the testdata corpus is pure ASCII (verified "
+    "octet_length == length at every sf; non-ASCII data would hash-"
+    "mismatch loudly, not silently pass). Self-verifying rider kept: "
+    "counts_ok recomputes the expected kept-frame count JVM-side from "
+    "meta.n_bytes (ceil(ceil(n/256)/4)) for every doc in the FIXED "
+    "doc_id < 1000 window and asserts the exploded output matches "
+    "doc-by-doc — a kernel that drops or duplicates frames, or "
     "misaligns payloads across an Arrow batch, flips it. Windowed so "
     "the verification groupBy/join never shuffles the full corpus",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT doc_id, text, n,
+         unnest(range(0, CAST(ceil(n / 256.0) AS BIGINT), 4)) AS frame_idx
+  FROM b
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(256, n - frame_idx * 256) AS BIGINT) AS frame_bytes,
+       substr(sha256(substr(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)),
+              1, 16) AS frame_hash,
+       TRUE AS counts_ok
+FROM f
+""",
     tags=("northstar", "multimodal", "pandas-udf"),
 )
 def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,14 +1243,70 @@ def ns_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "byte-level near-dups, so every 7th doc gets a planted copy with "
     "every 97th char flipped (same length — dHash cell strides are "
     "length-relative, so in-place edits move few bits while an "
-    "append shifts all of them). Hash-defined → rows-only; "
-    "python-reference equality + recall in tests/test_multimodal.py; "
-    "self-verifying: recall_vs_exact vs an exact all-pairs Hamming "
-    "pass over the FIXED window (doc_id < 1000 plus their planted "
-    "copies) must be EXACTLY 1.0 — the radius-derived banding is "
-    "pigeonhole-complete for Hamming ≤ 3, so sub-1.0 recall means a "
-    "broken band split, not bad luck. The exact pass is an "
-    "O(1)-bounded broadcast NLJ over the constant window",
+    "append shifts all of them). Oracle-checked since r07: the dHash "
+    "is pure integer/exact-division math over UTF-8 bytes, so DuckDB "
+    "replays it (nibble-parsed bytes → 72 stride-mean cells → 64 "
+    "neighbor bits → lo/hi 32-bit words) and emits the BRUTE-FORCE "
+    "all-pairs Hamming ≤ 3 set — a hash match is a machine-checked "
+    "proof the radius-derived banding lost no pair, the same "
+    "completeness contract as the fuzzy-match oracles. "
+    "Self-verifying rider kept: recall_vs_exact vs an exact all-pairs "
+    "pass over the FIXED window must be EXACTLY 1.0 (O(1)-bounded "
+    "broadcast NLJ)",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h, octet_length(encode(text)) AS n
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 7 = 0
+), bytes AS (
+  -- planted copies flip every 97th byte to 'z' (122); the corpus is
+  -- ASCII so byte edits == the Spark side's char edits
+  SELECT doc_id, n,
+    list_transform(range(1, n + 1),
+      i -> CASE
+             WHEN doc_id >= 1000000 AND (i - 1) % 97 = 0 THEN 122
+             ELSE (strpos('0123456789abcdef', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, CAST(2*i AS INT), 1)) - 1)
+           END) AS bs
+  FROM corpus
+), cells AS (
+  -- 72 equal-width stride cells: mean byte per cell, exact
+  -- integer-sum / count division (bit-identical to numpy)
+  SELECT doc_id,
+    list_transform(range(0, 72), j ->
+      CAST(list_sum(list_transform(range(1, n + 1),
+             i -> CASE WHEN ((i-1) * 72) // n = j
+                       THEN bs[CAST(i AS INT)] ELSE 0 END)) AS DOUBLE)
+      / greatest(len(list_filter(range(1, n + 1),
+             i -> ((i-1) * 72) // n = j)), 1)) AS cl
+  FROM bytes WHERE n > 0
+), bits AS (
+  SELECT doc_id,
+    list_transform(range(0, 64),
+      k -> cl[CAST((k // 8) * 9 + (k % 8) + 1 AS INT)]
+         > cl[CAST((k // 8) * 9 + (k % 8) + 2 AS INT)]) AS bl
+  FROM cells
+), sig AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(1, 33),
+      i -> CASE WHEN bl[CAST(i AS INT)]
+                THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) ELSE 0 END)) AS lo,
+    list_sum(list_transform(range(33, 65),
+      i -> CASE WHEN bl[CAST(i AS INT)]
+                THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INT)) ELSE 0 END)) AS hi
+  FROM bits
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+         AS hamming,
+       1.0 AS recall_vs_exact,
+       TRUE AS recall_ok
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+""",
     tags=("northstar", "multimodal", "dedup"),
 )
 def ns_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_graph_pagerank",  # r07: unrolled 15-round DuckDB oracle (hash-green)
     "ns_pack_sequences",  # r07: recursive-CTE BFD replay oracle (hash-green)
     "ns_embed_top_eigvec",  # r07: replayed power-iteration oracle (hash-green)
+    "ns_mm_phash_pairs",  # r07: all-pairs dHash oracle (banding-completeness proof)
     "ns_vocab_heavy_hitters",  # r07: vectorized MG kernel
     "ns_embed_random_projection",  # r07: empty-array sequence guard
     "ns_select_classifier",  # r07: dense-dot empty-vector guard
