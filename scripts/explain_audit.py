@@ -72,6 +72,11 @@ def main() -> None:
         "unbounded side, scans without pushed filters when the query",
         "filters, Python stages in a pure-relational plan.",
         "",
+        "Since r07 this audits the RIDER-FREE bench variant where one",
+        "exists (registry `bench_fn`) — the same plan bench.py times;",
+        "the driver's proof-laden `fn` plans are a superset (they add",
+        "the 1-row verification scalars the plan-audit gate allowlists).",
+        "",
         "Known-intended exceptions: `ns_sim_topk_bruteforce` carries a",
         "BroadcastNestedLoopJoin BY DESIGN — it is the exact baseline",
         "whose broadcast side is the bounded query set; the LSH/IVF",

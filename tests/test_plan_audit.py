@@ -116,6 +116,9 @@ NLJ_ALLOWED = {
     # (target mean score > raw mean score) crossJoined onto the
     # 100-row selection
     "ns_select_classifier": 1,
+    # r07 Z-order layout: the 1-row rider (rows_preserved + per-dim
+    # skipping bounds) crossJoined onto the 16-row per-file span table
+    "ns_layout_zorder_skipping": 1,
 }
 
 #: A Window fed by an Exchange SinglePartition pulls EVERY row into one
