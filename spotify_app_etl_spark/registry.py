@@ -99,10 +99,11 @@ _PRIORITY: tuple[str, ...] = (
     # after r06: all 180 previously registered queries carry a driver
     # row, zero broken, zero mismatches. Rotation policy unchanged:
     # (1) queries whose CODE changed this round (or are NEW) re-prove
-    # first, regardless of row age; (2) the queries whose latest row is
-    # r02 (the oldest evidence left); (3) the r03-latest rows as fill —
-    # the cut falls inside (3); its tail (~8 names) keeps its green r03
-    # rows and rolls into r08, then the r04 rows by age. ---
+    # first, regardless of row age — 18 this round after the second
+    # rider-free batch; (2) the queries whose latest row is r02 (the
+    # oldest evidence left); (3) the r03-latest rows as fill — the cut
+    # falls inside (3); its tail (~16 names) keeps its green r03 rows
+    # and rolls into r08, then the r04 rows by age. ---
     # (1) code changed/new this round: the Z-order layout query is NEW;
     # PageRank and BFD packing flipped from rows-only to replayed
     # DuckDB oracles (packing also switched the registered query's
@@ -124,6 +125,13 @@ _PRIORITY: tuple[str, ...] = (
     "ns_sim_topk_pq_indexed",  # r07: verify knob added
     "ns_dedup_semantic",  # r07: verify knob added
     "ns_streaming_dedup_ingest",  # r07: verify knob added
+    # (1b) the second rider-free batch — same knob, same re-prove rule
+    "ns_dedup_minhash_pairs",  # r07: verify knob added
+    "ns_dedup_minhash_verified",  # r07: verify knob added
+    "ns_sim_topk_lsh",  # r07: verify knob added
+    "ns_sim_topk_pq",  # r07: verify knob added
+    "ns_dedup_embedding_cosine_lsh",  # r07: verify knob added
+    "ns_dedup_minhash_incremental",  # r07: verify knob added
     # (2) the 14 round-2-latest rows, in registration order
     "ns_sample_hash",
     "ns_sample_stratified",
