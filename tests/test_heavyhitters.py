@@ -121,6 +121,38 @@ def test_merge_batch_counts_bounds_across_batches():
         assert exact[key] - est <= n / (k + 1)
 
 
+def test_merge_bounds_hold_for_arbitrary_streams_and_batch_splits():
+    # property test: for ANY stream content, ANY batch split, and ANY
+    # k, the Agarwal-et-al. MERGE keeps ≤ k keys, one-sided
+    # underestimates, the n/(k+1) decrement bound, and completeness
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=400),
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=50),
+    )
+    def check(stream, k, batch_size):
+        exact: dict = {}
+        for x in stream:
+            exact[x] = exact.get(x, 0) + 1
+        counters: dict = {}
+        for lo in range(0, len(stream), batch_size):
+            vc = pd.Series(stream[lo : lo + batch_size]).value_counts()
+            counters = HH._merge_batch_counts(counters, vc, k)
+        n = len(stream)
+        assert len(counters) <= k
+        for key, est in counters.items():
+            assert 0 < est <= exact[key]
+            assert exact[key] - est <= n / (k + 1)
+        for key, cnt in exact.items():
+            if cnt > n / (k + 1):
+                assert key in counters
+
+    check()
+
+
 def test_planted_skew_timing_is_vectorized():
     # 20M rows of planted skew fold in well under a second via
     # value_counts; the old per-row Python loop took ~10 s on this —
