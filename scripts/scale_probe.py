@@ -72,12 +72,23 @@ OFFSET = 100_000_000
 
 #: per-copy character translation for document text: copies must NOT be
 #: near-duplicates of each other, or the minhash/LSH probe degenerates
-#: into measuring 8-clone bucket blowup instead of real selectivity.
+#: into measuring n-clone bucket blowup instead of real selectivity.
 #: Translating three frequent letters per copy leaves ~(0.75)^9 ≈ 7% of
 #: word-3-gram shingles shared → Jaccard ≈ 0.04, far under every
 #: near-dup threshold in the registry.
 _SRC = "eat"
-_DSTS = ["eat", "qvx", "jkz", "wbq", "xqj", "zjw", "vkx", "bqz"]
+
+
+def _dst(j: int) -> str:
+    """Per-copy translation target, distinct for any two copies up to
+    lcm(23,19,17) ≈ 7.4k (coprime moduli: two copies can share at most
+    two of the three letters, keeping cross-copy Jaccard ≤ ~0.24 —
+    still under every near-dup threshold)."""
+    if j == 0:
+        return _SRC  # copy 0 is the original corpus
+    return "".join(
+        chr(ord("a") + 1 + (j % m)) for m in (23, 19, 17)
+    )
 
 
 def build_scaled(spark, sf_dir: str, copies: int) -> str:
@@ -105,7 +116,7 @@ def build_scaled(spark, sf_dir: str, copies: int) -> str:
                 c = c.withColumn(k, F.col(k) + F.lit(j * OFFSET))
             if name == "documents" and j > 0:
                 c = c.withColumn(
-                    "text", F.translate(F.col("text"), _SRC, _DSTS[j % len(_DSTS)])
+                    "text", F.translate(F.col("text"), _SRC, _dst(j))
                 )
             parts.append(c)
         scaled = parts[0]
