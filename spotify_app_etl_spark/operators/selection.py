@@ -230,14 +230,23 @@ def classifier_scores(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
 
+    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+
     base = df.select(
         F.col(id_col).alias("__id"),
         is_target.alias("__t"),
         tokens(F.col(text_col)).alias("__tk"),
     )
     tf = HashingTF(inputCol="__tk", outputCol="features", numFeatures=n_features)
-    feat = tf.transform(base).withColumn(
-        "label", F.col("__t").cast("double")
+    # Persist BEFORE fit: the tokenize+HashingTF lineage otherwise
+    # re-runs for the LBFGS passes AND a second full time for the
+    # scoring select below, which reuses the same frame (measured ~20%
+    # off the warm fit plus one whole featurization pass saved; the
+    # KMeans callers skip this — Spark's clusterer showed no cached-vs-
+    # uncached fit difference, so an extra materialization only added
+    # cost there).
+    feat = _scoped_persist(
+        tf.transform(base).withColumn("label", F.col("__t").cast("double"))
     )
     model = LogisticRegression(
         maxIter=max_iter, regParam=reg_param, standardization=False
