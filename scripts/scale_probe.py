@@ -135,6 +135,12 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--out", default=str(Path(_REPO_ROOT) / "SCALING.md"))
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated query names to probe instead of the default "
+        "PROBE list (unknown names fail loudly)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -156,8 +162,15 @@ def main() -> None:
     # warmup both the JVM and the Arrow worker pool (mirrors bench.py)
     force(registry["q01_pricing_summary"].fn(spark, args.sf))
 
+    probe = PROBE
+    if args.queries:
+        probe = [n.strip() for n in args.queries.split(",") if n.strip()]
+        unknown = [n for n in probe if n not in registry]
+        if unknown:
+            raise SystemExit(f"--queries names not registered: {unknown}")
+
     rows = []
-    for name in PROBE:
+    for name in probe:
         q = registry[name]
         fn = q.bench_fn or q.fn
         t = {}
