@@ -95,95 +95,77 @@ def query(
 #: everything else follows in registration order and keeps its green
 #: round-1/2 row as evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 window (~50 rows; 181 registered). Cumulative state
-    # after r06: all 180 previously registered queries carry a driver
-    # row, zero broken, zero mismatches. Rotation policy unchanged:
-    # (1) queries whose CODE changed this round (or are NEW) re-prove
-    # first, regardless of row age — 18 this round after the second
-    # rider-free batch; (2) the queries whose latest row is r02 (the
-    # oldest evidence left); (3) the r03-latest rows as fill — the cut
-    # falls inside (3); its tail (~16 names) keeps its green r03 rows
-    # and rolls into r08, then the r04 rows by age. ---
-    # (1) code changed/new this round: the Z-order layout query is NEW;
-    # PageRank and BFD packing flipped from rows-only to replayed
-    # DuckDB oracles (packing also switched the registered query's
-    # grouping to id % 64 via the new group_col override); the
-    # Misra-Gries kernel was vectorized (batched Agarwal MERGE, typed
-    # key schema); the JL-projection and classifier dense-dot arms
-    # gained empty-array sequence guards; the four self-verifying
-    # ANN/dedup/streaming queries gained rider-free bench_fn variants
-    # (driver path unchanged, but re-prove anyway)
-    "ns_layout_zorder_skipping",  # NEW r07: Z-order round-trip + skipping riders
-    "ns_graph_pagerank",  # r07: unrolled 15-round DuckDB oracle (hash-green)
-    "ns_pack_sequences",  # r07: recursive-CTE BFD replay oracle (hash-green)
-    "ns_embed_top_eigvec",  # r07: replayed power-iteration oracle (hash-green)
-    "ns_mm_phash_pairs",  # r07: all-pairs dHash oracle (banding-completeness proof)
-    "ns_vocab_heavy_hitters",  # r07: vectorized MG kernel
-    "ns_embed_random_projection",  # r07: empty-array sequence guard
-    "ns_select_classifier",  # r07: dense-dot empty-vector guard
-    "ns_sim_topk_lsh_indexed",  # r07: verify knob added
-    "ns_sim_topk_pq_indexed",  # r07: verify knob added
-    "ns_dedup_semantic",  # r07: verify knob added
-    "ns_streaming_dedup_ingest",  # r07: verify knob added
-    # (1b) the second rider-free batch — same knob, same re-prove rule
-    "ns_dedup_minhash_pairs",  # r07: verify knob added
-    "ns_dedup_minhash_verified",  # r07: verify knob added
-    "ns_sim_topk_lsh",  # r07: verify knob added
-    "ns_sim_topk_pq",  # r07: verify knob added
-    "ns_dedup_embedding_cosine_lsh",  # r07: verify knob added
-    "ns_dedup_minhash_incremental",  # r07: verify knob added
-    "ns_corpus_overlap_sketch",  # r07: verify knob (rider-free skips the distinct)
-    # (2) the 14 round-2-latest rows, in registration order
-    "ns_sample_hash",
-    "ns_sample_stratified",
-    "ns_split_assign",
-    "ns_text_vocab_topk",
-    "ns_decontaminate_report",
-    "ns_text_stats",
-    "ns_text_language_profile",
-    "ns_token_count_bpe",
-    "ns_doc_fingerprint",
-    "ns_pipeline_training_prep",
-    "ns_mm_metadata",
-    "ns_mm_features",
-    "ns_mm_frame_sample",
-    "ns_pii_scrub",
-    # (3) the 34 round-3-latest rows (the cut falls ~8 from the end;
-    # the tail rolls into r08 with its green r03 rows intact)
-    "q02_min_cost_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_dominant_recent_suppliers",
-    "q22_dormant_customers",
-    "ns_tfidf_topterms",
-    "ns_bm25_search",
-    "ns_url_profile",
-    "q_cdc_scd1_merge",
-    "q_cdc_scd2_history",
-    "q_cdc_incremental_rollup",
-    "q_cdc_point_in_time",
-    "q_scan_orc_roundtrip",
-    "q_scan_partition_pruning",
-    "q_scan_schema_evolution",
+    # --- round-8 window (exactly 50 names; 181 registered). Cumulative
+    # state after r07: every registered query carries a driver row, zero
+    # broken, zero mismatches; latest-row histogram r03:17 r04:40 r05:36
+    # r06:38 r07:50. Rotation policy unchanged: (1) queries whose CODE
+    # changed this round re-prove first regardless of row age — 3 this
+    # round; (2) the 17 r03-latest rows (the oldest evidence left) are
+    # fully cleared; (3) the 40 r04-latest rows by registration order —
+    # the cut falls 30 in, the remaining 10 r04 rows roll to r09. ---
+    # (1) code changed this round: the Misra-Gries overflow eviction
+    # switched from a full re-sort to heapq.nlargest; the pHash query
+    # and its oracle aligned the empty-payload convention (both sides
+    # now emit the all-zero dHash for 0-byte payloads); the Z-order
+    # min-max normalizer gained a degenerate-domain (constant column)
+    # guard.
+    "ns_vocab_heavy_hitters",
+    "ns_mm_phash_pairs",
+    "ns_layout_zorder_skipping",
+    # (2) the 17 r03-latest rows, in registration order
     "ns_embed_centroid",
     "ns_embed_norm_stats",
-    "ns_sim_range_search",
     "q_join_bucketed_colocated",
     "q_agg_salted_twophase",
     "q_join_salted_hotkey",
+    "ns_sim_range_search",
     "q_agg_histogram",
-    "q_agg_mode_argmax",
-    "q_agg_grouping_id",
     "q_window_range_frame",
     "q_events_gapfill",
-    "q_events_funnel",
     "q_udtf_sliding_windows",
+    "q_agg_mode_argmax",
+    "q_events_funnel",
     "q_join_full_outer",
+    "q_scan_schema_evolution",
     "q_join_lateral_topk",
     "q_json_variant",
+    "q_agg_grouping_id",
+    # (3) the first 30 of the 40 r04-latest rows, in registration
+    # order; the tail (q_join_bloom_prefilter, ns_dedup_chunk_shared,
+    # ns_quality_bands, ns_embed_semantic_clusters, q_join_asof_forward,
+    # ns_doc_winnowing, ns_hybrid_rrf_search, ns_split_leakage_safe,
+    # ns_dedup_source_matrix, q_sql_recursive_cte) keeps its green r04
+    # rows and is the r09 window seed
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_filter_predicates",
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_count_distinct_exact",
+    "q_agg_corr_exact",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "ns_dedup_exact",
+    "ns_dedup_ngram_jaccard",
+    "ns_decontaminate_clean",
+    "ns_quality_repetition",
+    "ns_mix_token_budget",
+    "ns_shard_pack",
+    "etl_playlists_tracks",
+    "etl_audio_features",
+    "q_join_asof",
+    "ns_dedup_embedding_cosine",
+    "ns_boilerplate_grams",
+    "ns_curriculum_bins",
+    "ns_corpus_shuffle",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q21_late_sole_supplier",
+    "ns_lm_bigram_novelty",
 )
 
 
