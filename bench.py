@@ -94,6 +94,9 @@ HEADLINE = [
     "ns_pipeline_llm_recipe",
     # round-7 addition: Z-order layout round-trip (write + span audit)
     "ns_layout_zorder_skipping",
+    # round-8 addition: the streaming family's headline number — the
+    # availableNow bounded-state dedup ingest (rider-free arm)
+    "ns_streaming_dedup_ingest",
 ]
 
 
@@ -162,6 +165,22 @@ def main() -> None:
         _warm("id").alias("x")
     ).agg(F.bit_xor(F.xxhash64("x"))).collect()
 
+    # Host-speed calibration: a fixed, data-independent, plan-trivial
+    # CPU workload (8e9-row xxhash64 fold, whole-stage codegen, no
+    # shuffle, no I/O, no Python workers) timed best-of-3 AFTER warmup.
+    # Cross-round BENCH ratios divide by the two files' calibration_sec
+    # to separate host-speed drift from plan regressions — added r08 to
+    # settle the persistent ~1.3x r06/r07-vs-r05 offset with arithmetic
+    # instead of inference (scripts/bench_compare.py consumes it).
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    calibration = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        spark.range(8_000_000_000, numPartitions=n_cpus).agg(
+            F.bit_xor(F.xxhash64("id"))
+        ).collect()
+        calibration = min(calibration, time.perf_counter() - start)
+
     from spotify_app_etl_spark.operators import cluster
     from spotify_app_etl_spark.operators.dedup import release_cached
 
@@ -219,6 +238,10 @@ def main() -> None:
                 # variance at sf0.1 is ±50%)
                 "repeat": max(args.repeat, 1),
                 "estimator": "min",
+                # fixed CPU-bound workload (8e9-row xxhash64 fold,
+                # best-of-3): host-speed yardstick for cross-round
+                # ratio normalization (r08+)
+                "calibration_sec": round(calibration, 3),
                 # queries timed WITHOUT their in-query verification
                 # riders (r07+; earlier rounds timed fn riders-included,
                 # so cross-round deltas on these names are expected)

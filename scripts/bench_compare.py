@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Replayable cross-round BENCH comparison.
+
+The r07 verdict found a published cross-round ratio (COVERAGE.md's
+"1.11x vs BENCH_r05") that did not reproduce from the shipped driver
+JSONs — this script IS the computation now, so every claimed ratio
+names its subset and replays from the committed files.
+
+Method:
+  * common subset = queries present in BOTH files;
+  * methodology-changed names are EXCLUDED: any query that is
+    rider-free in one file but not the other (the `rider_free` list;
+    absent field = nothing rider-free, i.e. r06 and earlier) measured
+    different arms, so its delta is a methodology change, not a plan
+    change;
+  * per-query ratio = new_sec / old_sec; reported as sum-ratio
+    (total-wall view), geometric mean (each query equal weight) and
+    median;
+  * when both files carry `calibration_sec` (r08+: a fixed 8e9-row
+    xxhash64 fold timed in-run), the host-normalized ratios divide by
+    calibration_new / calibration_old — separating host-speed drift
+    from plan regressions with arithmetic instead of inference.
+
+Usage:
+    python scripts/bench_compare.py BENCH_r07.json BENCH_r05.json
+    (order: NEW OLD)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import statistics
+import sys
+
+
+def load(path: str) -> dict:
+    """Accept either bench.py's raw JSON line or the driver's
+    BENCH_r*.json wrapper (bench stdout embedded in a `tail` string)."""
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d:
+        return d
+    for line in reversed(d.get("tail", "").splitlines()):
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    raise SystemExit(f"{path}: no bench JSON line found")
+
+
+def compare(new: dict, old: dict) -> dict:
+    rf_new = set(new.get("rider_free") or [])
+    rf_old = set(old.get("rider_free") or [])
+    common = sorted(set(new["queries"]) & set(old["queries"]))
+    changed_arm = sorted(n for n in common if (n in rf_new) != (n in rf_old))
+    subset = [n for n in common if n not in changed_arm]
+    ratios = {
+        n: new["queries"][n] / old["queries"][n]
+        for n in subset
+        if old["queries"][n] > 0
+    }
+    sum_new = sum(new["queries"][n] for n in subset)
+    sum_old = sum(old["queries"][n] for n in subset)
+    out = {
+        "subset_size": len(subset),
+        "subset": subset,
+        "excluded_methodology_changed": changed_arm,
+        "sum_ratio": round(sum_new / sum_old, 3) if sum_old else None,
+        "geomean_ratio": round(
+            math.exp(statistics.fmean(math.log(r) for r in ratios.values())), 3
+        )
+        if ratios
+        else None,
+        "median_ratio": round(statistics.median(ratios.values()), 3)
+        if ratios
+        else None,
+    }
+    cal_new, cal_old = new.get("calibration_sec"), old.get("calibration_sec")
+    if cal_new and cal_old:
+        host = cal_new / cal_old
+        out["host_speed_ratio"] = round(host, 3)
+        out["sum_ratio_host_normalized"] = (
+            round(out["sum_ratio"] / host, 3) if out["sum_ratio"] else None
+        )
+        out["geomean_ratio_host_normalized"] = (
+            round(out["geomean_ratio"] / host, 3) if out["geomean_ratio"] else None
+        )
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    new, old = load(sys.argv[1]), load(sys.argv[2])
+    result = compare(new, old)
+    result["new_file"], result["old_file"] = sys.argv[1], sys.argv[2]
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -103,26 +103,34 @@ def main() -> None:
     details: list[str] = []
     for name in HEADLINE + [n for n in extra if n not in HEADLINE]:
         q = registry[name]
-        t0 = time.time()
-        # audit what bench.py times: the rider-free bench_fn where one
-        # exists (the driver still runs the proof-laden fn)
-        df = (q.bench_fn or q.fn)(spark, args.sf)
-        # collect() (not count()/noop-save) finalizes THIS df's own
-        # AdaptiveSparkPlan — other actions execute a cloned query and
-        # leave df's plan un-finalized with no codegen/shuffle truth
-        df.collect()
-        wall = time.time() - t0
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        s = plan_signals(plan)
-        release_cached()
-        lines.append(
-            f"| {name} | {wall:.2f} | {s['shuffles']} | {s['broadcasts']} | "
-            f"{s['codegen_spans']} | {s['scans']} | {s['pushed_filter_scans']} | "
-            f"{s['nested_loop_joins']} | {s['cartesian']} | {s['python_stages']} |"
-        )
-        if args.full:
-            details += [f"\n## {name}\n", "```", plan.rstrip(), "```"]
-        print(f"{name}: {wall:.2f}s {s}", flush=True)
+        # Audit BOTH arms where they differ (ADVICE r07): bench.py
+        # times the rider-free bench_fn, but the driver's correctness
+        # sweep executes the proof-laden fn — a rider edit that
+        # introduced an unbounded NLJ or single-partition window would
+        # otherwise escape this gate entirely.
+        arms = [(name, q.bench_fn or q.fn)]
+        if q.bench_fn is not None:
+            arms.append((f"{name} (fn)", q.fn))
+        for label, arm in arms:
+            t0 = time.time()
+            df = arm(spark, args.sf)
+            # collect() (not count()/noop-save) finalizes THIS df's own
+            # AdaptiveSparkPlan — other actions execute a cloned query
+            # and leave df's plan un-finalized with no codegen/shuffle
+            # truth
+            df.collect()
+            wall = time.time() - t0
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            s = plan_signals(plan)
+            release_cached()
+            lines.append(
+                f"| {label} | {wall:.2f} | {s['shuffles']} | {s['broadcasts']} | "
+                f"{s['codegen_spans']} | {s['scans']} | {s['pushed_filter_scans']} | "
+                f"{s['nested_loop_joins']} | {s['cartesian']} | {s['python_stages']} |"
+            )
+            if args.full:
+                details += [f"\n## {label}\n", "```", plan.rstrip(), "```"]
+            print(f"{label}: {wall:.2f}s {s}", flush=True)
 
     Path(args.out).write_text("\n".join(lines + details) + "\n")
     print(f"wrote {args.out}")

@@ -68,7 +68,14 @@ KEY_SHIFTS = {
 }
 #: dimension tables shared by every copy (FKs to them are not shifted)
 SHARED = ("region", "nation")
-OFFSET = 100_000_000
+#: key shift per copy. A multiple of 11: customer names are regenerated
+#: from the shifted key (see build_scaled), and any two distinct
+#: multiples of 11 differ in >= 2 decimal digits (11 never divides
+#: d*10^k for a single digit d, gcd(11,10)=1), so cross-copy names sit
+#: at Levenshtein >= 2 — the fuzzy-match probe keeps its real
+#: within-copy selectivity instead of every name pairing with its N-1
+#: siblings at distance 1.
+OFFSET = 110_000_000
 
 #: per-copy character translation for document text: copies must NOT be
 #: near-duplicates of each other, or the minhash/LSH probe degenerates
@@ -117,6 +124,22 @@ def build_scaled(spark, sf_dir: str, copies: int) -> str:
             if name == "documents" and j > 0:
                 c = c.withColumn(
                     "text", F.translate(F.col("text"), _SRC, _dst(j))
+                )
+            if name == "customer" and j > 0:
+                # c_name derives from c_custkey in the testdata
+                # ('Customer#' + 9-digit key); regenerate it from the
+                # SHIFTED key (12 digits — shifted keys overflow 9) so
+                # the fuzzy/triangle probes see real per-copy name
+                # structure, not N verbatim clones of every name.
+                # Cross-copy distance is >= 3 vs copy 0 (length) and
+                # >= 2 between shifted copies (OFFSET note above);
+                # within-copy distance structure matches the original.
+                c = c.withColumn(
+                    "c_name",
+                    F.concat(
+                        F.lit("Customer#"),
+                        F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+                    ),
                 )
             parts.append(c)
         scaled = parts[0]

@@ -38,6 +38,8 @@ reproducible run-over-run on the same files.
 
 from __future__ import annotations
 
+import heapq
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -49,7 +51,10 @@ def _merge_batch_counts(counters: dict, vc: "pd.Series", k: int) -> dict:
     for key, c in vc.items():
         counters[key] = counters.get(key, 0) + int(c)
     if len(counters) > k:
-        t = sorted(counters.values(), reverse=True)[k]  # (k+1)-th largest
+        # (k+1)-th largest via a bounded heap selection — O(m log k)
+        # over m tracked keys, vs O(m log m) for a full sort; only the
+        # threshold is needed, never the sorted order
+        t = heapq.nlargest(k + 1, counters.values())[-1]
         counters = {key: c - t for key, c in counters.items() if c > t}
     return counters
 

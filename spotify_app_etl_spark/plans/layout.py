@@ -414,12 +414,18 @@ def ns_layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     bits, n_files = 8, 16
     top = (1 << bits) - 1
+    # degenerate-domain guard: a constant dimension would make the
+    # min-max divisor 0 (ANSI division error). max(span, 1) keeps the
+    # scale finite; the constant column then lands wholly on grid cell
+    # 0, per-file spans are 0, and the skip riders hold vacuously.
+    u_dom = max(int(b.u1 - b.u0), 1)
+    h_dom = max(int(b.h1 - b.h0), 1)
     ev = raw.select(
         "event_id",
         "user_id",
-        F.floor((F.col("user_id") - b.u0) * top / (b.u1 - b.u0)).alias("u_s"),
+        F.floor((F.col("user_id") - b.u0) * top / u_dom).alias("u_s"),
         (F.col("abs_hour") - b.h0).alias("hour"),
-        F.floor((F.col("abs_hour") - b.h0) * top / (b.h1 - b.h0)).alias("h_s"),
+        F.floor((F.col("abs_hour") - b.h0) * top / h_dom).alias("h_s"),
     )
     write_zordered(ev, base, "u_s", "h_s", n_files=n_files, bits=bits)
     rb = spark.read.parquet(base).withColumn("__f", F.input_file_name())
@@ -431,8 +437,8 @@ def ns_layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     riders = per_file.agg(
         (F.sum("n_rows") == F.lit(int(ev.count()))).alias("rows_preserved"),
-        (F.avg("u_span") < 0.6 * float(b.u1 - b.u0)).alias("u_skip_ok"),
-        (F.avg("h_span") < 0.6 * float(b.h1 - b.h0)).alias("h_skip_ok"),
+        (F.avg("u_span") < 0.6 * float(u_dom)).alias("u_skip_ok"),
+        (F.avg("h_span") < 0.6 * float(h_dom)).alias("h_skip_ok"),
     )
     return (
         per_file.select("z_start", "n_rows", "u_span", "h_span")

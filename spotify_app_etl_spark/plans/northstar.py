@@ -1319,15 +1319,19 @@ WITH corpus AS (
   FROM corpus
 ), cells AS (
   -- 72 equal-width stride cells: mean byte per cell, exact
-  -- integer-sum / count division (bit-identical to numpy)
+  -- integer-sum / count division (bit-identical to numpy). Empty
+  -- payloads are KEPT (greatest(n, 1) divisor, coalesced sum): all
+  -- cells 0 -> all bits false -> the all-zero signature, matching the
+  -- Spark side's dhash64(b'') = 0 convention, so an empty doc pairs
+  -- identically on both sides instead of silently vanishing here
   SELECT doc_id,
     list_transform(range(0, 72), j ->
-      CAST(list_sum(list_transform(range(1, n + 1),
-             i -> CASE WHEN ((i-1) * 72) // n = j
-                       THEN bs[CAST(i AS INT)] ELSE 0 END)) AS DOUBLE)
+      CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+             i -> CASE WHEN ((i-1) * 72) // greatest(n, 1) = j
+                       THEN bs[CAST(i AS INT)] ELSE 0 END)), 0) AS DOUBLE)
       / greatest(len(list_filter(range(1, n + 1),
-             i -> ((i-1) * 72) // n = j)), 1)) AS cl
-  FROM bytes WHERE n > 0
+             i -> ((i-1) * 72) // greatest(n, 1) = j)), 1)) AS cl
+  FROM bytes
 ), bits AS (
   SELECT doc_id,
     list_transform(range(0, 64),

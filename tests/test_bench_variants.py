@@ -45,3 +45,26 @@ def test_bench_variant_matches_fn_row_count(spark, name):
         "operator the driver checks"
     )
     assert bench_rows > 0, f"{name}: empty result at {SF}"
+
+
+def test_overlap_sketch_bench_arm_estimates_hold_the_rider_bound(spark):
+    # ADVICE r07: ns_corpus_overlap_sketch's bench arm is the only one
+    # that changes the operator computation itself (it skips the
+    # distinct, and DataSketches' HIP estimator is merge-layout-
+    # sensitive, ~0.3% drift) — row count alone is vacuous for a
+    # 1-row-per-pair query. Hold the BENCH arm's estimates to the same
+    # 8%-of-exact-union accuracy contract the fn arm's rider proves,
+    # keyed per pair.
+    q = load_all()["ns_corpus_overlap_sketch"]
+    fn_rows = {
+        (r.side_a, r.side_b): r for r in q.fn(spark, SF).collect()
+    }
+    for r in q.bench_fn(spark, SF).collect():
+        ref = fn_rows[(r.side_a, r.side_b)]
+        bound = 0.08 * ref.exact_union
+        assert abs(r.overlap_est - ref.exact_overlap) <= bound, (
+            r.side_a, r.side_b, r.overlap_est, ref.exact_overlap, bound,
+        )
+        # and the two arms' estimates must agree far tighter than the
+        # rider bound (same registers, different merge layout)
+        assert abs(r.overlap_est - ref.overlap_est) <= 0.02 * ref.exact_union

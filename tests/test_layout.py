@@ -335,3 +335,26 @@ def test_zorder_skipping_query_riders(spark):
     # files are emitted in curve order
     zs = [r.z_start for r in rows]
     assert zs == sorted(zs)
+
+
+def test_zorder_skipping_query_degenerate_hour_domain(spark, tmp_path):
+    # ADVICE r07: a constant dimension made the min-max divisor 0
+    # (ANSI division error). With the max(span, 1) guard the query
+    # runs, the constant dimension lands wholly on grid cell 0, and
+    # its skip rider holds vacuously (per-file span 0 < 0.6).
+    import pandas as pd
+
+    n = 400
+    pd.DataFrame(
+        {
+            "event_id": range(n),
+            "user_id": [i % 37 for i in range(n)],
+            "ts": pd.Timestamp("2024-03-01 12:00:00"),  # constant hour
+        }
+    ).to_parquet(str(tmp_path / "events.parquet"), index=False)
+    from spotify_app_etl_spark.registry import load_all
+
+    rows = load_all()["ns_layout_zorder_skipping"].fn(spark, str(tmp_path)).collect()
+    assert rows
+    assert all(r.rows_preserved and r.u_skip_ok and r.h_skip_ok for r in rows)
+    assert all(r.h_span == 0 for r in rows)
