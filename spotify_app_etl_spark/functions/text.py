@@ -294,15 +294,29 @@ def winnowing_fingerprints(
     the robust local-similarity primitive under partial edits
     (passage-level plagiarism/near-dup detection).
 
-    Staged as four chained SELECTs (codepoints → per-gram polynomial
-    hashes, same ``(acc*31+c) % mod`` fold as :func:`fingerprint` →
-    window minima → distinct+explode) so every array is a materialized
-    per-row attribute: a single nested expression would re-evaluate the
-    gram-hash array once per window inside the outer transform lambda
-    (the per-element-reference rule from dedup.char_shingles, here
-    compounded to O(windows × grams × k) per row). All JVM column
-    expressions; zero shuffle.
+    Arrow-batched numpy kernel (r08; same decision as the minhash
+    signature kernel): the previous pure-column version chained three
+    higher-order ``transform`` lambdas, and Spark evaluates those
+    per-element INTERPRETED (higher-order functions sit outside
+    whole-stage codegen) — O(len × k) lambda dispatches per document
+    made this the one plan in SCALING.md that barely amortized (20.6×
+    time at 32× data, vs 2–9× for every other probed plan: it was
+    CPU-bound on lambda dispatch from sf0.1 onward). The kernel does
+    the identical math vectorized: codepoints via UTF-32 (the
+    :func:`fingerprint` parity convention), gram hashes as a
+    sliding-window dot with the precomputed 31-power vector
+    (products < 2^52, k-sums < 2^55 — exact in int64, one final
+    ``% mod`` equals the stepwise-mod fold), minima via a second
+    sliding window, distinct via ``np.unique``. Value-identical to
+    the column version on every document shape (empty → the [0]
+    codepoint of ``split('', '')``, shorter-than-k → one partial
+    gram, fewer-grams-than-window → one min; NULL text emits no
+    rows), and to the registered DuckDB replay oracle. Zero shuffle;
+    one Arrow crossing.
     """
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
     from spotify_app_etl_spark.operators.dedup import _fan_out
 
     norm = df.select(
@@ -310,41 +324,47 @@ def winnowing_fingerprints(
     )
     # Same fan-out rationale as the minhash Arrow kernel: a small
     # corpus arrives as ONE parquet file -> one task, serializing the
-    # per-char expression chain (O(len x k) work per doc dominates the
-    # narrow (id, norm) shuffle by orders of magnitude). On a real
-    # cluster the scan already has >= cores partitions and this no-ops.
+    # per-doc kernel (O(len x k) work per doc dominates the narrow
+    # (id, norm) shuffle by orders of magnitude). On a real cluster
+    # the scan already has >= cores partitions and this no-ops.
     norm = _fan_out(norm, df.sparkSession.sparkContext.defaultParallelism)
-    # Codepoints via split(norm, '') — ONE O(L) pass, the same idiom
-    # fingerprint() documents: per-index substring(norm, i, 1) is an
-    # O(L) UTF-8 seek per character on non-ASCII text, turning this
-    # stage O(L²) per document (and long documents are the winnowing
-    # use case). split('', '') yields [''] with ascii('') = 0, matching
-    # the old sequence(1, greatest(len, 1)) empty-doc shape exactly.
-    cps = norm.select(
-        id_col,
-        F.transform(
-            F.split("__norm", ""),
-            lambda ch: F.greatest(F.ascii(ch), F.lit(0)).cast("long"),
-        ).alias("__cp"),
-    )
-    gh = cps.select(
-        id_col,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("__cp") - (k - 1), F.lit(1))),
-            lambda i: F.aggregate(
-                F.slice(F.col("__cp"), i, k),
-                F.lit(0).cast("long"),
-                lambda a, c: (a * 31 + c) % mod,
-            ),
-        ).alias("__gh"),
-    )
-    wins = gh.select(
-        id_col,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("__gh") - (window - 1), F.lit(1))),
-            lambda j: F.array_min(F.slice(F.col("__gh"), j, window)),
-        ).alias("__win"),
-    )
-    return wins.select(
-        id_col, F.explode(F.array_distinct("__win")).alias("fp")
-    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    pw = np.array([pow(31, k - 1 - j, mod) for j in range(k)], dtype=np.int64)
+
+    def run(parts):
+        for pdf in parts:
+            ids, fps, counts = [], [], []
+            for did, s in zip(pdf[id_col].values, pdf["__norm"].values):
+                if s is None:
+                    continue  # explode(null) row-drop parity
+                c = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if c.size == 0:
+                    c = np.zeros(1, np.int64)  # split('','') == ['']
+                if c.size < k:
+                    g = np.array(
+                        [int((c * pw[k - c.size :]).sum() % mod)], dtype=np.int64
+                    )
+                else:
+                    g = (sliding_window_view(c, k) * pw).sum(axis=1) % mod
+                if g.size < window:
+                    w = np.array([g.min()], np.int64)
+                else:
+                    w = sliding_window_view(g, window).min(axis=1)
+                u = np.unique(w)
+                ids.append(did)
+                counts.append(u.size)
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(
+                        np.asarray(ids, dtype=object), counts
+                    )
+                    if ids
+                    else [],
+                    "fp": np.concatenate(fps) if fps else [],
+                }
+            )
+
+    return norm.mapInPandas(run, schema=f"{id_col} {id_type}, fp long")
