@@ -707,6 +707,53 @@ def test_winnowing_shared_substring_guarantee(spark):
         assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fingerprint"
 
 
+def _winnow_reference(s, k=8, window=4, mod=2147483647):
+    """Straight-from-the-paper reference: stepwise-mod polynomial
+    hash per char k-gram, then window minima, then the distinct set.
+    Deliberately scalar Python — the spec the numpy kernel must match."""
+    cps = [ord(ch) for ch in s] or [0]  # split('','') == [''] shape
+    grams = []
+    for i in range(max(len(cps) - k + 1, 1)):
+        acc = 0
+        for c in cps[i : i + k]:
+            acc = (acc * 31 + c) % mod
+        grams.append(acc)
+    wins = [
+        min(grams[j : j + window])
+        for j in range(max(len(grams) - window + 1, 1))
+    ]
+    return set(wins)
+
+
+def test_winnowing_kernel_matches_scalar_reference(spark):
+    """The r08 Arrow/numpy kernel vs the scalar spec, across the edge
+    shapes (empty, shorter-than-k, exactly-k, fewer-grams-than-window)
+    and random strings including non-ASCII (UTF-32 codepoint parity —
+    ascii()/unicode() conventions must not drift) and text needing
+    normalization (the kernel runs AFTER normalized())."""
+    import random
+
+    from spotify_app_etl_spark.functions.text import winnowing_fingerprints
+    from spotify_app_etl_spark.operators.dedup import normalized as _norm_col
+
+    rng = random.Random(11)
+    alphabet = "ab cd\txyz09é漢🎵"
+    rows = [(0, ""), (1, "   \t "), (2, "short"), (3, "exactly8"),
+            (4, "elevenchars"), (5, "é漢🎵" * 5)]
+    rows += [
+        (10 + i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, "text", "doc_id").collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    # the reference consumes the SAME normalized text the kernel does
+    norm = {r.doc_id: r.n for r in df.select("doc_id", _norm_col("text").alias("n")).collect()}
+    for did, s in norm.items():
+        assert got.get(did, set()) == _winnow_reference(s), (did, repr(s))
+
+
 def test_empty_text_has_zero_tokens(spark):
     """split('', ' ') yields [''] — the phantom token must not count:
     empty/whitespace-only docs need token_count 0 to be filterable."""
