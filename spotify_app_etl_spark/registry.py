@@ -99,10 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     # state after r07: every registered query carries a driver row, zero
     # broken, zero mismatches; latest-row histogram r03:17 r04:40 r05:36
     # r06:38 r07:50. Rotation policy unchanged: (1) queries whose CODE
-    # changed this round re-prove first regardless of row age — 4 this
+    # changed this round re-prove first regardless of row age — 5 this
     # round; (2) the 17 r03-latest rows (the oldest evidence left) are
     # fully cleared; (3) the 40 r04-latest rows by registration order —
-    # the cut falls 29 in, the remaining 10 r04 rows roll to r09. ---
+    # the cut falls 28 in, the remaining 10 r04 rows roll to r09. ---
     # (1) code changed this round: the Misra-Gries overflow eviction
     # switched from a full re-sort to heapq.nlargest; the pHash query
     # and its oracle aligned the empty-payload convention (both sides
@@ -111,11 +111,15 @@ _PRIORITY: tuple[str, ...] = (
     # guard; winnowing_fingerprints became an Arrow numpy kernel
     # (value-identical — local oracle re-verified — but the scale
     # probe showed the interpreted higher-order-lambda version barely
-    # amortizing: 20.6x time at 32x data, vs 1.8x for the kernel).
+    # amortizing: 20.6x time at 32x data, vs 1.8x for the kernel);
+    # the recursive-CTE walk carries next_key in the frontier so each
+    # iteration is one equi-join instead of two (row-identical, ~25%
+    # faster, half the shuffle joins per chain step).
     "ns_vocab_heavy_hitters",
     "ns_mm_phash_pairs",
     "ns_layout_zorder_skipping",
     "ns_doc_winnowing",
+    "q_sql_recursive_cte",
     # (2) the 17 r03-latest rows, in registration order
     "ns_embed_centroid",
     "ns_embed_norm_stats",
@@ -134,15 +138,16 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_lateral_topk",
     "q_json_variant",
     "q_agg_grouping_id",
-    # (3) the first 29 of the 40 r04-latest rows, in registration
-    # order (ns_doc_winnowing jumped to block (1) when its kernel
-    # changed, pushing ns_lm_bigram_novelty over the 50-name cut); the
-    # tail (ns_lm_bigram_novelty, q_join_bloom_prefilter,
-    # ns_dedup_chunk_shared, ns_quality_bands,
+    # (3) the first 28 of the 40 r04-latest rows, in registration
+    # order (ns_doc_winnowing and q_sql_recursive_cte jumped to block
+    # (1) when their code changed, pushing q21_late_sole_supplier and
+    # ns_lm_bigram_novelty over the 50-name cut); the tail
+    # (q21_late_sole_supplier, ns_lm_bigram_novelty,
+    # q_join_bloom_prefilter, ns_dedup_chunk_shared, ns_quality_bands,
     # ns_embed_semantic_clusters, q_join_asof_forward,
     # ns_hybrid_rrf_search, ns_split_leakage_safe,
-    # ns_dedup_source_matrix, q_sql_recursive_cte) keeps its green r04
-    # rows and is the r09 window seed
+    # ns_dedup_source_matrix) keeps its green r04 rows and is the r09
+    # window seed
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
@@ -171,7 +176,6 @@ _PRIORITY: tuple[str, ...] = (
     "ns_corpus_shuffle",
     "q16_supplier_part_count",
     "q17_small_qty_revenue",
-    "q21_late_sole_supplier",
 )
 
 
