@@ -17,7 +17,7 @@ bottlenecks).
 
 Usage:
     python scripts/scale_probe.py [--sf /root/testdata/sf0.1]
-        [--copies 8] [--repeat 2] [--out SCALING.md]
+        [--copies 8] [--repeat 2] [--out SCALING_probe.md]
 
 Prints one JSON line per query and writes a markdown summary.
 """
@@ -157,7 +157,10 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=8)
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--out", default=str(Path(_REPO_ROOT) / "SCALING.md"))
+    # NOTE: SCALING.md is hand-curated across eight probe families; a
+    # default full overwrite would clobber it, so the default output is
+    # a sibling the operator merges from.
+    ap.add_argument("--out", default=str(Path(_REPO_ROOT) / "SCALING_probe.md"))
     ap.add_argument(
         "--queries",
         default=None,
