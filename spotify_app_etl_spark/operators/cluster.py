@@ -36,6 +36,8 @@ import threading
 
 from pyspark.sql import DataFrame, functions as F
 
+from spotify_app_etl_spark.operators.checkpoint import release_local_checkpoint
+
 log = logging.getLogger(__name__)
 
 #: Per-thread log of CC convergence round counts, so the bench harness
@@ -98,7 +100,13 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    # edges + labels are eagerly materialized above; the pairs
+    # checkpoint they were derived from is now dead weight in the
+    # storage pool (it can be the WIDEST state here when the caller
+    # passed an expensive pair pipeline).
+    release_local_checkpoint(pairs)
 
+    prev = labels  # superseded label generation, released once replaced
     for rounds in range(1, max_iter + 1):
         # min over {own label} ∪ {neighbors' labels} — one shuffle round.
         neighbor_min = (
@@ -117,10 +125,17 @@ def connected_components(
             )
         ).localCheckpoint()
         changed = updated.filter("__changed").count()
+        # `updated` is eagerly materialized — round k-1's labels are
+        # now unreachable by any surviving plan. Without this release
+        # the loop keeps R generations of (node, label) state live in
+        # the storage pool (the 128x-probe eviction-thrash bend).
+        release_local_checkpoint(prev)
+        prev = updated
         labels = updated.drop("__changed")
         if changed == 0:
             _record_rounds(rounds)
             log.info("connected_components: converged in %d rounds", rounds)
+            release_local_checkpoint(edges)  # result only needs `updated`
             return labels
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds — "
@@ -186,6 +201,8 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # Both derivations are materialized; drop the input checkpoint.
+    release_local_checkpoint(pairs)
 
     def bidirectional(e: DataFrame) -> DataFrame:
         return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -227,6 +244,10 @@ def connected_components_star(
             .limit(1)
             .count()
         )
+        # The fixpoint check above was the last read of round k-1's
+        # edge set; release it before it stacks up in storage (the
+        # final `edges` survives — the returned plan reads it lazily).
+        release_local_checkpoint(edges)
         edges = rewired
         if changed == 0:
             _record_rounds(rounds)

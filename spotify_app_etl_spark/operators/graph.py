@@ -39,6 +39,8 @@ import logging
 
 from pyspark.sql import DataFrame, functions as F
 
+from spotify_app_etl_spark.operators.checkpoint import release_local_checkpoint
+
 log = logging.getLogger(__name__)
 
 
@@ -135,6 +137,10 @@ def pagerank(
             .localCheckpoint()
         )
         if fixed_rounds is not None:
+            # `updated` is eagerly checkpointed — last round's vector is
+            # unreachable; release it or the loop holds `rounds` live
+            # generations of (node, rank) in the storage pool.
+            release_local_checkpoint(ranks)
             ranks = updated
             continue
         # scalar 2: max delta — convergence check (tolerance mode only)
@@ -144,11 +150,16 @@ def pagerank(
             .agg(F.max(F.abs(F.col("new.rank") - F.col("old.rank"))))
             .collect()[0][0]
         )
+        release_local_checkpoint(ranks)  # delta was its last reader
         ranks = updated
         if delta < tol:
             log.info("pagerank: converged in %d rounds (delta %.2e)", rounds, delta)
+            for ck in (e, nodes, outdeg):  # result only needs `ranks`
+                release_local_checkpoint(ck)
             return ranks, rounds
     if fixed_rounds is not None:
+        for ck in (e, nodes, outdeg):
+            release_local_checkpoint(ck)
         return ranks, fixed_rounds
     raise RuntimeError(
         f"pagerank: no convergence after {max_iter} rounds (tol {tol}) — "

@@ -36,6 +36,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Elastic shuffle parallelism: shuffles START at 8x the core count
+    # and AQE coalesces down to the advisory size (parallelismFirst
+    # keeps small runs at ~defaultParallelism, so sf0.01/sf0.1 plans
+    # are unchanged). Without this the fixed `shuffle.partitions ~
+    # cores` cap means every shuffle partition grows linearly with the
+    # data — the 128x scale probe measured exactly that failure
+    # (HashAggregate spill-then-OOM, cache-eviction thrash in the
+    # iterative CC). AQE can only merge partitions, never split a
+    # non-skew-join stage, so the ceiling must be set here.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+        DEFAULT_CPUS * 8
+    ),
     # Testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
     # nanosecond timestamp type, so scan them as epoch-nanos longs and
     # convert explicitly (io.load_table).
