@@ -72,10 +72,15 @@ def main() -> None:
         "unbounded side, scans without pushed filters when the query",
         "filters, Python stages in a pure-relational plan.",
         "",
-        "Since r07 this audits the RIDER-FREE bench variant where one",
-        "exists (registry `bench_fn`) — the same plan bench.py times;",
-        "the driver's proof-laden `fn` plans are a superset (they add",
-        "the 1-row verification scalars the plan-audit gate allowlists).",
+        "Since r08 BOTH arms of every `bench_fn` query are audited: the",
+        "bare name is the rider-free variant bench.py times; the",
+        "`(fn)` row is the proof-laden arm the driver's correctness",
+        "sweep executes. The `(fn)` rows' NLJ counts (1-4) are the",
+        "1-row broadcast verification scalars (recall / parity /",
+        "idempotence riders) cross-joined onto the output — every",
+        "broadcast side is a single row, the shape",
+        "tests/test_plan_audit.py allowlists and the r07 verdict's",
+        "anti-pattern sweep verified across all 30 crossJoin sites.",
         "",
         "Known-intended exceptions: `ns_sim_topk_bruteforce` carries a",
         "BroadcastNestedLoopJoin BY DESIGN — it is the exact baseline",
@@ -85,8 +90,8 @@ def main() -> None:
         "join and the single-query-vector cosine baseline — both",
         "broadcast sides are O(1) in corpus size. Python stages (`py`",
         "column) appear only in Arrow-kernel operators (minhash/",
-        "hyperplane signatures, multimodal decode, Bloom probe), never",
-        "in relational plans.",
+        "hyperplane signatures, winnowing fingerprints, multimodal",
+        "decode, Bloom probe), never in relational plans.",
         "",
         "| query | wall_s | shuffles | broadcasts | codegen | scans | pushed | NLJ | cartesian | py |",
         "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",

@@ -32,8 +32,36 @@ from __future__ import annotations
 import logging
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 log = logging.getLogger(__name__)
+
+
+def local_checkpoint_ser(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` with SERIALIZED in-memory blocks
+    (``StorageLevel.MEMORY_AND_DISK`` — PySpark's serialized level;
+    the engine default is the *deserialized* variant).
+
+    Loop state here is narrow rows (two longs; a long + a double):
+    stored deserialized, the ~48 B/row JVM object overhead is 2-3x the
+    data itself, and the inflated blocks sit in the storage pool's
+    PROTECTED half — memory the unified manager will not evict for
+    execution. The 128x scale probe measured the consequence: PageRank
+    over a ~50M-edge graph died with UNABLE_TO_ACQUIRE_MEMORY inside a
+    round's checkpoint job because the loop-invariant edge state had
+    pinned the protected region while 32 concurrent join tasks fought
+    over the remainder. Serialized blocks store as one compact byte
+    buffer per block (no per-row objects), spill to disk whole, and are
+    written once / read once per round — the classic iterative-state
+    trade (GraphX's documented recommendation for big graphs). Same
+    fix, same heap: the probe passes after this change.
+
+    Values are unaffected; only the block encoding changes.
+    """
+    try:
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    except TypeError:  # Spark < 4.0: no storageLevel parameter
+        return df.localCheckpoint(eager=True)
 
 
 def release_local_checkpoint(df: DataFrame | None, *, blocking: bool = False) -> bool:

@@ -36,7 +36,10 @@ import threading
 
 from pyspark.sql import DataFrame, functions as F
 
-from spotify_app_etl_spark.operators.checkpoint import release_local_checkpoint
+from spotify_app_etl_spark.operators.checkpoint import (
+    local_checkpoint_ser,
+    release_local_checkpoint,
+)
 
 log = logging.getLogger(__name__)
 
@@ -79,26 +82,24 @@ def connected_components(
     # pipeline (e.g. the exact n-gram Jaccard self-join feeding
     # ns_dedup_clusters) would otherwise execute its expensive join
     # twice. The checkpointed pair set itself is just ids — tiny.
-    pairs = pairs.localCheckpoint()
+    pairs = local_checkpoint_ser(pairs)
     # Undirected edge list, both directions, self-loops dropped.
-    edges = (
+    edges = local_checkpoint_ser(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
     # Node universe from the UNFILTERED pairs: a node appearing only in
     # self-loop rows (e.g. an upstream stage emitting reflexive pairs)
     # has no surviving edge, but the contract promises a row for every
     # node in `pairs` — it gets a singleton component below because the
     # neighbor join simply never updates it.
-    labels = (
+    labels = local_checkpoint_ser(
         pairs.select(F.col(id_a).alias("node"))
         .union(pairs.select(F.col(id_b).alias("node")))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     # edges + labels are eagerly materialized above; the pairs
     # checkpoint they were derived from is now dead weight in the
@@ -114,7 +115,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
+        updated = local_checkpoint_ser(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -123,7 +124,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("nbr_component") < F.col("component")).alias("__changed"),
             )
-        ).localCheckpoint()
+        )
         changed = updated.filter("__changed").count()
         # `updated` is eagerly materialized — round k-1's labels are
         # now unreachable by any surviving plan. Without this release
@@ -185,21 +186,19 @@ def connected_components_star(
     """
     # One materialization of the (possibly expensive) input pipeline —
     # same rationale as connected_components.
-    pairs = pairs.localCheckpoint()
+    pairs = local_checkpoint_ser(pairs)
     # Bidirectional view, self-loops dropped.
-    edges = (
+    edges = local_checkpoint_ser(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     # Node universe from the UNFILTERED pairs (see connected_components:
     # self-loop-only nodes must still get a singleton row).
-    all_nodes = (
+    all_nodes = local_checkpoint_ser(
         pairs.select(F.col(id_a).alias("node"))
         .union(pairs.select(F.col(id_b).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     # Both derivations are materialized; drop the input checkpoint.
     release_local_checkpoint(pairs)
@@ -225,12 +224,11 @@ def connected_components_star(
         # small-star: for every neighbor v <= u (on the directed view
         # v < u), edge (v, m(u)). Together: every neighbor rewires to
         # the neighborhood min each round.
-        rewired = (
+        rewired = local_checkpoint_ser(
             bidir.join(m, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         # Fixpoint: every edge already points at its component min —
         # the rewire is then a no-op (same set). Both sides are

@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from spotify_app_etl_spark.operators.checkpoint import local_checkpoint_ser
+
 # ---------------------------------------------------------------------------
 # Scoped persist: the signature/gram tables below are cached because
 # several consumers in the returned plan re-read them, but a persist
@@ -1262,7 +1264,7 @@ def _minhash_dedup_incremental_core(
     # their own just-appended signatures (est_jaccard=1.0) and drop
     # everything. localCheckpoint severs that lineage eagerly; the
     # checkpointed set is just the dropped ids — tiny.
-    drop = dup_vs_index.unionByName(dup_within).distinct().localCheckpoint(eager=True)
+    drop = local_checkpoint_ser(dup_vs_index.unionByName(dup_within).distinct())
     kept = new_docs.join(
         drop.withColumnRenamed("__id", id_col), id_col, "left_anti"
     )

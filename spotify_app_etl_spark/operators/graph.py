@@ -39,7 +39,10 @@ import logging
 
 from pyspark.sql import DataFrame, functions as F
 
-from spotify_app_etl_spark.operators.checkpoint import release_local_checkpoint
+from spotify_app_etl_spark.operators.checkpoint import (
+    local_checkpoint_ser,
+    release_local_checkpoint,
+)
 
 log = logging.getLogger(__name__)
 
@@ -81,23 +84,22 @@ def pagerank(
     if fixed_rounds is not None and fixed_rounds <= 0:
         raise ValueError(f"fixed_rounds must be positive, got {fixed_rounds}")
 
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
+    e = local_checkpoint_ser(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
-    nodes = (
+    nodes = local_checkpoint_ser(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0)), 0
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    outdeg = local_checkpoint_ser(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = local_checkpoint_ser(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - damping) / n
 
     n_rounds = fixed_rounds if fixed_rounds is not None else max_iter
@@ -120,7 +122,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("share").alias("in_share"))
         )
-        updated = (
+        updated = local_checkpoint_ser(
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dangling_agg))
             .select(
@@ -134,7 +136,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
         if fixed_rounds is not None:
             # `updated` is eagerly checkpointed — last round's vector is

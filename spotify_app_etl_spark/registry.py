@@ -99,10 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     # state after r07: every registered query carries a driver row, zero
     # broken, zero mismatches; latest-row histogram r03:17 r04:40 r05:36
     # r06:38 r07:50. Rotation policy unchanged: (1) queries whose CODE
-    # changed this round re-prove first regardless of row age — 5 this
+    # changed this round re-prove first regardless of row age — 10 this
     # round; (2) the 17 r03-latest rows (the oldest evidence left) are
     # fully cleared; (3) the 40 r04-latest rows by registration order —
-    # the cut falls 28 in, the remaining 10 r04 rows roll to r09. ---
+    # the cut falls 23 in, the remaining 17 r04 rows roll to r09. ---
     # (1) code changed this round: the Misra-Gries overflow eviction
     # switched from a full re-sort to heapq.nlargest; the pHash query
     # and its oracle aligned the empty-payload convention (both sides
@@ -115,6 +115,20 @@ _PRIORITY: tuple[str, ...] = (
     # the recursive-CTE walk carries next_key in the frontier so each
     # iteration is one equi-join instead of two (row-identical, ~25%
     # faster, half the shuffle joins per chain step).
+    # Late-round additions to block (1): the 128x scale probe caught
+    # two single-knob scale failures (fixed shuffle width; live
+    # superseded localCheckpoint generations) and then a third
+    # (deserialized checkpoint blocks pinning the protected storage
+    # pool — PageRank OOM at 128x, fixed by serialized loop state in
+    # operators/checkpoint.py local_checkpoint_ser). The iterative
+    # operators' call sites changed, so every query that runs through
+    # connected_components / pagerank / incremental minhash re-proves
+    # this round (values unchanged — local oracle re-verified).
+    "ns_dedup_clusters",
+    "ns_graph_pagerank",
+    "ns_dedup_minhash_incremental",
+    "ns_split_leakage_safe",
+    "q_fuzzy_entity_clusters",
     "ns_vocab_heavy_hitters",
     "ns_mm_phash_pairs",
     "ns_layout_zorder_skipping",
@@ -138,16 +152,20 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_lateral_topk",
     "q_json_variant",
     "q_agg_grouping_id",
-    # (3) the first 28 of the 40 r04-latest rows, in registration
+    # (3) the first 23 of the 40 r04-latest rows, in registration
     # order (ns_doc_winnowing and q_sql_recursive_cte jumped to block
-    # (1) when their code changed, pushing q21_late_sole_supplier and
-    # ns_lm_bigram_novelty over the 50-name cut); the tail
-    # (q21_late_sole_supplier, ns_lm_bigram_novelty,
-    # q_join_bloom_prefilter, ns_dedup_chunk_shared, ns_quality_bands,
+    # (1) when their code changed, and the five checkpoint-affected
+    # names displaced five more r04 rows over the 50-name cut); the
+    # tail (ns_boilerplate_grams, ns_curriculum_bins,
+    # ns_corpus_shuffle, q16_supplier_part_count,
+    # q17_small_qty_revenue, q21_late_sole_supplier,
+    # ns_lm_bigram_novelty, q_join_bloom_prefilter,
+    # ns_dedup_chunk_shared, ns_quality_bands,
     # ns_embed_semantic_clusters, q_join_asof_forward,
-    # ns_hybrid_rrf_search, ns_split_leakage_safe,
-    # ns_dedup_source_matrix) keeps its green r04 rows and is the r09
-    # window seed
+    # ns_hybrid_rrf_search, ns_dedup_source_matrix) keeps its green
+    # r04 rows and is the r09 window seed (ns_split_leakage_safe
+    # jumped to block (1) — its split runs through the changed
+    # connected-components closure)
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
@@ -171,11 +189,6 @@ _PRIORITY: tuple[str, ...] = (
     "etl_audio_features",
     "q_join_asof",
     "ns_dedup_embedding_cosine",
-    "ns_boilerplate_grams",
-    "ns_curriculum_bins",
-    "ns_corpus_shuffle",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
 )
 
 
