@@ -135,6 +135,17 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shrink the PROTECTED storage region (default 0.5 of the
+        # unified pool). Storage above the fraction is evictable for
+        # execution anyway, so this only caps what caches can hold
+        # against a desperate shuffle — and this engine's heavy queries
+        # are shuffle-bound with evictable columnar caches, not
+        # cache-latency-bound. The 128x probe measured the default's
+        # failure mode: 32 concurrent shuffle-write sorters each denied
+        # a 32 KiB pointer array (post-self-spill) while the persisted
+        # gram table sat untouchable inside the protected half.
+        # Build-time only (core memory manager conf, not a SQLConf).
+        .config("spark.memory.storageFraction", "0.3")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
