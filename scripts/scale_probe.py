@@ -98,6 +98,31 @@ def _dst(j: int) -> str:
     )
 
 
+def _dim_perm(j: int, dim: int) -> list[int]:
+    """Per-copy embedding-dimension permutation (identity for copy 0).
+
+    The text columns get a per-copy character translation so replicas
+    are not near-duplicates; embeddings need the same treatment or
+    every vector ships with copies-1 IDENTICAL twins and the
+    embedding-space probes (semantic dedup, cosine LSH, ANN top-k)
+    measure a degenerate workload whose OUTPUT grows quadratically in
+    copies (measured: 16.26M cosine=1.0 pairs at 128x on a corpus with
+    0 pairs at 1x). A dimension permutation is the vector analog of
+    the letter translation: norms and all WITHIN-copy angles are
+    exactly preserved (the within-copy workload keeps its real
+    selectivity), while cross-copy cosine between permuted twins
+    collapses to the coordinate-distribution's mean-alignment —
+    measured below every registry threshold on the testdata vectors.
+    Seeded per copy, so the replica is deterministic.
+    """
+    import random
+
+    perm = list(range(dim))
+    if j:
+        random.Random(j).shuffle(perm)
+    return perm
+
+
 def build_scaled(spark, sf_dir: str, copies: int) -> str:
     from pyspark.sql import functions as F
 
@@ -117,6 +142,11 @@ def build_scaled(spark, sf_dir: str, copies: int) -> str:
     for name, keys in KEY_SHIFTS.items():
         base = load_table(spark, sf_dir, name)
         parts = []
+        dim = (
+            len(base.select("embedding").first()[0])
+            if name == "embeddings" and copies > 1
+            else 0
+        )
         for j in range(copies):
             c = base
             for k in keys:
@@ -124,6 +154,13 @@ def build_scaled(spark, sf_dir: str, copies: int) -> str:
             if name == "documents" and j > 0:
                 c = c.withColumn(
                     "text", F.translate(F.col("text"), _SRC, _dst(j))
+                )
+            if name == "embeddings" and j > 0:
+                c = c.withColumn(
+                    "embedding",
+                    F.array(
+                        *[F.col("embedding")[i] for i in _dim_perm(j, dim)]
+                    ),
                 )
             if name == "customer" and j > 0:
                 # c_name derives from c_custkey in the testdata

@@ -831,13 +831,63 @@ def embedding_cosine_pairs(
     )
 
 
+def lsh_auto_params(
+    n: int,
+    threshold: float,
+    *,
+    target_recall: float = 0.85,
+    target_bucket: int = 32,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Closed-form sign-LSH sizing from corpus size and threshold.
+
+    A fixed ``planes`` is a hidden quadratic: 2^planes buckets is a
+    CONSTANT, so bucket occupancy — and within-bucket pair work — grows
+    linearly-then-quadratically with the corpus (the 128x probe killed
+    the fixed planes=8 query with a heap OOM: 256k vectors / 256
+    buckets ≈ 1k per bucket ≈ 1e9 candidate pairs). Both knobs follow
+    from quantities known at plan time:
+
+    * ``planes = log2(n / target_bucket)`` keeps expected bucket
+      occupancy constant as the corpus grows (clamped to
+      [min_planes, max_planes]; 24 planes ≈ 16.7M buckets).
+    * raising planes lowers per-table collision probability for TRUE
+      pairs — for a pair exactly at ``threshold`` it is
+      ``p^planes`` with ``p = 1 - arccos(threshold)/π`` (Charikar
+      2002) — so ``tables`` is solved to restore the recall target:
+      ``1 - (1 - p^planes)^tables >= target_recall``. Pairs above the
+      threshold collide more, so the target is the worst-case bound.
+
+    Cost model: candidates ≈ n·target_bucket·tables/2 — LINEAR in n
+    with a log-factor through tables. The one data-dependent input is a
+    single count().
+    """
+    import math
+
+    p = 1.0 - math.acos(max(min(float(threshold), 1.0), -1.0)) / math.pi
+    planes = min_planes
+    if n > target_bucket:
+        planes = max(min_planes, min(max_planes, math.ceil(math.log2(n / target_bucket))))
+    hit = p**planes
+    if hit >= 1.0:
+        tables = 1
+    else:
+        tables = max(
+            1,
+            min(max_tables, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))),
+        )
+    return planes, tables
+
+
 def embedding_cosine_pairs_lsh(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    planes: int = 8,
-    tables: int = 4,
+    planes: int | str = 8,
+    tables: int | str = 4,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold, confined to sign-LSH buckets.
@@ -851,17 +901,27 @@ def embedding_cosine_pairs_lsh(
     candidate; cosine is then scored exactly per distinct pair. Recall vs
     the exact variant is asserted in tests/test_operators.py.
 
-    At 100 TB: bucket count 2^planes × tables bounds in-bucket pair
-    blow-up; raise ``planes`` as corpus density grows (the standard LSH
-    knob). The distinct-before-score keeps cost ∝ unique candidates.
+    At 100 TB: pass ``planes="auto"`` / ``tables="auto"`` — bucket
+    density and the recall target then size both knobs from one count()
+    via :func:`lsh_auto_params`, keeping candidate volume LINEAR in the
+    corpus at any scale (a fixed planes is a constant bucket count, so
+    occupancy — and pair work — grows with the data; the 128x probe
+    measured the failure). Fixed integers remain for deterministic
+    small-scale runs. The distinct-before-score keeps cost ∝ unique
+    candidates.
     """
+    from pyspark.sql import Window as _W
+
     from spotify_app_etl_spark.operators.similarity import (
         _as_double,
         _hyperplane_buckets_arrow,
-        dot,
-        l2_norm,
     )
 
+    if planes == "auto" or tables == "auto":
+        n = df.count()
+        auto_planes, auto_tables = lsh_auto_params(n, threshold)
+        planes = auto_planes if planes == "auto" else planes
+        tables = auto_tables if tables == "auto" else tables
     bks = _hyperplane_buckets_arrow(tables, planes)
     # NOT repartitioned before the kernel: the numpy projection is
     # microseconds per batch even single-task; a fan-out here shuffles
@@ -869,56 +929,116 @@ def embedding_cosine_pairs_lsh(
     # slower end-to-end at sf0.1 (see spotify_app_etl_spark/operators/
     # similarity.py note on minhash, where the kernel IS the bottleneck
     # and the tradeoff flips).
-    side = df.select(
-        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", l2_norm(F.col("__v")))
+    #
+    # Scoring happens INSIDE each (table, bucket) group with one dense
+    # matmul per within-bucket block pair — the exact kernel's
+    # arithmetic, scoped to a bucket. The previous shape generated the
+    # candidate-pair frame first and joined both endpoints' vectors
+    # onto every pair: shuffle volume O(candidates · dim), which the
+    # 128x probe measured at ~92 GB (769 s) for 90M candidates. Here
+    # vectors move once per bucket MEMBERSHIP — O(n · tables · dim),
+    # ~1.9 GB for the same workload — and only surviving pairs (rare,
+    # above-threshold) reach the cross-table distinct.
+    side = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
     idx = side.select(
         "__id",
+        "__v",
         F.explode(
             F.transform(
                 bks(F.col("__v")),
                 lambda b, i: F.struct(i.alias("tbl"), b.alias("bkt")),
             )
         ).alias("tb"),
-    ).select("__id", "tb.tbl", "tb.bkt")
+    ).select("__id", "__v", "tb.tbl", "tb.bkt")
     idx = _cap_buckets(idx, ["tbl", "bkt"], max_bucket_size)
-    cand = (
-        idx.alias("a")
-        .join(
-            idx.alias("b"),
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+    # Dense buckets split into hash blocks (the semantic-dedup grid,
+    # scoped to a bucket): no task ever materializes more than two
+    # _MAX_BLOCK_ROWS row-blocks, so a skewed bucket degrades into more
+    # tasks, never into one giant matmul. Block count is a column (from
+    # the bucket-size window), not driver state — bucket cardinality is
+    # 2^planes x tables and must never be collected.
+    max_rows = 2048
+    blocked = idx.withColumn(
+        "__nb",
+        F.ceil(
+            F.count(F.lit(1)).over(_W.partitionBy("tbl", "bkt")) / max_rows
+        ).cast("int"),
+    ).withColumn("__sb", F.pmod(F.xxhash64("__id"), F.col("__nb")).cast("int"))
+    packed = blocked.groupBy("tbl", "bkt", "__sb").agg(
+        F.collect_list(F.struct("__id", "__v")).alias("__rows")
     )
-    return (
-        cand.join(
-            side.select(
-                F.col("__id").alias("id_a"),
-                F.col("__v").alias("__va"),
-                F.col("__n").alias("__na"),
-            ),
-            "id_a",
+    block_pairs = (
+        packed.select(
+            "tbl", "bkt", F.col("__sb").alias("__ba"), F.col("__rows").alias("rows_a")
         )
         .join(
-            side.select(
-                F.col("__id").alias("id_b"),
-                F.col("__v").alias("__vb"),
-                F.col("__n").alias("__nb"),
+            packed.select(
+                "tbl",
+                "bkt",
+                F.col("__sb").alias("__bb"),
+                F.col("__rows").alias("rows_b"),
             ),
-            "id_b",
+            ["tbl", "bkt"],
         )
-        .withColumn(
-            "cos_sim",
-            F.round(
-                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 8
-            ),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
+        .filter(F.col("__ba") <= F.col("__bb"))
     )
+    id_ddl = df.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        def unpack(rows):
+            ids = np.array([r["__id"] for r in rows], dtype=object)
+            M = np.vstack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = np.divide(M, norms, out=np.zeros_like(M), where=norms > 0)
+            return ids, Mn
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for same, rows_a, rows_b in zip(
+                pdf["__ba"].to_numpy() == pdf["__bb"].to_numpy(),
+                pdf["rows_a"],
+                pdf["rows_b"],
+            ):
+                if same and len(rows_a) < 2:
+                    continue
+                ids_a, ma = unpack(rows_a)
+                ids_b, mb = (ids_a, ma) if same else unpack(rows_b)
+                cos = np.round(ma @ mb.T, 8)
+                ia, ib = np.nonzero(cos >= threshold)
+                # mask BY ID, not position (collect_list element order
+                # is not guaranteed stable across the self-join's two
+                # evaluations — same rationale as the exact kernel)
+                m = ids_a[ia] < ids_b[ib]
+                if same:
+                    ia, ib = ia[m], ib[m]
+                    lo, hi = ids_a[ia], ids_b[ib]
+                    cs = cos[ia, ib]
+                else:
+                    lo = np.where(m, ids_a[ia], ids_b[ib])
+                    hi = np.where(m, ids_b[ib], ids_a[ia])
+                    cs = cos[ia, ib]
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cs)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos_sim": np.concatenate(out_c),
+                    }
+                )
+
+    return block_pairs.mapInPandas(
+        score, f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double"
+        # the same pair can surface in several tables; scores are
+        # identical (one rounding convention), so distinct dedupes
+    ).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -1282,7 +1402,7 @@ def semantic_dedup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     seed: int = 42,
     max_cell_rows: int = 10_000,
 ) -> DataFrame:
@@ -1342,6 +1462,15 @@ def semantic_dedup_pairs(
     side = df.filter(_valid_vec(F.col(vec_col))).select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
     )
+    if n_cells == "auto":
+        # Constant expected cell occupancy from one count — the paper's
+        # own sizing (50k cells for 100M+ docs ≈ a few thousand vectors
+        # per cell). A FIXED n_cells makes within-cell pair work grow
+        # quadratically with the corpus: the 128x probe measured 89x
+        # time for 128x rows at n_cells=8 vs ~9x with cells scaled.
+        # The 50k cap bounds KMeans driver state (centroid matrix) the
+        # same way the paper's deployment does.
+        n_cells = max(1, min(50_000, math.ceil(side.count() / 2048)))
     if n_cells == 1:
         # Spark ML KMeans rejects k=1; the degenerate grid (useful as
         # the exact-equivalence oracle in tests) needs no fit — every
@@ -1477,7 +1606,7 @@ def semantic_dedup(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     seed: int = 42,
     keep: str = "least_central",
     pairs: DataFrame | None = None,

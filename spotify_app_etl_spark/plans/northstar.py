@@ -854,7 +854,13 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ns_dedup_embedding_cosine_lsh",
     note="scale path for embedding near-dup: candidate pairs confined to "
     "sign-LSH (table, bucket) equi-join buckets — one shuffle, never "
-    "O(n²); bucket-dependent → rows-only; self-verifying: emits "
+    "O(n²). planes/tables are AUTO-SIZED from one corpus count "
+    "(operators/dedup.py lsh_auto_params): planes keeps expected "
+    "bucket occupancy constant as the corpus grows, tables is solved "
+    "in closed form from the Charikar collision probability to hold "
+    "the recall target — candidate volume stays linear at any scale "
+    "(a fixed planes is a constant bucket count; the 128x probe "
+    "OOM'd it). Bucket-dependent → rows-only; self-verifying: emits "
     "recall_vs_exact/recall_ok vs the exact block-matmul kernel "
     "restricted to a FIXED 400-vector window (vec_id < 200 plus its "
     "planted twins at 100000+i — O(1) in corpus size, so the scale "
@@ -876,13 +882,13 @@ def ns_dedup_embedding_cosine_lsh(
         # rider-free arm (bench.py): the bucketed LSH pair join is the
         # operator; the windowed exact block-matmul pass is the proof
         return DD.embedding_cosine_pairs_lsh(
-            emb, "embedding", "vec_id", threshold=0.9, planes=8, tables=8
+            emb, "embedding", "vec_id", threshold=0.9, planes="auto", tables="auto"
         )
     # Persisted: the LSH pair frame feeds both the output and the
     # recall scalar (see ns_dedup_minhash_pairs).
     lsh = _scoped_persist(
         DD.embedding_cosine_pairs_lsh(
-            emb, "embedding", "vec_id", threshold=0.9, planes=8, tables=8
+            emb, "embedding", "vec_id", threshold=0.9, planes="auto", tables="auto"
         )
     )
     # Exact pass over a constant window: _emb_with_planted plants each
@@ -905,8 +911,12 @@ def ns_dedup_embedding_cosine_lsh(
     "KMeans cells + within-cell dense-cosine pairs, keeping each dup "
     "group's LEAST-central member (operators/dedup.py semantic_dedup). "
     "Where the LSH sibling buckets by random projections, this buckets "
-    "by LEARNED structure — n_cells is the 100 TB knob (the paper runs "
-    "50k cells so each cell is one matmul task). Centroid-dependent → "
+    "by LEARNED structure — n_cells is AUTO-SIZED from one corpus "
+    "count to constant expected cell occupancy (the paper's own "
+    "sizing: 50k cells for 100M+ docs; a fixed n_cells makes "
+    "within-cell pair work quadratic in the corpus — the 128x probe "
+    "measured 89x time for 128x rows at n_cells=8 vs ~9x with cells "
+    "scaled). Centroid-dependent → "
     "rows-only; self-verifying: recall_vs_exact vs the exact kernel on "
     "the FIXED 400-vector window ≥ 0.6 (cells drop cross-cell pairs by "
     "design; n_cells=1 == exact equality is asserted in "
@@ -923,7 +933,7 @@ def ns_dedup_semantic(
     emb = _emb_with_planted(spark, sf_dir)
     pairs = _scoped_persist(
         DD.semantic_dedup_pairs(
-            emb, "embedding", "vec_id", threshold=0.9, n_cells=8
+            emb, "embedding", "vec_id", threshold=0.9, n_cells="auto"
         )
     )
     # keep = least_central over the SAME persisted pair frame (the

@@ -99,10 +99,10 @@ _PRIORITY: tuple[str, ...] = (
     # state after r07: every registered query carries a driver row, zero
     # broken, zero mismatches; latest-row histogram r03:17 r04:40 r05:36
     # r06:38 r07:50. Rotation policy unchanged: (1) queries whose CODE
-    # changed this round re-prove first regardless of row age — 10 this
+    # changed this round re-prove first regardless of row age — 12 this
     # round; (2) the 17 r03-latest rows (the oldest evidence left) are
     # fully cleared; (3) the 40 r04-latest rows by registration order —
-    # the cut falls 23 in, the remaining 17 r04 rows roll to r09. ---
+    # the cut falls 21 in, the remaining 19 r04 rows roll to r09. ---
     # (1) code changed this round: the Misra-Gries overflow eviction
     # switched from a full re-sort to heapq.nlargest; the pHash query
     # and its oracle aligned the empty-payload convention (both sides
@@ -129,6 +129,15 @@ _PRIORITY: tuple[str, ...] = (
     "ns_dedup_minhash_incremental",
     "ns_split_leakage_safe",
     "q_fuzzy_entity_clusters",
+    # ...and the two embedding dedups: the sign-LSH variant's knobs
+    # became auto-sized (lsh_auto_params) and its scoring moved from a
+    # per-candidate vector join to per-bucket block matmuls after the
+    # 128x probe OOM'd the fixed-knob shape; SemDeDup's n_cells became
+    # auto-sized to constant cell occupancy for the same reason
+    # (recall/score-equality tests and the windowed exact riders
+    # unchanged on both).
+    "ns_dedup_embedding_cosine_lsh",
+    "ns_dedup_semantic",
     "ns_vocab_heavy_hitters",
     "ns_mm_phash_pairs",
     "ns_layout_zorder_skipping",
@@ -152,11 +161,11 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_lateral_topk",
     "q_json_variant",
     "q_agg_grouping_id",
-    # (3) the first 23 of the 40 r04-latest rows, in registration
+    # (3) the first 21 of the 40 r04-latest rows, in registration
     # order (ns_doc_winnowing and q_sql_recursive_cte jumped to block
-    # (1) when their code changed, and the five checkpoint-affected
-    # names displaced five more r04 rows over the 50-name cut); the
-    # tail (ns_boilerplate_grams, ns_curriculum_bins,
+    # (1) when their code changed, and the seven scale-fix-affected
+    # names displaced seven more r04 rows over the 50-name cut); the
+    # tail (q_join_asof, ns_dedup_embedding_cosine, ns_boilerplate_grams, ns_curriculum_bins,
     # ns_corpus_shuffle, q16_supplier_part_count,
     # q17_small_qty_revenue, q21_late_sole_supplier,
     # ns_lm_bigram_novelty, q_join_bloom_prefilter,
@@ -187,8 +196,6 @@ _PRIORITY: tuple[str, ...] = (
     "ns_shard_pack",
     "etl_playlists_tracks",
     "etl_audio_features",
-    "q_join_asof",
-    "ns_dedup_embedding_cosine",
 )
 
 

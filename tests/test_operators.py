@@ -186,6 +186,43 @@ def test_embedding_cosine_lsh_recall(spark, emb):
     for k in hits:
         assert lsh[k] == exact[k]  # no false scores: identical kernel
     assert not (lsh.keys() - exact.keys())  # cosine filter → no false positives
+    # auto-sized knobs (the registered query's configuration): same
+    # recall contract must hold when planes/tables come from the
+    # corpus count + threshold instead of hand tuning
+    auto = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in DD.embedding_cosine_pairs_lsh(
+            corpus, "embedding", "vec_id", threshold=0.9, planes="auto", tables="auto"
+        ).collect()
+    }
+    auto_recall = len(exact.keys() & auto.keys()) / len(exact)
+    assert auto_recall >= 0.8, f"auto-sized LSH recall {auto_recall}"
+    assert not (auto.keys() - exact.keys())
+
+
+def test_lsh_auto_params_scaling():
+    """planes grows with the corpus (constant expected bucket
+    occupancy), tables restores the recall target, and both clamp."""
+    import math
+
+    from spotify_app_etl_spark.operators.dedup import lsh_auto_params
+
+    p09 = 1.0 - math.acos(0.9) / math.pi
+    prev_planes = 0
+    for n in (100, 10_000, 1_000_000, 100_000_000):
+        planes, tables = lsh_auto_params(n, 0.9)
+        assert planes >= prev_planes  # monotone in corpus size
+        prev_planes = planes
+        # the closed form must actually meet the recall target for a
+        # pair exactly at the threshold
+        assert 1 - (1 - p09**planes) ** tables >= 0.85 or tables == 64
+        # expected occupancy stays bounded: n / 2^planes <= target*2
+        assert n / (1 << planes) <= 64 or planes == 24
+    # clamps: tiny corpus -> floor planes, single table at threshold ~ 1
+    assert lsh_auto_params(10, 0.9)[0] == 4
+    assert lsh_auto_params(10_000, 0.9999)[1] == 1
+    # degenerate threshold never divides by zero / raises
+    assert lsh_auto_params(10_000, 1.0)[1] == 1
 
 
 def test_bruteforce_self_similarity(spark, emb):

@@ -170,3 +170,29 @@ def test_null_nan_vectors_dropped(spark):
     # invalid-vector rows are never LOST from the corpus — they just
     # can't participate in pairs
     assert {2, 3, 4} <= kept
+
+
+def test_auto_cells_sizing_and_recall(spark, emb):
+    """n_cells='auto' sizes cells to constant expected occupancy from
+    one count (tiny corpus -> 1 cell == the exact kernel) and keeps the
+    exact kernel's scoring convention for every emitted pair."""
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in DD.embedding_cosine_pairs(
+            emb, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in DD.semantic_dedup_pairs(
+            emb, "embedding", "vec_id", threshold=0.9, n_cells="auto"
+        ).collect()
+    }
+    # sf0.001 planted corpus is far under one cell's occupancy target,
+    # so auto resolves to the single-cell (exact) path
+    assert auto == exact
+    # and the auto path feeds semantic_dedup unchanged
+    kept = DD.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.9, n_cells="auto"
+    )
+    assert kept.count() < emb.count()  # planted dups actually dropped
