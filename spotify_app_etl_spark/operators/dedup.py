@@ -873,6 +873,12 @@ def lsh_auto_params(
     hit = p**planes
     if hit >= 1.0:
         tables = 1
+    elif hit <= 0.0:
+        # threshold clamped to -1 makes p = 0: no table can ever hit, so
+        # log(1 - hit) = 0 would divide by zero. The clamp promised the
+        # input is tolerated; the honest answer is "as many tables as
+        # allowed" (recall target unreachable either way).
+        tables = max_tables
     else:
         tables = max(
             1,
@@ -898,8 +904,10 @@ def embedding_cosine_pairs_lsh(
     batch); candidate pairs are generated ONLY within a (table, bucket)
     equi-join — one shuffle on the bucket key, never O(n²). A pair whose
     vectors agree on all ``planes`` sign bits in at least one table is a
-    candidate; cosine is then scored exactly per distinct pair. Recall vs
-    the exact variant is asserted in tests/test_operators.py.
+    candidate; cosine is then scored INSIDE its bucket with the exact
+    kernel's arithmetic (block matmuls), and the per-table results are
+    merged across tables afterwards. Recall vs the exact variant is
+    asserted in tests/test_operators.py.
 
     At 100 TB: pass ``planes="auto"`` / ``tables="auto"`` — bucket
     density and the recall target then size both knobs from one count()
@@ -907,8 +915,9 @@ def embedding_cosine_pairs_lsh(
     corpus at any scale (a fixed planes is a constant bucket count, so
     occupancy — and pair work — grows with the data; the 128x probe
     measured the failure). Fixed integers remain for deterministic
-    small-scale runs. The distinct-before-score keeps cost ∝ unique
-    candidates.
+    small-scale runs. Score-then-merge keeps shuffle volume
+    O(n · tables · dim) — vectors move once per bucket membership, and
+    only surviving (above-threshold) pairs reach the cross-table merge.
     """
     from pyspark.sql import Window as _W
 
@@ -917,8 +926,14 @@ def embedding_cosine_pairs_lsh(
         _hyperplane_buckets_arrow,
     )
 
+    side = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
     if planes == "auto" or tables == "auto":
-        n = df.count()
+        # size from the frame the kernel actually runs on (null/empty
+        # vectors are filtered out above) — semantic_dedup_pairs sizes
+        # its n_cells the same way
+        n = side.count()
         auto_planes, auto_tables = lsh_auto_params(n, threshold)
         planes = auto_planes if planes == "auto" else planes
         tables = auto_tables if tables == "auto" else tables
@@ -938,10 +953,7 @@ def embedding_cosine_pairs_lsh(
     # 128x probe measured at ~92 GB (769 s) for 90M candidates. Here
     # vectors move once per bucket MEMBERSHIP — O(n · tables · dim),
     # ~1.9 GB for the same workload — and only surviving pairs (rare,
-    # above-threshold) reach the cross-table distinct.
-    side = df.filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
-    ).select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
+    # above-threshold) reach the cross-table merge.
     idx = side.select(
         "__id",
         "__v",
@@ -1034,11 +1046,16 @@ def embedding_cosine_pairs_lsh(
                     }
                 )
 
-    return block_pairs.mapInPandas(
-        score, f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double"
-        # the same pair can surface in several tables; scores are
-        # identical (one rounding convention), so distinct dedupes
-    ).distinct()
+    # The same pair can surface in several tables, and the two sightings
+    # may ride different BLAS block shapes — at a round(,8) boundary the
+    # rounded scores can then differ by one ulp, so a full-row distinct
+    # could emit the pair twice. Merge BY KEY and keep the max: one row
+    # per (id_a, id_b), deterministic score.
+    return (
+        block_pairs.mapInPandas(score, f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double")
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
 
 
 # ---------------------------------------------------------------------------

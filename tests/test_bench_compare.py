@@ -61,3 +61,93 @@ def test_loads_driver_tail_wrapper(tmp_path):
     q = tmp_path / "raw.json"
     q.write_text(json.dumps(inner))
     assert bc.load(str(q))["queries"] == {"a": 1.0}
+
+
+# --- r09: summary-line size budget + sidecar resolution --------------------
+#
+# The r08 driver artifact (BENCH_r08.json, committed) captured only the
+# LAST 2000 chars of bench.py's stdout and the all-in-one JSON line
+# outgrew that — `parsed: null`. bench.py now prints a size-budgeted
+# summary and writes the full map to a sidecar; these tests pin that
+# contract end-to-end, including the driver's exact tail-capture
+# behavior, so a future line-growth regression fails CI instead of
+# surfacing in the driver artifact.
+
+_bench_spec = importlib.util.spec_from_file_location(
+    "bench", Path(__file__).resolve().parent.parent / "bench.py"
+)
+bench = importlib.util.module_from_spec(_bench_spec)
+_bench_spec.loader.exec_module(bench)
+
+DRIVER_TAIL_CHARS = 2000  # measured from BENCH_r08.json's `tail` field
+
+
+def _worst_case_payloads(n_queries: int = 400):
+    # names at the registry's realistic worst (the longest registered
+    # name today is 29 chars; pad to 40 for safety margin)
+    timings = {f"ns_worst_case_query_name_padding_{i:04d}": 123.456 for i in range(n_queries)}
+    worst = {k: 4.52 for k in timings}
+    return bench.build_payloads(
+        timings,
+        sf=0.1,
+        repeat=3,
+        calibration=1.288,
+        cc_rounds={k: [17, 23] for k in list(timings)[:20]},
+        rider_free=sorted(timings)[:200],
+        worst_ratio=worst,
+        detail_file="BENCH_DETAIL.json",
+    )
+
+
+def test_summary_line_fits_driver_tail_budget():
+    detail, summary = _worst_case_payloads()
+    line = json.dumps(summary)
+    assert len(line.encode()) <= bench.SUMMARY_BYTE_BUDGET <= DRIVER_TAIL_CHARS - 400
+    # the detail sidecar keeps the full record
+    assert len(detail["queries"]) == 400
+    assert detail["rider_free"] and detail["cc_rounds"]
+    assert summary["n_queries"] == 400
+    assert len(summary["queries_top"]) == bench.TOP_N
+
+
+def test_driver_tail_capture_roundtrip(tmp_path):
+    """Simulate the driver verbatim: keep the last 2000 chars of stdout,
+    wrap them, and require bench_compare to recover the FULL map."""
+    detail, summary = _worst_case_payloads()
+    stdout = "some warmup noise\n" + json.dumps(summary) + "\n"
+    wrapped = {"n": 8, "rc": 0, "tail": stdout[-DRIVER_TAIL_CHARS:]}
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(wrapped))
+    # the line must have survived the tail cut intact
+    assert '{"metric"' in wrapped["tail"]
+    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+    loaded = bc.load(str(p))
+    assert loaded["queries"] == detail["queries"]
+    # round-stamped snapshot wins when present
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(detail))
+    assert bc.load(str(p))["queries"] == detail["queries"]
+
+
+def test_stale_sidecar_is_rejected(tmp_path):
+    detail, summary = _worst_case_payloads()
+    stale = dict(detail, value=0.001)  # totals disagree -> different run
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"tail": json.dumps(summary) + "\n"}))
+    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(stale))
+    import pytest
+
+    with pytest.raises(SystemExit, match="no candidate"):
+        bc.load(str(p))
+
+
+def test_committed_driver_artifacts_still_load():
+    """Every committed BENCH_r*.json must load: r01-r07 via their intact
+    tail lines, r08 via the reconstructed round-stamped snapshot."""
+    root = Path(__file__).resolve().parent.parent
+    import re as _re
+
+    for f in sorted(root.glob("BENCH_r0*.json")):
+        loaded = bc.load(str(f))
+        assert loaded["queries"], f.name
+        if _re.search(r"BENCH_r08", f.name):
+            assert len(loaded["queries"]) == 49 and loaded["value"] == 79.358

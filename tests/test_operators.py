@@ -198,6 +198,14 @@ def test_embedding_cosine_lsh_recall(spark, emb):
     auto_recall = len(exact.keys() & auto.keys()) / len(exact)
     assert auto_recall >= 0.8, f"auto-sized LSH recall {auto_recall}"
     assert not (auto.keys() - exact.keys())
+    # exactly one row per (id_a, id_b): a pair seen in several tables
+    # rides different BLAS block shapes whose rounded scores can differ
+    # by one ulp at a round(,8) boundary, so the merge is by key (max),
+    # never a full-row distinct
+    rows = DD.embedding_cosine_pairs_lsh(
+        corpus, "embedding", "vec_id", threshold=0.9, planes=4, tables=8
+    ).collect()
+    assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
 
 
 def test_lsh_auto_params_scaling():
@@ -223,6 +231,10 @@ def test_lsh_auto_params_scaling():
     assert lsh_auto_params(10_000, 0.9999)[1] == 1
     # degenerate threshold never divides by zero / raises
     assert lsh_auto_params(10_000, 1.0)[1] == 1
+    # threshold clamped to -1 -> p = 0, no table can ever hit: the
+    # honest answer is the table cap, not a ZeroDivisionError
+    assert lsh_auto_params(10_000, -1.0) == (lsh_auto_params(10_000, -1.0)[0], 64)
+    assert lsh_auto_params(10_000, -5.0)[1] == 64  # clamps below -1 too
 
 
 def test_bruteforce_self_similarity(spark, emb):
