@@ -89,6 +89,8 @@ def build_payloads(
         "sf": sf,
         "repeat": repeat,
         "estimator": "min",
+        # sub-2s queries are topped up to >=5 repeats (r09+; still min)
+        "adaptive_repeat_under_sec": ADAPTIVE_REPEAT_UNDER_SEC,
         "calibration_sec": round(calibration, 3),
         "rider_free": rider_free or None,
         "noise_worst_over_best_median": noise,
@@ -114,6 +116,11 @@ def build_payloads(
         "detail_file": detail_file,
     }
     return detail, summary
+
+
+#: Queries whose best-of-N lands under this many seconds get topped up
+#: to at least 5 repeats (see the adaptive-repeat note in main).
+ADAPTIVE_REPEAT_UNDER_SEC = 2.0
 
 
 #: Headline queries: one per major operator family (scan/filter/agg,
@@ -283,15 +290,25 @@ def main() -> None:
     # proof-laden fn, the bench measures the rider-free bench_fn so
     # the JSON reflects engine cost. Which queries did is recorded.
     rider_free = sorted(n for n in names if registry[n].bench_fn is not None)
+    # Adaptive repeats: sub-2 s queries are where single-digit repeat
+    # counts produce 2x phantom swings between driver rounds (the r08
+    # verdict adjudicated 12 such "regressions" on unchanged code — all
+    # noise). Short queries get topped up to ADAPTIVE_MAX repeats; the
+    # estimator stays min, so the number is comparable with (only
+    # tighter than) earlier best-of-3 rounds, and the top-up costs
+    # seconds exactly because the affected queries are short.
+    adaptive_under, adaptive_max = ADAPTIVE_REPEAT_UNDER_SEC, max(5, args.repeat)
     for name in names:
         bench_fn = registry[name].bench_fn or registry[name].fn
         best, worst = float("inf"), 0.0
-        for _ in range(max(args.repeat, 1)):
+        runs = 0
+        while runs < max(args.repeat, 1) or (best < adaptive_under and runs < adaptive_max):
             cluster.take_rounds()  # drop anything a previous query left
             start = time.perf_counter()
             force(bench_fn(spark, args.sf))
             took = time.perf_counter() - start
             best, worst = min(best, took), max(worst, took)
+            runs += 1
             rounds = cluster.take_rounds()
             if rounds:
                 # always a list (one entry per CC call): a query gaining

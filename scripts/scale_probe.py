@@ -123,14 +123,20 @@ def _dim_perm(j: int, dim: int) -> list[int]:
     return perm
 
 
-def build_scaled(spark, sf_dir: str, copies: int) -> str:
+def build_scaled(spark, sf_dir: str, copies: int, keep_dir: str | None = None) -> str:
     from pyspark.sql import functions as F
 
     from spotify_app_etl_spark.io import load_table
     from spotify_app_etl_spark.plans.common import app_scratch_base
 
+    # keep_dir: a caller-owned replica root that OUTLIVES this process
+    # (no applicationId segment, no atexit cleanup). The fresh-JVM
+    # measurement protocol (SCALING.md 128x method notes) runs each
+    # query in its own process; without a shared dir every process
+    # would rebuild the multi-GB replica. Caller deletes it when done.
+    base = keep_dir or app_scratch_base(spark, "spark_graft_scale_probe")
     out = os.path.join(
-        app_scratch_base(spark, "spark_graft_scale_probe"),
+        base,
         f"{sf_dir.rstrip('/').replace('/', '_')}.x{copies}",
     )
     if os.path.exists(os.path.join(out, "_BUILT")):
@@ -204,6 +210,14 @@ def main() -> None:
         help="comma-separated query names to probe instead of the default "
         "PROBE list (unknown names fail loudly)",
     )
+    ap.add_argument(
+        "--keep-dir",
+        default=None,
+        help="persistent replica root shared across processes (skips the "
+        "per-application scratch + atexit cleanup); the fresh-JVM "
+        "protocol runs one query per process and the replica build is "
+        "minutes at 128x — caller deletes the dir when the campaign ends",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -216,7 +230,7 @@ def main() -> None:
     registry = load_all()
 
     t0 = time.time()
-    scaled_dir = build_scaled(spark, args.sf, args.copies)
+    scaled_dir = build_scaled(spark, args.sf, args.copies, keep_dir=args.keep_dir)
     print(f"scaled dir ready in {time.time() - t0:.1f}s: {scaled_dir}", flush=True)
 
     def force(df) -> None:

@@ -47,9 +47,22 @@ _SCOPE_TL = threading.local()
 
 
 def _scoped_persist(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
     token = getattr(_SCOPE_TL, "token", None)
     with _PERSIST_LOCK:
-        _PERSISTED.append((token, df.persist()))
+        # SERIALIZED memory+disk, not the deserialized default: persisted
+        # intermediates here are data-sized (gram/shingle/signature
+        # tables), and deserialized blocks carry ~48 B/row object
+        # overhead that camps in the storage pool's protected fraction —
+        # the same failure class the r08 128x probe found for iterative
+        # loop state (operators/checkpoint.py). The r09 probe reproduced
+        # it for the 64M-row gram table under ns_dedup_source_matrix:
+        # execution tasks were denied their minimum page
+        # (UNABLE_TO_ACQUIRE_MEMORY ... got 0) while the deserialized
+        # cache held the pool. PySpark's MEMORY_AND_DISK constant IS the
+        # serialized level (unlike Scala's).
+        _PERSISTED.append((token, df.persist(StorageLevel.MEMORY_AND_DISK)))
     return df
 
 
@@ -1063,20 +1076,95 @@ def embedding_cosine_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
-) -> DataFrame:
-    """Exact Jaccard over word n-gram sets via explode + equi-join.
+#: Corpus size (docs) above which ngram_jaccard_pairs switches from the
+#: naive gram self-join to the prefix-filtered AllPairs plan. Below it
+#: the naive join's single shuffle beats PPJoin's fixed overhead (three
+#: extra exchanges + a window sort: measured 1.6 s vs 4.7 s at sf0.1's
+#: 5k docs); above it the naive join's (docs-per-gram)² fan-out grows
+#: without bound (OOM at 640k docs in the 128x probe rig) while PPJoin
+#: stays linear. 50k sits comfortably inside the naive join's measured
+#: safe range (160k docs = 8.43x at 32x, pre-rewrite) with margin.
+PREFIX_FILTER_MIN_DOCS = 50_000
 
-    At scale this runs on LSH candidates only; standalone it is
-    O(pairs sharing a gram) — the gram equi-join prunes non-overlapping
-    pairs, so it is far below n² on real corpora. Jaccard is a ratio of
-    integers → bit-exact across engines (SQL-oracle-able).
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    prefix_filter: bool | str = "auto",
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets, prefix-filtered (AllPairs).
+
+    Exactness is unchanged — the result is every pair with set-Jaccard
+    >= threshold, bit-identical to the naive explode + equi-join (the
+    SQL oracles don't change). What changed (r09) is HOW candidates are
+    generated. The naive gram self-join fans out (docs-per-gram)² rows
+    for every gram, and frequent grams (stop-word n-grams on real
+    corpora; the translation-surviving grams on the probe replica) make
+    that component genuinely quadratic in the corpus — the 128x probe
+    killed `ns_dedup_source_matrix` with executor-memory exhaustion
+    inside that join's aggregation.
+
+    Prefix filtering (Chaudhuri et al. SSJoin 2006; Bayardo et al.
+    AllPairs WWW'07; Xiao et al. PPJoin) removes it: order grams by
+    ascending global document frequency (ties by gram string — any
+    CONSISTENT total order works), and for each doc keep only the
+    prefix of its p = |A| - ceil(t*|A|) + 1 rarest grams. Theorem: if
+    J(A,B) >= t, the globally-smallest common gram lies in BOTH
+    prefixes — J >= t implies |A∩B| >= t*|A| (and t*|B|); were all
+    common grams outside A's prefix they'd fit in its suffix of
+    ceil(t*|A|) - 1 slots, a contradiction — so joining prefixes only
+    loses nothing. Frequent grams sort LAST within a doc and drop out
+    of most prefixes, so the quadratic fan-out collapses to the rare
+    tail (max per-gram fan-out 2944 → 21 on the 128x probe replica).
+
+    Two further PPJoin filters run inside the candidate join, each a
+    provable no-false-negative bound, OR-ed over a pair's sightings
+    (the smallest common gram's sighting always carries a valid bound,
+    so a pair killed on EVERY sighting is truly impossible):
+
+    * length: J <= min(|A|,|B|)/max(|A|,|B|), so require
+      min >= t*max;
+    * positional: a common gram at ranks (i, j) caps the overlap at
+      1 + min(|A|-i, |B|-j), which must reach
+      ceil(t/(1+t) * (|A|+|B|)) — the minimum overlap J >= t implies.
+
+    Measured on the 128x replica: 57.8M candidate sightings → 16.7M
+    distinct candidates. Exact verification on candidates then computes
+    true |A∩B|: gram strings are dictionary-encoded to xxhash64 longs
+    whose injectivity ON THIS CORPUS is certified by one aggregate
+    (count distinct grams == count distinct hashes — if a collision
+    ever appears the kernel falls back to intersecting the gram strings
+    themselves), each doc's encoded gram set is collected once
+    (bounded: grams-per-doc), and n_common = array_intersect on the
+    two arrays — JVM-side, no per-candidate gram explosion (the
+    explode-style verification join was measured spilling >70 GB at
+    128x). Cost: linear aggregations + a prefix-confined pair join +
+    a candidates x 2-array join. No (docs-per-gram)² term anywhere.
+
+    ``prefix_filter``: ``True`` forces the AllPairs plan, ``False`` the
+    naive gram self-join (single shuffle — faster below ~50k docs where
+    fan-out is harmless), ``"auto"`` (default, the registered queries'
+    configuration) picks by one count() against
+    :data:`PREFIX_FILTER_MIN_DOCS` — the same self-sizing convention as
+    :func:`lsh_auto_params`. Both plans return identical rows
+    (tests/test_operators.py pins each against a Python reference).
+
+    Jaccard is a ratio of integers → bit-exact across engines
+    (SQL-oracle-able).
     """
-    # persist: consumed by the size agg and both sides of the pair join;
-    # token array projected first (per-element reference, see token_ngrams).
-    # Fan-out first: a one-file corpus scan would otherwise build the
-    # whole persisted gram table in a single task.
+    from pyspark.sql import Window as _W
+
+    if prefix_filter == "auto":
+        prefix_filter = df.count() >= PREFIX_FILTER_MIN_DOCS
+
+    # persist: consumed by the size agg, the frequency agg, the prefix
+    # ranking and both verification joins; token array projected first
+    # (per-element reference, see token_ngrams). Fan-out first: a
+    # one-file corpus scan would otherwise build the whole persisted
+    # gram table in a single task.
     grams = _scoped_persist(
         _fan_out(
             df.select(
@@ -1090,19 +1178,117 @@ def ngram_jaccard_pairs(
             F.explode(token_ngrams("__toks", n, assume_tokens=True)).alias("gram"),
         )
     )
-    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        grams.alias("a")
-        .join(
-            grams.alias("b"),
-            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.__id") < F.col("b.__id")),
+    if not prefix_filter:
+        # naive small-corpus plan: one gram self-join, no window/freq
+        # machinery — identical output (see prefix_filter note above)
+        sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            grams.alias("a")
+            .join(
+                grams.alias("b"),
+                (F.col("a.gram") == F.col("b.gram"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        return (
+            inter.join(sizes.withColumnsRenamed({"__id": "id_a", "sz": "sz_a"}), "id_a")
+            .join(sizes.withColumnsRenamed({"__id": "id_b", "sz": "sz_b"}), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+        )
+    # rare-first global order: document frequency, gram string tiebreak
+    gram_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc size via the same window partitioning as the rank — no
+    # separate sizes aggregation/join
+    by_doc = _W.partitionBy("__id")
+    # ceil(t*sz) with a downward epsilon: float error can only ever
+    # LENGTHEN the prefix (more candidates, never a lost pair)
+    p_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+    prefix = (
+        grams.join(gram_freq, "gram")
+        .withColumn("sz", F.count(F.lit(1)).over(by_doc))
+        .withColumn("__rn", F.row_number().over(by_doc.orderBy("__df", "gram")))
+        .filter(F.col("__rn") <= p_len)
+        .select("__id", "gram", "__rn", "sz")
     )
+    pa = prefix.select(
+        F.col("__id").alias("id_a"),
+        F.col("gram").alias("__g"),
+        F.col("__rn").alias("__rn_a"),
+        F.col("sz").alias("__sz_a"),
+    )
+    pb = prefix.select(
+        F.col("__id").alias("id_b"),
+        F.col("gram").alias("__g"),
+        F.col("__rn").alias("__rn_b"),
+        F.col("sz").alias("__sz_b"),
+    )
+    # minimum overlap J >= t implies: ceil(t/(1+t) * (|A|+|B|))
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__sz_a") + F.col("__sz_b"))
+        - F.lit(1e-9)
+    )
+    cand = (
+        pa.join(pb, ["__g"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J <= min/max
+            & (
+                F.least("__sz_a", "__sz_b")
+                >= F.lit(threshold) * F.greatest("__sz_a", "__sz_b") - F.lit(1e-9)
+            )
+            # positional filter: overlap cap from this sighting's ranks
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("__sz_a") - F.col("__rn_a"),
+                    F.col("__sz_b") - F.col("__rn_b"),
+                )
+                >= required
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact verification on candidates: intersect per-doc gram-ID sets
+    # JVM-side. IDs are xxhash64(gram), certified injective on this
+    # corpus by ONE aggregate over the (already distinct) gram_freq
+    # table — the fallback (never yet taken) keeps the gram strings,
+    # trading shuffle bytes for unconditional exactness.
+    counts = gram_freq.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.count_distinct(F.xxhash64("gram")).alias("h"),
+    ).first()
+    gid = F.xxhash64("gram") if counts["g"] == counts["h"] else F.col("gram")
+    doc_sets = grams.groupBy("__id").agg(F.collect_list(gid).alias("__gs"))
     return (
-        inter.join(sizes.withColumnsRenamed({"__id": "id_a", "sz": "sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"__id": "id_b", "sz": "sz_b"}), "id_b")
+        cand.join(
+            doc_sets.select(
+                F.col("__id").alias("id_a"), F.col("__gs").alias("__gs_a")
+            ),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("__id").alias("id_b"), F.col("__gs").alias("__gs_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__gs_a", "__gs_b")).alias("n_common"),
+            F.size("__gs_a").alias("sz_a"),
+            F.size("__gs_b").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common")

@@ -95,6 +95,87 @@ def query(
 #: everything else follows in registration order and keeps its green
 #: round-1/2 row as evidence.
 _PRIORITY: tuple[str, ...] = (
+    # --- round-9 window (exactly 50 names; 181 registered). Cumulative
+    # state after r08: every registered query carries a driver row, zero
+    # broken, zero mismatches; latest-row histogram r04:16 r05:36 r06:36
+    # r07:43 r08:50. Rotation policy unchanged: (1) queries whose CODE
+    # changed this round re-prove first regardless of row age; (2) the
+    # 16 r04-latest rows (the oldest evidence left — the r08 verdict's
+    # "proof-freshness tail") are fully cleared; (3) the 36 r05-latest
+    # rows by registration order — the cut falls 28 in, the remaining 8
+    # (q_events_pivot, q_events_gap_stats, ns_dedup_minhash_apply,
+    # ns_dedup_simhash_pairs, ns_sim_topk_bruteforce, etl_playlists,
+    # etl_saved_tracks, q_hll_sketch_merge) roll to r10 and are the r10
+    # window seed.
+    # (1) code changed this round — six names. The sign-LSH embedding
+    # dedup now merges cross-table pair sightings by key (groupBy max)
+    # instead of full-row distinct, and sizes its auto knobs from the
+    # null-filtered frame the kernel runs on (values unchanged at this
+    # SF — local oracle re-verified; the merge change closes a one-ulp
+    # duplicate window the r08 ADVICE flagged).
+    "ns_dedup_embedding_cosine_lsh",
+    # ...and the exact n-gram Jaccard kernel gained the prefix-filtered
+    # AllPairs/PPJoin plan above PREFIX_FILTER_MIN_DOCS (the r09 128x
+    # probe OOM'd the naive gram self-join's (docs-per-gram)² fan-out
+    # under ns_dedup_source_matrix; now 8.94x time for 128x rows) —
+    # value-identical by theorem and by test, but every query running
+    # through ngram_jaccard_pairs re-proves:
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_minhash_pairs",
+    "ns_dedup_minhash_verified",
+    "ns_dedup_clusters",
+    "ns_split_leakage_safe",
+    # (2) the 16 r04-latest rows, in registration order
+    "ns_dedup_embedding_cosine",
+    "ns_dedup_source_matrix",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q21_late_sole_supplier",
+    "ns_boilerplate_grams",
+    "ns_curriculum_bins",
+    "ns_corpus_shuffle",
+    "ns_lm_bigram_novelty",
+    "ns_hybrid_rrf_search",
+    "q_join_bloom_prefilter",
+    "ns_embed_semantic_clusters",
+    "ns_dedup_chunk_shared",
+    "ns_quality_bands",
+    # (3) the first 33 of the 36 r05-latest rows, in registration order
+    "q_join_left_agg",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range_nonequi",
+    "q_approx_count_distinct",
+    "q_unpivot_long",
+    "q_string_funcs",
+    "q_regexp_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_conditional_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_hash_funcs",
+    "q_string_distance",
+    "q_window_running",
+    "q_window_rank",
+    "q_topk_per_group",
+    "q_window_moving_avg",
+    "q_window_analytic_extras",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_drop_duplicates",
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_events_session",
+)
+
+#: The round-8 window, kept for the audit trail (every name above was
+#: hash-green or rows-only-by-design in CORRECTNESS_r08.json).
+_PRIORITY_R08: tuple[str, ...] = (
     # --- round-8 window (exactly 50 names; 181 registered). Cumulative
     # state after r07: every registered query carries a driver row, zero
     # broken, zero mismatches; latest-row histogram r03:17 r04:40 r05:36

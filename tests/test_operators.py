@@ -73,6 +73,56 @@ def test_ngram_jaccard_on_candidates_matches_standalone(spark, docs):
     assert verified, "fixture should contain verified near-dup pairs"
 
 
+def test_ngram_jaccard_prefix_filter_equals_naive(spark):
+    """The r09 prefix-filtered AllPairs candidate stage must be
+    invisible in the output: compare against a pure-Python naive
+    all-pairs reference on a corpus built to stress the filter —
+    frequent grams shared by EVERY doc (the quadratic fan-out the
+    prefix collapses), near-dups straddling the threshold, duplicate
+    grams within a doc (set semantics), and short (< n tokens) texts."""
+    import itertools
+
+    base = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for i in range(30):
+        words = list(base)
+        words[i % 8] = f"w{i}"  # near-dups of one base sentence
+        # every doc shares this filler -> a gram with df = n_docs
+        rows.append((i, " ".join(words) + " common filler words here"))
+    rows.append((100, "common filler words here common filler words here"))
+    rows.append((101, "Tiny doc"))
+    rows.append((102, "tiny"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams_of(text: str) -> set[str]:
+        toks = " ".join(text.split()).lower().strip().split(" ")
+        out = set()
+        for i in range(max(len(toks) - 2, 1)):
+            out.add(" ".join(toks[i : i + 3]))
+        return out
+
+    for t in (0.3, 0.5, 0.8):
+        expected = {}
+        gsets = {i: grams_of(s) for i, s in rows}
+        for a, b in itertools.combinations(sorted(gsets), 2):
+            inter = len(gsets[a] & gsets[b])
+            union = len(gsets[a] | gsets[b])
+            if union and inter / union >= t:
+                expected[(a, b)] = (inter, round(inter / union, 6))
+        assert expected, f"fixture must exercise threshold {t}"
+        # both plans — the AllPairs scale path and the naive small-
+        # corpus path the auto mode switches between — must match the
+        # reference exactly
+        for pf in (True, False):
+            got = {
+                (r.id_a, r.id_b): (r.n_common, r.jaccard)
+                for r in DD.ngram_jaccard_pairs(
+                    df, "text", "doc_id", n=3, threshold=t, prefix_filter=pf
+                ).collect()
+            }
+            assert got == expected, f"threshold {t}, prefix_filter {pf}"
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [
