@@ -1258,6 +1258,24 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # Disk high-water-mark barrier: Spark holds every live job's
+    # shuffle files until their dependencies are GC'd, so the
+    # candidate-GENERATION shuffles (freq join + per-doc window sort +
+    # prefix pair join — the widest exchanges in the plan) would
+    # otherwise still be on local disk while the verification join
+    # writes its own. The candidate set itself is two ids per row;
+    # checkpointing it cuts the lineage, and the GC nudge lets
+    # ContextCleaner delete the superseded shuffle files mid-plan —
+    # the 512x probe hit this rig's 70 GB free-disk ceiling exactly
+    # here with linear (not superlinear) byte growth. Values
+    # unaffected; release is best-effort by contract.
+    from spotify_app_etl_spark.operators.checkpoint import local_checkpoint_ser
+
+    cand = local_checkpoint_ser(cand)
+    try:
+        df.sparkSession.sparkContext._jvm.System.gc()
+    except Exception:  # JVM surface is an optimization hook only
+        pass
     # Exact verification on candidates: intersect per-doc gram-ID sets
     # JVM-side. IDs are xxhash64(gram), certified injective on this
     # corpus by ONE aggregate over the (already distinct) gram_freq
