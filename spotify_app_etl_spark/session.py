@@ -36,17 +36,24 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Elastic shuffle parallelism: shuffles START at 8x the core count
+    # Elastic shuffle parallelism: shuffles START at 32x the core count
     # and AQE coalesces down to the advisory size (parallelismFirst
     # keeps small runs at ~defaultParallelism, so sf0.01/sf0.1 plans
     # are unchanged). Without this the fixed `shuffle.partitions ~
     # cores` cap means every shuffle partition grows linearly with the
     # data — the 128x scale probe measured exactly that failure
     # (HashAggregate spill-then-OOM, cache-eviction thrash in the
-    # iterative CC). AQE can only merge partitions, never split a
-    # non-skew-join stage, so the ceiling must be set here.
+    # iterative CC), and the r09 512x probe re-measured it at the 8x
+    # ceiling set then (q05's six-way join: reduce tasks fetching
+    # ~1.2M-row partitions OOM'd the heap; at 32x the same join
+    # completes). AQE can only merge partitions, never split a
+    # non-skew-join stage, so the ceiling must be set here — and with
+    # sort-based shuffle the map side writes ONE file per task
+    # regardless of reducer count, so a higher ceiling costs small
+    # scales nothing once AQE coalesces them back to
+    # ~defaultParallelism.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
-        DEFAULT_CPUS * 8
+        DEFAULT_CPUS * 32
     ),
     # Testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
     # nanosecond timestamp type, so scan them as epoch-nanos longs and
