@@ -323,7 +323,13 @@ def main() -> None:
         worst_ratio[name] = worst / best if best > 0 else 1.0
 
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
-    detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    # --only runs are iteration aids: write their detail to a scratch
+    # sidecar so they can never clobber the committed full-run round
+    # record at BENCH_DETAIL.json (a partial 8-query file would also be
+    # rejected by bench_compare's value/n_queries pairing check, but
+    # the committed history should not need restoring either)
+    default_detail = "BENCH_DETAIL_partial.json" if args.only else "BENCH_DETAIL.json"
+    detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", default_detail)
     detail, summary = build_payloads(
         timings,
         sf=float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -339,11 +345,14 @@ def main() -> None:
     # versioned with the code that produced it.
     (Path(_REPO_ROOT) / detail_name).write_text(json.dumps(detail, indent=1) + "\n")
     line = json.dumps(summary)
-    assert len(line.encode()) <= SUMMARY_BYTE_BUDGET, (
-        f"summary line {len(line.encode())}B exceeds budget "
-        f"{SUMMARY_BYTE_BUDGET}B — trim TOP_N or keys (driver tail "
-        "capture is 2000 chars)"
-    )
+    if len(line.encode()) > SUMMARY_BYTE_BUDGET:
+        # explicit raise, NOT assert: the guard protects the driver's
+        # 2000-char tail-capture contract and must survive python -O
+        raise SystemExit(
+            f"summary line {len(line.encode())}B exceeds budget "
+            f"{SUMMARY_BYTE_BUDGET}B — trim TOP_N or keys (driver tail "
+            "capture is 2000 chars)"
+        )
     print(line)
 
 

@@ -45,12 +45,17 @@ def _resolve_detail(path: str, summary: dict) -> dict:
     totals match the summary line — guards against pairing a summary
     with a stale sidecar from a different run."""
     here = Path(path).resolve().parent
+    repo_root = Path(__file__).resolve().parent.parent
     candidates = []
     m = re.search(r"BENCH_(r\d+)\.json$", Path(path).name)
     if m:
         candidates.append(here / f"BENCH_DETAIL_{m.group(1)}.json")
+        candidates.append(repo_root / f"BENCH_DETAIL_{m.group(1)}.json")
     if summary.get("detail_file"):
         candidates.append(here / summary["detail_file"])
+        # bench.py writes the sidecar next to ITSELF (the repo root),
+        # not the CWD — a summary redirected to /tmp still resolves
+        candidates.append(repo_root / summary["detail_file"])
     for c in candidates:
         if not c.is_file():
             continue
@@ -125,6 +130,32 @@ def compare(new: dict, old: dict) -> dict:
         if ratios
         else None,
     }
+    # r09 changed the estimator for SHORT queries: sub-2s names are
+    # topped up to >=5 repeats (min over more samples is stochastically
+    # lower on identical code), so when exactly one file carries the
+    # adaptive policy, cross-file ratios on the affected names embed a
+    # few-percent sample-size bias. They are REPORTED (not excluded —
+    # most of the surface is sub-2s and exclusion would gut the subset)
+    # plus a stable-subset geomean over the unaffected (>= threshold on
+    # BOTH sides) names, which is the bias-free cross-round number.
+    thr_new = new.get("adaptive_repeat_under_sec")
+    thr_old = old.get("adaptive_repeat_under_sec")
+    if (thr_new is None) != (thr_old is None):
+        thr = thr_new if thr_new is not None else thr_old
+        affected = sorted(
+            n
+            for n in subset
+            if new["queries"][n] < thr or old["queries"][n] < thr
+        )
+        out["adaptive_repeat_changed"] = affected
+        stable = {n: r for n, r in ratios.items() if n not in affected}
+        out["geomean_ratio_stable_subset"] = (
+            round(
+                math.exp(statistics.fmean(math.log(r) for r in stable.values())), 3
+            )
+            if stable
+            else None
+        )
     cal_new, cal_old = new.get("calibration_sec"), old.get("calibration_sec")
     if cal_new and cal_old:
         host = cal_new / cal_old

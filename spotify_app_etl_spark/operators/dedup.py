@@ -1303,9 +1303,13 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("__gs_a", "__gs_b")).alias("n_common"),
-            F.size("__gs_a").alias("sz_a"),
-            F.size("__gs_b").alias("sz_b"),
+            # cast: F.size is IntegerType while the naive path's F.count
+            # is LongType — auto mode must return ONE schema either way
+            # (a consumer unioning scales, or the driver's schema hash,
+            # would otherwise see int below the cutoff and bigint above)
+            F.size(F.array_intersect("__gs_a", "__gs_b")).cast("long").alias("n_common"),
+            F.size("__gs_a").cast("long").alias("sz_a"),
+            F.size("__gs_b").cast("long").alias("sz_b"),
         )
         .withColumn(
             "jaccard",

@@ -109,7 +109,10 @@ def ns_dedup_minhash_pairs(
         DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
     )
     exact = DD.ngram_jaccard_pairs(
-        docs.filter(F.col("doc_id") < 1000), "text", "doc_id", n=3, threshold=0.5
+        # bounded O(1) rider window: the AllPairs switch can never
+        # trigger, so skip auto's count() job outright
+        docs.filter(F.col("doc_id") < 1000), "text", "doc_id", n=3, threshold=0.5,
+        prefix_filter=False,
     )
     return cand.crossJoin(
         F.broadcast(_recall_scalar(exact, _pairs_in(cand, lambda c: c < 1000)))
@@ -181,7 +184,10 @@ def ns_dedup_minhash_verified(
         DD.ngram_jaccard_on(cand, docs, "text", "doc_id", n=3, threshold=0.5)
     )
     exact = DD.ngram_jaccard_pairs(
-        docs.filter(F.col("doc_id") < 1000), "text", "doc_id", n=3, threshold=0.5
+        # bounded O(1) rider window: the AllPairs switch can never
+        # trigger, so skip auto's count() job outright
+        docs.filter(F.col("doc_id") < 1000), "text", "doc_id", n=3, threshold=0.5,
+        prefix_filter=False,
     )
     return out.crossJoin(
         F.broadcast(_recall_scalar(exact, _pairs_in(out, lambda c: c < 1000)))

@@ -142,7 +142,10 @@ _PRIORITY: tuple[str, ...] = (
     "ns_embed_semantic_clusters",
     "ns_dedup_chunk_shared",
     "ns_quality_bands",
-    # (3) the first 33 of the 36 r05-latest rows, in registration order
+    # (3) the first 28 of the 36 r05-latest rows, in registration order
+    # (the five kernel-change re-proves in block (1) pushed the cut
+    # from 33 to 28 over the 50-name window; the 8 rolled names are
+    # listed in the header)
     "q_join_left_agg",
     "q_join_semi",
     "q_join_anti",

@@ -146,8 +146,27 @@ def test_committed_driver_artifacts_still_load():
     root = Path(__file__).resolve().parent.parent
     import re as _re
 
-    for f in sorted(root.glob("BENCH_r0*.json")):
+    found = sorted(root.glob("BENCH_r[0-9]*.json"))
+    assert found, "committed driver artifacts should exist"
+    for f in found:
         loaded = bc.load(str(f))
         assert loaded["queries"], f.name
         if _re.search(r"BENCH_r08", f.name):
             assert len(loaded["queries"]) == 49 and loaded["value"] == 79.358
+
+
+def test_adaptive_repeat_methodology_flagged():
+    """When only one file carries the r09 sub-2s repeat top-up, the
+    affected (short) names are reported and a stable-subset geomean
+    over the long queries is published alongside the raw one."""
+    new = {
+        "queries": {"short": 0.5, "long": 10.0},
+        "adaptive_repeat_under_sec": 2.0,
+    }
+    old = {"queries": {"short": 0.6, "long": 20.0}}
+    r = bc.compare(new, old)
+    assert r["adaptive_repeat_changed"] == ["short"]
+    assert r["geomean_ratio_stable_subset"] == 0.5  # long only
+    # both files on the same policy -> no flag
+    old2 = dict(old, adaptive_repeat_under_sec=2.0)
+    assert "adaptive_repeat_changed" not in bc.compare(new, old2)

@@ -112,15 +112,20 @@ def test_ngram_jaccard_prefix_filter_equals_naive(spark):
         assert expected, f"fixture must exercise threshold {t}"
         # both plans — the AllPairs scale path and the naive small-
         # corpus path the auto mode switches between — must match the
-        # reference exactly
+        # reference exactly, INCLUDING the schema (auto must not flip
+        # n_common between int and bigint across the cutoff)
+        schemas = set()
         for pf in (True, False):
+            res = DD.ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=t, prefix_filter=pf
+            )
+            schemas.add(tuple((f.name, f.dataType.simpleString()) for f in res.schema))
             got = {
                 (r.id_a, r.id_b): (r.n_common, r.jaccard)
-                for r in DD.ngram_jaccard_pairs(
-                    df, "text", "doc_id", n=3, threshold=t, prefix_filter=pf
-                ).collect()
+                for r in res.collect()
             }
             assert got == expected, f"threshold {t}, prefix_filter {pf}"
+        assert len(schemas) == 1, schemas
 
 
 def test_simhash_identical_and_disjoint(spark):
