@@ -5,7 +5,7 @@ ONE compact JSON summary line:
 
     {"metric": "...", "value": N, "unit": "sec", "sf": ...,
      "n_queries": K, "queries_top": {...10 slowest...},
-     "detail_file": "BENCH_DETAIL.json", ...}
+     "detail_file": "BENCH_DETAIL_r10.json", ...}
 
 The FULL per-query map (plus cc_rounds, rider_free, per-query noise
 ratios) is written to the ``detail_file`` sidecar next to this script.
@@ -36,6 +36,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -55,12 +56,49 @@ SUMMARY_BYTE_BUDGET = 1500
 TOP_N = 10
 
 
+def infer_round_stamp(root: Path | None = None) -> str:
+    """Current driver round, inferred from the committed artifacts: the
+    driver writes ``BENCH_r{N}.json`` at the END of round N, so while
+    round N is in flight the newest committed file is r(N-1). Returns
+    e.g. ``"r10"`` — matching the stamp ``bench_compare._resolve_detail``
+    greps out of the driver artifact name."""
+    root = root or Path(_REPO_ROOT)
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("BENCH_r[0-9]*.json")
+        if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+    ]
+    return f"r{(max(rounds) + 1) if rounds else 1:02d}"
+
+
+def resolve_detail_name(only: bool, root: Path | None = None) -> str:
+    """Pick the sidecar filename for this run.
+
+    r09's driver bench overwrote the committed quiet-host
+    ``BENCH_DETAIL.json`` with a noisy-phase re-run (r09 verdict,
+    "What's wrong" #2) — exactly the evidence-clobbering the noise
+    protocol forbids. Full runs now write a round-stamped name
+    (``BENCH_DETAIL_r{N}.json``); if that exists already (e.g. the
+    builder benched earlier in the same round), a timestamp suffix
+    keeps both records. ``--only`` iteration runs keep their scratch
+    name, which nothing commits as round evidence."""
+    if only:
+        return "BENCH_DETAIL_partial.json"
+    root = root or Path(_REPO_ROOT)
+    name = f"BENCH_DETAIL_{infer_round_stamp(root)}.json"
+    if (root / name).exists():
+        name = name.replace(".json", f"_{int(time.time())}.json")
+    return name
+
+
 def build_payloads(
     timings: dict[str, float],
     *,
     sf,
     repeat: int,
     calibration: float,
+    calibration_io: float | None,
+    repeats: dict[str, int] | None,
     cc_rounds: dict[str, list[int]] | None,
     rider_free: list[str] | None,
     worst_ratio: dict[str, float],
@@ -92,6 +130,13 @@ def build_payloads(
         # sub-2s queries are topped up to >=5 repeats (r09+; still min)
         "adaptive_repeat_under_sec": ADAPTIVE_REPEAT_UNDER_SEC,
         "calibration_sec": round(calibration, 3),
+        # fixed parquet write+read+shuffle probe (r10+): the CPU-only
+        # xxhash fold moved 1.15x while same-code totals swung 2.9x —
+        # the host's slow phases are I/O-bound and invisible to it
+        "calibration_io_sec": round(calibration_io, 3) if calibration_io else None,
+        # actual per-query run counts from the adaptive top-up loop
+        # (r09 ADVICE: adjudicators shouldn't re-infer them from timings)
+        "repeats": repeats or None,
         "rider_free": rider_free or None,
         "noise_worst_over_best_median": noise,
         # per-query worst/best repeat ratio: localizes host-noise blame
@@ -110,6 +155,7 @@ def build_payloads(
         "repeat": repeat,
         "estimator": "min",
         "calibration_sec": round(calibration, 3),
+        "calibration_io_sec": round(calibration_io, 3) if calibration_io else None,
         "noise_worst_over_best_median": noise,
         "n_queries": len(timings),
         "queries_top": top,
@@ -121,6 +167,50 @@ def build_payloads(
 #: Queries whose best-of-N lands under this many seconds get topped up
 #: to at least 5 repeats (see the adaptive-repeat note in main).
 ADAPTIVE_REPEAT_UNDER_SEC = 2.0
+
+
+def io_calibration(spark, n_cpus: int, rounds: int = 3) -> float:
+    """Fixed I/O + shuffle host probe, best-of-N (r09 verdict task #2).
+
+    The CPU-only xxhash fold (``calibration_sec``) moved just 1.15-1.59x
+    across host phases in which same-code query totals swung up to 2.9x:
+    the slow phases are I/O-bound and a pure-CPU probe cannot see them.
+    This probe times a canonical, data-independent round trip on the
+    same device Spark spills to: write ~770 MB of incompressible
+    parquet (five xxhash64 columns — random 64-bit ints defeat
+    encodings, so the bytes genuinely hit storage), read it back, and
+    hash-aggregate through one full-width shuffle. Each repeat writes a
+    FRESH directory so the write path is exercised every time; the
+    read-back may be partially page-cache served, which is fine — the
+    bench queries read cache-warm parquet too, so that is the I/O mix
+    being calibrated. ``bench_compare`` divides by the two files'
+    values to normalize cross-round ratios for I/O-phase drift."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="bench_io_probe_")
+    best = float("inf")
+    try:
+        for i in range(rounds):
+            target = os.path.join(base, f"pass{i}")
+            start = time.perf_counter()
+            spark.range(24_000_000, numPartitions=n_cpus).select(
+                "id",
+                *[
+                    F.xxhash64("id", F.lit(k)).alias(f"h{k}")
+                    for k in range(4)
+                ],
+            ).write.mode("overwrite").parquet(target)
+            spark.read.parquet(target).repartition(2 * n_cpus, "h0").agg(
+                F.bit_xor(F.xxhash64("id", "h0", "h1", "h2", "h3"))
+            ).collect()
+            best = min(best, time.perf_counter() - start)
+            shutil.rmtree(target, ignore_errors=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return best
 
 
 #: Headline queries: one per major operator family (scan/filter/agg,
@@ -270,6 +360,7 @@ def main() -> None:
             F.bit_xor(F.xxhash64("id"))
         ).collect()
         calibration = min(calibration, time.perf_counter() - start)
+    calibration_io = io_calibration(spark, n_cpus)
 
     from spotify_app_etl_spark.operators import cluster
     from spotify_app_etl_spark.operators.dedup import release_cached
@@ -284,6 +375,7 @@ def main() -> None:
     # last).
     cc_rounds: dict[str, list[int]] = {}
     worst_ratio: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
     # Self-verifying queries carry an in-query proof (in-memory ANN
     # parity, exact-kernel recall, rerun idempotence) that can cost as
     # much as the operator; the driver's correctness sweep runs the
@@ -321,20 +413,23 @@ def main() -> None:
             release_cached()
         timings[name] = round(best, 3)
         worst_ratio[name] = worst / best if best > 0 else 1.0
+        run_counts[name] = runs
 
     sf = args.sf.rstrip("/").rsplit("sf", 1)[-1]
-    # --only runs are iteration aids: write their detail to a scratch
-    # sidecar so they can never clobber the committed full-run round
-    # record at BENCH_DETAIL.json (a partial 8-query file would also be
-    # rejected by bench_compare's value/n_queries pairing check, but
-    # the committed history should not need restoring either)
-    default_detail = "BENCH_DETAIL_partial.json" if args.only else "BENCH_DETAIL.json"
-    detail_name = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", default_detail)
+    # Full runs write a round-stamped, never-overwriting sidecar (see
+    # resolve_detail_name: the r09 driver bench clobbered the committed
+    # quiet-host BENCH_DETAIL.json); --only iteration runs write a
+    # scratch name that is never round evidence.
+    detail_name = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", resolve_detail_name(bool(args.only))
+    )
     detail, summary = build_payloads(
         timings,
         sf=float(sf) if sf.replace(".", "").isdigit() else sf,
         repeat=max(args.repeat, 1),
         calibration=calibration,
+        calibration_io=calibration_io,
+        repeats=run_counts,
         cc_rounds=cc_rounds,
         rider_free=rider_free,
         worst_ratio=worst_ratio,

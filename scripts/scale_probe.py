@@ -124,9 +124,6 @@ def _dim_perm(j: int, dim: int) -> list[int]:
 
 
 def build_scaled(spark, sf_dir: str, copies: int, keep_dir: str | None = None) -> str:
-    from pyspark.sql import functions as F
-
-    from spotify_app_etl_spark.io import load_table
     from spotify_app_etl_spark.plans.common import app_scratch_base
 
     # keep_dir: a caller-owned replica root that OUTLIVES this process
@@ -141,6 +138,34 @@ def build_scaled(spark, sf_dir: str, copies: int, keep_dir: str | None = None) -
     )
     if os.path.exists(os.path.join(out, "_BUILT")):
         return out
+    # Exclusive build lock (r09 ADVICE): with a shared --keep-dir, two
+    # fresh-JVM processes launched concurrently can both miss _BUILT
+    # and interleave multi-GB writes into the same directory, leaving
+    # duplicated/corrupt parquet that later probes silently read. One
+    # process builds; the others block on the lock, then re-check the
+    # marker and return. flock is advisory but every writer goes
+    # through this function, and the lock file lives OUTSIDE `out` so
+    # an `rm -rf` of a half-built replica can't strand it.
+    import fcntl
+
+    os.makedirs(base, exist_ok=True)
+    lock_path = out.rstrip("/") + ".buildlock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(os.path.join(out, "_BUILT")):
+                return out
+            _build_replica(spark, sf_dir, copies, out)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+    return out
+
+
+def _build_replica(spark, sf_dir: str, copies: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    from spotify_app_etl_spark.io import load_table
+
     for name in SHARED:
         load_table(spark, sf_dir, name).write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
@@ -192,7 +217,6 @@ def build_scaled(spark, sf_dir: str, copies: int, keep_dir: str | None = None) -
         # loader normalizes to timestamp_ntz, which round-trips fine
         scaled.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
     Path(out, "_BUILT").touch()
-    return out
 
 
 def main() -> None:

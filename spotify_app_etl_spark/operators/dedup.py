@@ -1086,6 +1086,12 @@ def embedding_cosine_pairs_lsh(
 #: safe range (160k docs = 8.43x at 32x, pre-rewrite) with margin.
 PREFIX_FILTER_MIN_DOCS = 50_000
 
+#: Per-task input-text cap for the AllPairs gram explode (see the
+#: fan-out note in ngram_jaccard_pairs): 8 MB of text explodes to a
+#: ~80 MB sorter working set, well under local[32]'s 0.25 GiB/task —
+#: the measured r09 floor was ~24 MB/task text starving that budget.
+ALLPAIRS_TEXT_BYTES_PER_TASK = 8 << 20
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -1147,31 +1153,72 @@ def ngram_jaccard_pairs(
     ``prefix_filter``: ``True`` forces the AllPairs plan, ``False`` the
     naive gram self-join (single shuffle — faster below ~50k docs where
     fan-out is harmless), ``"auto"`` (default, the registered queries'
-    configuration) picks by one count() against
-    :data:`PREFIX_FILTER_MIN_DOCS` — the same self-sizing convention as
-    :func:`lsh_auto_params`. Both plans return identical rows
-    (tests/test_operators.py pins each against a Python reference).
+    configuration) picks by one corpus aggregate (doc count vs
+    :data:`PREFIX_FILTER_MIN_DOCS`; the same scan also measures total
+    text bytes, which size the AllPairs fan-out width) — the same
+    self-sizing convention as :func:`lsh_auto_params`. Both plans
+    return identical rows (tests/test_operators.py pins each against a
+    Python reference).
 
     Jaccard is a ratio of integers → bit-exact across engines
     (SQL-oracle-able).
+
+    **Eager materialization (r09 ADVICE, documented contract):** with
+    ``prefix_filter=True`` (or ``"auto"`` above the threshold) this is
+    NOT a lazy plan builder. It runs Spark jobs at CALL time — the
+    auto-mode ``count()``, the candidate-set ``localCheckpoint`` (the
+    lineage barrier that releases candidate-generation shuffle files
+    mid-plan; SCALING.md eleventh family), and the hash-injectivity
+    certificate aggregate — and the checkpoint FREEZES the input
+    snapshot: the returned DataFrame re-derives verification from the
+    checkpointed candidates, not from ``df``'s then-current contents.
+    Callers that build but never execute the plan still pay full
+    candidate-generation cost, and mutating the source between call
+    and execution does not change the candidate set. Compose it
+    eagerly (call it when you mean to run it); the naive
+    ``prefix_filter=False`` plan remains fully lazy.
     """
     from pyspark.sql import Window as _W
 
+    text_bytes = None
     if prefix_filter == "auto":
-        prefix_filter = df.count() >= PREFIX_FILTER_MIN_DOCS
+        # one corpus scan sizes BOTH decisions: the plan pick (doc
+        # count vs PREFIX_FILTER_MIN_DOCS) and, below, the AllPairs
+        # fan-out width (total text bytes)
+        n_docs, text_bytes = df.agg(
+            F.count(F.lit(1)), F.sum(F.octet_length(F.col(text_col)))
+        ).first()
+        prefix_filter = n_docs >= PREFIX_FILTER_MIN_DOCS
+
+    # Fan-out width. Baseline: one task per core (a one-file corpus
+    # scan would otherwise build the whole persisted gram table in a
+    # single task). For the AllPairs plan the width must additionally
+    # scale with CORPUS SIZE, not core count: the gram explode expands
+    # per-task text ~10x through the shuffle-write sorter, and the r09
+    # 512x probe measured a ~0.5 GiB/task execution-memory floor at
+    # core-count width (~24 MB text/task at that scale) — the one
+    # provisioning constraint the round left open. Capping per-task
+    # INPUT text at ALLPAIRS_TEXT_BYTES_PER_TASK makes the explode
+    # working set scale-independent (~80 MB/task), so the kernel fits
+    # local[32]'s 0.25 GiB/task at any corpus size; extra partitions
+    # just queue. Sized from the same scan as the auto-mode count (the
+    # kernel is eager by contract — see docstring).
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if prefix_filter:
+        if text_bytes is None:  # prefix_filter forced True by caller
+            text_bytes = df.agg(F.sum(F.octet_length(F.col(text_col)))).first()[0]
+        want = max(want, -(-int(text_bytes or 0) // ALLPAIRS_TEXT_BYTES_PER_TASK))
 
     # persist: consumed by the size agg, the frequency agg, the prefix
     # ranking and both verification joins; token array projected first
-    # (per-element reference, see token_ngrams). Fan-out first: a
-    # one-file corpus scan would otherwise build the whole persisted
-    # gram table in a single task.
+    # (per-element reference, see token_ngrams)
     grams = _scoped_persist(
         _fan_out(
             df.select(
                 F.col(id_col).alias("__id"),
                 F.split(normalized(text_col), " ").alias("__toks"),
             ),
-            df.sparkSession.sparkContext.defaultParallelism,
+            want,
         )
         .select(
             "__id",

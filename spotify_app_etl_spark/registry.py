@@ -95,6 +95,83 @@ def query(
 #: everything else follows in registration order and keeps its green
 #: round-1/2 row as evidence.
 _PRIORITY: tuple[str, ...] = (
+    # --- round-10 window (exactly 50 names; 181 registered). Cumulative
+    # state after r09: every registered query carries a driver row, zero
+    # broken, zero mismatches; latest-row histogram r05:8 r06:36 r07:41
+    # r08:46 r09:50. Rotation policy unchanged: (1) queries whose CODE
+    # changed this round re-prove first regardless of row age; (2) the
+    # 8 r05-latest rows (the last pre-r06 evidence — the r09 verdict's
+    # final freshness slice) are fully cleared; (3) the 36 r06-latest
+    # rows by registration order — 6 + 8 + 36 = exactly 50, so the
+    # entire r06 slice clears too and the post-r10 histogram floor is
+    # r07. ---
+    # (1) code changed this round: the exact n-gram Jaccard kernel's
+    # AllPairs fan-out width now scales with measured corpus text bytes
+    # (ALLPAIRS_TEXT_BYTES_PER_TASK) instead of core count — the r09
+    # 512x probe pinned a ~0.5 GiB/task execution-memory floor in the
+    # gram-explode stage at core-count width; capping per-task input
+    # text makes the explode working set scale-independent. Values
+    # unchanged (plan-shape change only — local oracle re-verified all
+    # six post-change); every query routing through ngram_jaccard_pairs
+    # re-proves:
+    "ns_dedup_ngram_jaccard",
+    "ns_dedup_minhash_pairs",
+    "ns_dedup_minhash_verified",
+    "ns_dedup_clusters",
+    "ns_split_leakage_safe",
+    "ns_dedup_source_matrix",
+    # (2) the 8 r05-latest rows, in registration order
+    "q_events_pivot",
+    "q_events_gap_stats",
+    "ns_dedup_minhash_apply",
+    "ns_dedup_simhash_pairs",
+    "ns_sim_topk_bruteforce",
+    "etl_playlists",
+    "etl_saved_tracks",
+    "q_hll_sketch_merge",
+    # (3) all 36 r06-latest rows, in registration order — the cut
+    # lands exactly at the window edge, nothing rolls to r11
+    "q_dedup_bounded_window",
+    "ns_sim_topk_ivf",
+    "ns_streaming_cms_ingest",
+    "ns_sample_weighted",
+    "ns_sample_weighted_by_lang",
+    "ns_quality_gopher_rules",
+    "ns_quality_compression",
+    "ns_bpe_token_count",
+    "etl_recent_tracks",
+    "etl_followed_artists",
+    "etl_playlist_profile",
+    "q_udf_pandas_scalar",
+    "q_udaf_grouped_median",
+    "q_agg_percentiles",
+    "q_udtf_tokenize",
+    "q_sql_revenue_filter",
+    "q_sql_exists_subquery",
+    "q_sql_scalar_subquery",
+    "q_sql_in_subquery",
+    "q_scan_csv_roundtrip",
+    "q_scan_json_roundtrip",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q12_ship_latency",
+    "ns_select_importance",
+    "ns_select_lm_perplexity",
+    "ns_pipeline_llm_recipe",
+    "q_agg_approx_percentile",
+    "ns_vocab_cms_estimate",
+    "ns_layout_compact_roundtrip",
+    "q_agg_percentile_disc",
+    "q_fuzzy_match_customers",
+    "q_fuzzy_match_part_names",
+    "q_graph_triangles",
+)
+
+#: The round-9 window, kept for the audit trail (every name below was
+#: hash-green or rows-only-by-design in CORRECTNESS_r09.json).
+_PRIORITY_R09: tuple[str, ...] = (
     # --- round-9 window (exactly 50 names; 181 registered). Cumulative
     # state after r08: every registered query carries a driver row, zero
     # broken, zero mismatches; latest-row histogram r04:16 r05:36 r06:36
@@ -175,113 +252,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_events_sliding",
     "q_events_session",
 )
-
-#: The round-8 window, kept for the audit trail (every name above was
-#: hash-green or rows-only-by-design in CORRECTNESS_r08.json).
-_PRIORITY_R08: tuple[str, ...] = (
-    # --- round-8 window (exactly 50 names; 181 registered). Cumulative
-    # state after r07: every registered query carries a driver row, zero
-    # broken, zero mismatches; latest-row histogram r03:17 r04:40 r05:36
-    # r06:38 r07:50. Rotation policy unchanged: (1) queries whose CODE
-    # changed this round re-prove first regardless of row age — 12 this
-    # round; (2) the 17 r03-latest rows (the oldest evidence left) are
-    # fully cleared; (3) the 40 r04-latest rows by registration order —
-    # the cut falls 21 in, the remaining 19 r04 rows roll to r09. ---
-    # (1) code changed this round: the Misra-Gries overflow eviction
-    # switched from a full re-sort to heapq.nlargest; the pHash query
-    # and its oracle aligned the empty-payload convention (both sides
-    # now emit the all-zero dHash for 0-byte payloads); the Z-order
-    # min-max normalizer gained a degenerate-domain (constant column)
-    # guard; winnowing_fingerprints became an Arrow numpy kernel
-    # (value-identical — local oracle re-verified — but the scale
-    # probe showed the interpreted higher-order-lambda version barely
-    # amortizing: 20.6x time at 32x data, vs 1.8x for the kernel);
-    # the recursive-CTE walk carries next_key in the frontier so each
-    # iteration is one equi-join instead of two (row-identical, ~25%
-    # faster, half the shuffle joins per chain step).
-    # Late-round additions to block (1): the 128x scale probe caught
-    # two single-knob scale failures (fixed shuffle width; live
-    # superseded localCheckpoint generations) and then a third
-    # (deserialized checkpoint blocks pinning the protected storage
-    # pool — PageRank OOM at 128x, fixed by serialized loop state in
-    # operators/checkpoint.py local_checkpoint_ser). The iterative
-    # operators' call sites changed, so every query that runs through
-    # connected_components / pagerank / incremental minhash re-proves
-    # this round (values unchanged — local oracle re-verified).
-    "ns_dedup_clusters",
-    "ns_graph_pagerank",
-    "ns_dedup_minhash_incremental",
-    "ns_split_leakage_safe",
-    "q_fuzzy_entity_clusters",
-    # ...and the two embedding dedups: the sign-LSH variant's knobs
-    # became auto-sized (lsh_auto_params) and its scoring moved from a
-    # per-candidate vector join to per-bucket block matmuls after the
-    # 128x probe OOM'd the fixed-knob shape; SemDeDup's n_cells became
-    # auto-sized to constant cell occupancy for the same reason
-    # (recall/score-equality tests and the windowed exact riders
-    # unchanged on both).
-    "ns_dedup_embedding_cosine_lsh",
-    "ns_dedup_semantic",
-    "ns_vocab_heavy_hitters",
-    "ns_mm_phash_pairs",
-    "ns_layout_zorder_skipping",
-    "ns_doc_winnowing",
-    "q_sql_recursive_cte",
-    # (2) the 17 r03-latest rows, in registration order
-    "ns_embed_centroid",
-    "ns_embed_norm_stats",
-    "q_join_bucketed_colocated",
-    "q_agg_salted_twophase",
-    "q_join_salted_hotkey",
-    "ns_sim_range_search",
-    "q_agg_histogram",
-    "q_window_range_frame",
-    "q_events_gapfill",
-    "q_udtf_sliding_windows",
-    "q_agg_mode_argmax",
-    "q_events_funnel",
-    "q_join_full_outer",
-    "q_scan_schema_evolution",
-    "q_join_lateral_topk",
-    "q_json_variant",
-    "q_agg_grouping_id",
-    # (3) the first 21 of the 40 r04-latest rows, in registration
-    # order (ns_doc_winnowing and q_sql_recursive_cte jumped to block
-    # (1) when their code changed, and the seven scale-fix-affected
-    # names displaced seven more r04 rows over the 50-name cut); the
-    # tail (q_join_asof, ns_dedup_embedding_cosine, ns_boilerplate_grams, ns_curriculum_bins,
-    # ns_corpus_shuffle, q16_supplier_part_count,
-    # q17_small_qty_revenue, q21_late_sole_supplier,
-    # ns_lm_bigram_novelty, q_join_bloom_prefilter,
-    # ns_dedup_chunk_shared, ns_quality_bands,
-    # ns_embed_semantic_clusters, q_join_asof_forward,
-    # ns_hybrid_rrf_search, ns_dedup_source_matrix) keeps its green
-    # r04 rows and is the r09 window seed (ns_split_leakage_safe
-    # jumped to block (1) — its split runs through the changed
-    # connected-components closure)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_region_revenue",
-    "q_filter_predicates",
-    "q_agg_stats",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_count_distinct_exact",
-    "q_agg_corr_exact",
-    "q06_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "ns_dedup_exact",
-    "ns_dedup_ngram_jaccard",
-    "ns_decontaminate_clean",
-    "ns_quality_repetition",
-    "ns_mix_token_budget",
-    "ns_shard_pack",
-    "etl_playlists_tracks",
-    "etl_audio_features",
-)
-
 
 
 def load_all() -> dict[str, Query]:

@@ -92,10 +92,12 @@ def _worst_case_payloads(n_queries: int = 400):
         sf=0.1,
         repeat=3,
         calibration=1.288,
+        calibration_io=12.345,
+        repeats={k: 5 for k in timings},
         cc_rounds={k: [17, 23] for k in list(timings)[:20]},
         rider_free=sorted(timings)[:200],
         worst_ratio=worst,
-        detail_file="BENCH_DETAIL.json",
+        detail_file="BENCH_DETAIL_r99.json",
     )
 
 
@@ -120,12 +122,13 @@ def test_driver_tail_capture_roundtrip(tmp_path):
     p.write_text(json.dumps(wrapped))
     # the line must have survived the tail cut intact
     assert '{"metric"' in wrapped["tail"]
-    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(detail))
     loaded = bc.load(str(p))
     assert loaded["queries"] == detail["queries"]
-    # round-stamped snapshot wins when present
-    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(detail))
-    assert bc.load(str(p))["queries"] == detail["queries"]
+    # the full record carries the r10 additions: per-query run counts
+    # and the I/O-phase calibration
+    assert loaded["repeats"] and set(loaded["repeats"]) == set(detail["queries"])
+    assert loaded["calibration_io_sec"] == 12.345
 
 
 def test_stale_sidecar_is_rejected(tmp_path):
@@ -133,11 +136,57 @@ def test_stale_sidecar_is_rejected(tmp_path):
     stale = dict(detail, value=0.001)  # totals disagree -> different run
     p = tmp_path / "BENCH_r99.json"
     p.write_text(json.dumps({"tail": json.dumps(summary) + "\n"}))
-    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(stale))
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(stale))
     import pytest
 
     with pytest.raises(SystemExit, match="no candidate"):
         bc.load(str(p))
+
+
+def test_tail_truncated_at_end_falls_back_to_snapshot(tmp_path):
+    """r09 ADVICE: a tail line that keeps its '{"metric"' head but is
+    cut at the END must fall through to the round-stamped snapshot
+    (the fallback added for r08's head-truncation), not crash load()
+    with an uncaught JSONDecodeError."""
+    detail, summary = _worst_case_payloads()
+    truncated = json.dumps(summary)[:-40]  # lose the tail, keep the head
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"tail": "noise\n" + truncated}))
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(detail))
+    assert bc.load(str(p))["queries"] == detail["queries"]
+
+
+def test_io_calibration_normalization():
+    """r10: both files carrying calibration_io_sec get an I/O-normalized
+    view alongside the CPU one (the two calibrations can drift
+    independently — r09's slow phases were I/O-only)."""
+    new = {"queries": {"a": 4.0}, "calibration_sec": 1.0, "calibration_io_sec": 4.0}
+    old = {"queries": {"a": 2.0}, "calibration_sec": 1.0, "calibration_io_sec": 2.0}
+    r = bc.compare(new, old)
+    assert r["sum_ratio"] == 2.0
+    assert r["host_speed_ratio"] == 1.0 and r["sum_ratio_host_normalized"] == 2.0
+    assert r["host_io_ratio"] == 2.0 and r["sum_ratio_io_normalized"] == 1.0
+    # absent in either file -> no I/O keys (pre-r10 files stay loadable)
+    r2 = bc.compare({"queries": {"a": 1.0}}, old)
+    assert "host_io_ratio" not in r2
+
+
+def test_detail_name_is_round_stamped_and_never_overwrites(tmp_path):
+    """r09 verdict task #3: full runs stamp the sidecar with the
+    in-flight round (max committed BENCH_r{N} + 1) and uniquify rather
+    than overwrite; --only runs use the scratch name."""
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    assert bench.infer_round_stamp(tmp_path) == "r10"
+    assert bench.resolve_detail_name(False, tmp_path) == "BENCH_DETAIL_r10.json"
+    assert bench.resolve_detail_name(True, tmp_path) == "BENCH_DETAIL_partial.json"
+    # an existing stamped file (builder benched earlier in the round)
+    # is preserved: the new run gets a timestamp-suffixed sibling
+    (tmp_path / "BENCH_DETAIL_r10.json").write_text("{}")
+    name = bench.resolve_detail_name(False, tmp_path)
+    assert name.startswith("BENCH_DETAIL_r10_") and name.endswith(".json")
+    # empty repo -> r01 (first round)
+    assert bench.infer_round_stamp(tmp_path / "nowhere") == "r01"
 
 
 def test_committed_driver_artifacts_still_load():
