@@ -55,6 +55,20 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
         DEFAULT_CPUS * 32
     ),
+    # ...but the high ceiling is only free when AQE coalescing actually
+    # APPLIES. By default (false) Spark pins a persisted plan's output
+    # partitioning, which disables coalescing for every exchange inside
+    # a cached subtree — so each _scoped_persist'd signature/gram table
+    # (operators/dedup.py) materialized, and was re-scanned, at the FULL
+    # initial width. Measured r10, ns_dedup_minhash_verified rider-free
+    # arm at sf0.1: eight 1024-task near-zero-runtime stages, 10.1 s →
+    # 2.4 s with this flag (the "host drift" the r09 verdict carried as
+    # a watch item was in fact this: the r09 ceiling raise 256→1024
+    # quadrupled the uncoalesced cached-stage task count). At scale the
+    # flag only lets cached exchanges coalesce to the advisory size —
+    # the same behavior uncached plans already have; consumers that
+    # need a different partitioning re-shuffle under AQE either way.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
     # nanosecond timestamp type, so scan them as epoch-nanos longs and
     # convert explicitly (io.load_table).
