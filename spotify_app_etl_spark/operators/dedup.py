@@ -1139,16 +1139,21 @@ def ngram_jaccard_pairs(
 
     Measured on the 128x replica: 57.8M candidate sightings → 16.7M
     distinct candidates. Exact verification on candidates then computes
-    true |A∩B|: gram strings are dictionary-encoded to xxhash64 longs
-    whose injectivity ON THIS CORPUS is certified by one aggregate
-    (count distinct grams == count distinct hashes — if a collision
-    ever appears the kernel falls back to intersecting the gram strings
-    themselves), each doc's encoded gram set is collected once
-    (bounded: grams-per-doc), and n_common = array_intersect on the
-    two arrays — JVM-side, no per-candidate gram explosion (the
+    true |A∩B|: grams are dictionary-encoded to DENSE int vocabulary
+    ids ordered rarest-first (one distributed range-rank over the
+    distinct-gram table — operators/rank.py, injective by
+    construction, so no hash-collision certificate is needed), each
+    doc's encoded gram set is collected once (bounded: grams-per-doc,
+    4 bytes per gram), and n_common = array_intersect on the two
+    arrays — JVM-side, no per-candidate gram explosion (the
     explode-style verification join was measured spilling >70 GB at
-    128x). Cost: linear aggregations + a prefix-confined pair join +
-    a candidates x 2-array join. No (docs-per-gram)² term anywhere.
+    128x). The dense id doubles as the prefix order, so the window
+    rank needs no frequency join, and gram STRINGS never enter an
+    exchange wider than the vocabulary itself — the r10 512x disk
+    watcher measured the string/long-array bytes exhausting the probe
+    host's 70 GB before this encoding. Cost: linear aggregations + a
+    prefix-confined pair join + a candidates x 2-array join. No
+    (docs-per-gram)² term anywhere.
 
     ``prefix_filter``: ``True`` forces the AllPairs plan, ``False`` the
     naive gram self-join (single shuffle — faster below ~50k docs where
@@ -1250,8 +1255,33 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
         )
-    # rare-first global order: document frequency, gram string tiebreak
+    # Dense integer gram vocabulary, rarest-first (r10). The r09 plan
+    # carried the gram STRING (~25 B + header per row) through every
+    # wide exchange — the freq join, the per-doc window sort, the
+    # prefix self-join — and shipped per-doc gram sets as array<long>
+    # xxhash64 codes (with an injectivity-certificate branch) through
+    # the verification joins. The 512x disk watcher pinned the probe
+    # host's 70 GB exhaustion to exactly those bytes: candidate
+    # generation burned 70→45 GB and the array-carrying verification
+    # join burned the rest. Assigning each distinct gram a dense int
+    # id ordered by (document frequency, gram) — one distributed
+    # range-rank over the vocabulary, operators/rank.py, no
+    # single-partition window — makes every downstream exchange ship
+    # ints: the dense id IS the rare-first prefix order (no freq join
+    # into the window), per-doc sets become array<int> (half the
+    # array<long> bytes, a quarter of the strings), and hash
+    # injectivity is by construction, deleting the certificate job and
+    # its string fallback. Gram strings now leave the plan at the
+    # vocab join below and never enter a shuffle wider than the
+    # vocabulary itself.
+    from spotify_app_etl_spark.operators.rank import global_row_number
+
     gram_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    vocab = global_row_number(gram_freq, ["__df", "gram"], out="__gid").select(
+        "gram", F.col("__gid").cast("int").alias("__gid")
+    )
+    # one gram-table-wide string join, then ints everywhere
+    gi = _scoped_persist(grams.join(vocab, "gram").select("__id", "__gid"))
     # per-doc size via the same window partitioning as the rank — no
     # separate sizes aggregation/join
     by_doc = _W.partitionBy("__id")
@@ -1259,21 +1289,20 @@ def ngram_jaccard_pairs(
     # LENGTHEN the prefix (more candidates, never a lost pair)
     p_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
     prefix = (
-        grams.join(gram_freq, "gram")
-        .withColumn("sz", F.count(F.lit(1)).over(by_doc))
-        .withColumn("__rn", F.row_number().over(by_doc.orderBy("__df", "gram")))
+        gi.withColumn("sz", F.count(F.lit(1)).over(by_doc))
+        .withColumn("__rn", F.row_number().over(by_doc.orderBy("__gid")))
         .filter(F.col("__rn") <= p_len)
-        .select("__id", "gram", "__rn", "sz")
+        .select("__id", "__gid", "__rn", "sz")
     )
     pa = prefix.select(
         F.col("__id").alias("id_a"),
-        F.col("gram").alias("__g"),
+        F.col("__gid").alias("__g"),
         F.col("__rn").alias("__rn_a"),
         F.col("sz").alias("__sz_a"),
     )
     pb = prefix.select(
         F.col("__id").alias("id_b"),
-        F.col("gram").alias("__g"),
+        F.col("__gid").alias("__g"),
         F.col("__rn").alias("__rn_b"),
         F.col("sz").alias("__sz_b"),
     )
@@ -1324,16 +1353,11 @@ def ngram_jaccard_pairs(
     except Exception:  # JVM surface is an optimization hook only
         pass
     # Exact verification on candidates: intersect per-doc gram-ID sets
-    # JVM-side. IDs are xxhash64(gram), certified injective on this
-    # corpus by ONE aggregate over the (already distinct) gram_freq
-    # table — the fallback (never yet taken) keeps the gram strings,
-    # trading shuffle bytes for unconditional exactness.
-    counts = gram_freq.agg(
-        F.count(F.lit(1)).alias("g"),
-        F.count_distinct(F.xxhash64("gram")).alias("h"),
-    ).first()
-    gid = F.xxhash64("gram") if counts["g"] == counts["h"] else F.col("gram")
-    doc_sets = grams.groupBy("__id").agg(F.collect_list(gid).alias("__gs"))
+    # JVM-side. IDs are the dense int vocabulary codes — injective by
+    # construction (each distinct gram got exactly one rank), so the
+    # r09 xxhash64 injectivity certificate and its string fallback are
+    # gone, and the arrays ship at 4 bytes per gram.
+    doc_sets = gi.groupBy("__id").agg(F.collect_list("__gid").alias("__gs"))
     return (
         cand.join(
             doc_sets.select(

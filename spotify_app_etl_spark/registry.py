@@ -110,9 +110,15 @@ _PRIORITY: tuple[str, ...] = (
     # (ALLPAIRS_TEXT_BYTES_PER_TASK) instead of core count — the r09
     # 512x probe pinned a ~0.5 GiB/task execution-memory floor in the
     # gram-explode stage at core-count width; capping per-task input
-    # text makes the explode working set scale-independent. Values
-    # unchanged (plan-shape change only — local oracle re-verified all
-    # six post-change); every query routing through ngram_jaccard_pairs
+    # text makes the explode working set scale-independent. The kernel
+    # also moved to a dense int gram vocabulary (distributed range-rank,
+    # rarest-first): every post-vocab exchange ships ints, per-doc sets
+    # are array<int>, and the xxhash64 injectivity certificate is gone
+    # (dense ids are injective by construction) — the 512x disk watcher
+    # traced the probe host's ENOSPC to the gram-string/array<long>
+    # shuffle bytes (SCALING.md twelfth family). Values unchanged
+    # (plan-shape changes only — local oracle re-verified all six
+    # post-change); every query routing through ngram_jaccard_pairs
     # re-proves:
     "ns_dedup_ngram_jaccard",
     "ns_dedup_minhash_pairs",
