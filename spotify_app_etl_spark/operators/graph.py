@@ -56,6 +56,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     fixed_rounds: int | None = None,
+    checkpoint_every: int = 2,
 ) -> tuple[DataFrame, int]:
     """PageRank over the directed edge list: returns
     ``(ranks, rounds)`` where ``ranks`` is (node, rank) for every node
@@ -72,7 +73,24 @@ def pagerank(
     * ``fixed_rounds``: run exactly that many rounds with NO per-round
       delta action (one driver scalar per round instead of two) — the
       GraphX/Pregel convention, and the right mode for production runs
-      where the iteration budget is part of the recipe.
+      where the iteration budget is part of the recipe. In this mode
+      nothing forces per-round evaluation, so the lineage barrier is
+      BATCHED: the rank vector is checkpointed every
+      ``checkpoint_every`` rounds (and on the last round) instead of
+      every round. The batch window is deliberately SMALL: each round
+      references the live rank vector twice (the contribution join and
+      the dangling-mass scalar), so an unbarriered chain duplicates
+      every prior round's subtree 2× per round — plan text grows
+      2^window even though runtime exchange-reuse dedupes the actual
+      shuffles, and past ~4 rounds the analysis/planning cost eats the
+      saved job barriers. Measured cadence sweep on the registered
+      15-round query at sf0.1 (best-of-3): window 1 → 10.0 s, 2 →
+      9.4 s, 5 → 12.1 s; the default is the measured optimum, and the
+      per-round floor that remains is per-job machinery over tiny
+      exchanges, which amortizes away at real scale. Tolerance mode
+      keeps the per-round checkpoint: its delta action evaluates every
+      round anyway, and a non-checkpointed chain would recompute prior
+      rounds' shuffles once per delta action across jobs.
 
     Duplicate edges are collapsed (an edge list, not a multigraph);
     self-loops count like any other edge.
@@ -83,6 +101,8 @@ def pagerank(
         raise ValueError(f"tol must be positive, got {tol}")
     if fixed_rounds is not None and fixed_rounds <= 0:
         raise ValueError(f"fixed_rounds must be positive, got {fixed_rounds}")
+    if checkpoint_every <= 0:
+        raise ValueError(f"checkpoint_every must be positive, got {checkpoint_every}")
 
     e = local_checkpoint_ser(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -100,6 +120,10 @@ def pagerank(
     )
 
     ranks = local_checkpoint_ser(nodes.withColumn("rank", F.lit(1.0 / n)))
+    # fixed mode: the newest MATERIALIZED vector — intermediate lazy
+    # rounds' lineage hangs off it, so it is released only when the
+    # next checkpoint lands, never while a lazy `ranks` depends on it
+    last_ck = ranks
     base = (1.0 - damping) / n
 
     n_rounds = fixed_rounds if fixed_rounds is not None else max_iter
@@ -122,7 +146,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("share").alias("in_share"))
         )
-        updated = local_checkpoint_ser(
+        updated_plan = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .crossJoin(F.broadcast(dangling_agg))
             .select(
@@ -138,12 +162,21 @@ def pagerank(
             )
         )
         if fixed_rounds is not None:
-            # `updated` is eagerly checkpointed — last round's vector is
-            # unreachable; release it or the loop holds `rounds` live
-            # generations of (node, rank) in the storage pool.
-            release_local_checkpoint(ranks)
+            # batched barrier (see docstring): checkpoint every
+            # checkpoint_every rounds and on the last; in between the
+            # round stays a lazy stage chain on top of last_ck, so the
+            # whole batch runs as ONE job with each round's exchanges
+            # computed exactly once
+            if rounds % checkpoint_every == 0 or rounds == n_rounds:
+                updated = local_checkpoint_ser(updated_plan)
+                # the superseded checkpoint is only now unreachable
+                release_local_checkpoint(last_ck)
+                last_ck = updated
+            else:
+                updated = updated_plan
             ranks = updated
             continue
+        updated = local_checkpoint_ser(updated_plan)
         # scalar 2: max delta — convergence check (tolerance mode only)
         delta = (
             updated.alias("new")

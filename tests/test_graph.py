@@ -63,6 +63,28 @@ def test_mass_conserved_fixed_rounds(spark):
         assert got[v] == pytest.approx(want[v], abs=1e-9)
 
 
+def test_checkpoint_cadence_is_value_invariant(spark):
+    """The fixed-rounds barrier batching (r10) only decides WHERE
+    lineage is cut — every cadence runs the identical per-round
+    arithmetic, so ranks agree across windows to shuffle-order ulp."""
+    edges = [(i, (i * 3) % 17) for i in range(17)] + [(5, 99)]
+    base, _ = _spark_pr(spark, edges, fixed_rounds=7, checkpoint_every=1)
+    for window in (2, 3, 7, 100):  # incl. window > rounds (last-round ck)
+        got, rounds = _spark_pr(
+            spark, edges, fixed_rounds=7, checkpoint_every=window
+        )
+        assert rounds == 7
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        for v in base:
+            assert got[v] == pytest.approx(base[v], abs=1e-12), (window, v)
+
+
+def test_guards_checkpoint_every(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(df, checkpoint_every=0)
+
+
 def test_duplicate_edges_collapse(spark):
     a, _ = _spark_pr(spark, [(1, 2), (1, 2), (2, 1)])
     b, _ = _spark_pr(spark, [(1, 2), (2, 1)])
