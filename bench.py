@@ -277,6 +277,13 @@ HEADLINE = [
     # round-8 addition: the streaming family's headline number — the
     # availableNow bounded-state dedup ingest (rider-free arm)
     "ns_streaming_dedup_ingest",
+    # round-10 additions: the two slowest registered queries (the r10
+    # fleet audit found the headline set wasn't tracking them) — the
+    # 15-round PageRank power iteration and the native recursive-CTE
+    # successor walk. Cross-round comparisons are unaffected:
+    # bench_compare works on the common subset.
+    "ns_graph_pagerank",
+    "q_sql_recursive_cte",
 ]
 
 
