@@ -61,7 +61,13 @@ def infer_round_stamp(root: Path | None = None) -> str:
     driver writes ``BENCH_r{N}.json`` at the END of round N, so while
     round N is in flight the newest committed file is r(N-1). Returns
     e.g. ``"r10"`` — matching the stamp ``bench_compare._resolve_detail``
-    greps out of the driver artifact name."""
+    greps out of the driver artifact name. The heuristic's one window:
+    between a round's last code commit and the driver committing
+    BENCH_r{N}.json, any bench run still stamps r{N} — which is
+    correct for the driver's own round-closing run (it benches BEFORE
+    writing the artifact; that is the point of max+1), and a human
+    running in that window IS producing round-N evidence. Override
+    with SPARK_GRAFT_BENCH_DETAIL when that's ever wrong."""
     root = root or Path(_REPO_ROOT)
     rounds = [
         int(m.group(1))
@@ -177,8 +183,9 @@ def io_calibration(spark, n_cpus: int, rounds: int = 3) -> float:
     the slow phases are I/O-bound and a pure-CPU probe cannot see them.
     This probe times a canonical, data-independent round trip on the
     same device Spark spills to: write ~770 MB of incompressible
-    parquet (five xxhash64 columns — random 64-bit ints defeat
-    encodings, so the bytes genuinely hit storage), read it back, and
+    parquet (an id column plus four xxhash64 columns — the hash
+    columns are random 64-bit ints that defeat encodings, so ~768 MB
+    of the bytes genuinely hit storage), read it back, and
     hash-aggregate through one full-width shuffle. Each repeat writes a
     FRESH directory so the write path is exercised every time; the
     read-back may be partially page-cache served, which is fine — the
@@ -367,7 +374,9 @@ def main() -> None:
             F.bit_xor(F.xxhash64("id"))
         ).collect()
         calibration = min(calibration, time.perf_counter() - start)
-    calibration_io = io_calibration(spark, n_cpus)
+    # --only runs are iteration aids: skip the ~2.3 GB I/O probe whose
+    # result would land only in the scratch sidecar nothing consumes
+    calibration_io = None if args.only else io_calibration(spark, n_cpus)
 
     from spotify_app_etl_spark.operators import cluster
     from spotify_app_etl_spark.operators.dedup import release_cached

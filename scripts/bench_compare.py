@@ -82,6 +82,7 @@ def load(path: str) -> dict:
         return d
     if "queries_top" in d:  # raw compact summary saved to a file
         return _resolve_detail(path, d)
+    truncated = None
     for line in reversed(d.get("tail", "").splitlines()):
         line = line.strip()
         if line.startswith('{"metric"'):
@@ -90,8 +91,10 @@ def load(path: str) -> dict:
             except json.JSONDecodeError:
                 # tail-truncated at the END (r08 lost the head; this is
                 # the other direction): the line keeps its '{"metric"'
-                # prefix but is cut short — fall through to the
-                # round-stamped snapshot fallback instead of crashing
+                # prefix but is cut short — keep the fragment so the
+                # snapshot fallback below can still enforce the
+                # stale-sidecar guard on whatever fields survived
+                truncated = truncated or line
                 continue
             if "queries" in parsed:
                 return parsed
@@ -99,13 +102,34 @@ def load(path: str) -> dict:
     # tail unparseable (r08: the all-in-one line overflowed the capture
     # buffer and lost its head) — fall back to a committed round-stamped
     # snapshot if one exists (BENCH_DETAIL_r08.json documents its own
-    # reconstruction provenance in a `_note` key)
+    # reconstruction provenance in a `_note` key). The summary's keys
+    # are ordered metric-first, so an END-truncated line usually keeps
+    # `value` (and often `n_queries`): any such surviving field MUST
+    # match the snapshot — without this check a truncated driver
+    # artifact could silently pair with a DIFFERENT run's numbers
+    # (e.g. the builder's earlier same-round record).
     m = re.search(r"BENCH_(r\d+)\.json$", Path(path).name)
     if m:
         snap = Path(path).resolve().parent / f"BENCH_DETAIL_{m.group(1)}.json"
         if snap.is_file():
             detail = json.loads(snap.read_text())
             if "queries" in detail:
+                # the detail payload has no n_queries key; its query
+                # count is the map itself
+                expected = {
+                    "value": detail.get("value"),
+                    "n_queries": len(detail.get("queries", {})),
+                }
+                for field, cast in (("value", float), ("n_queries", int)):
+                    got = re.search(rf'"{field}": ([0-9.]+)', truncated or "")
+                    if got and cast(got.group(1)) != cast(expected[field]):
+                        raise SystemExit(
+                            f"{path}: truncated tail line carries "
+                            f"{field}={got.group(1)} but snapshot "
+                            f"{snap.name} has {expected[field]} — "
+                            "different run; commit the matching "
+                            "round-stamped snapshot"
+                        )
                 return detail
     raise SystemExit(f"{path}: no bench JSON line found")
 

@@ -1274,12 +1274,21 @@ def ngram_jaccard_pairs(
     # its string fallback. Gram strings now leave the plan at the
     # vocab join below and never enter a shuffle wider than the
     # vocabulary itself.
-    from spotify_app_etl_spark.operators.rank import global_row_number
+    from spotify_app_etl_spark.operators.rank import _global_row_number_with_total
 
     gram_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-    vocab = global_row_number(gram_freq, ["__df", "gram"], out="__gid").select(
-        "gram", F.col("__gid").cast("int").alias("__gid")
+    # The rank's own counts collect already knows the vocabulary size,
+    # so the int narrowing is GUARDED, not assumed: past 2^31-1
+    # distinct grams the ids stay long (2x the array bytes, but
+    # injectivity — the justification for deleting the r09 hash
+    # certificate — survives unconditionally; an unguarded cast would
+    # throw under ANSI and silently alias gram ids on a non-ANSI
+    # session).
+    ranked, vocab_n = _global_row_number_with_total(
+        gram_freq, ["__df", "gram"], out="__gid"
     )
+    gid_type = "int" if vocab_n <= 2**31 - 1 else "long"
+    vocab = ranked.select("gram", F.col("__gid").cast(gid_type).alias("__gid"))
     # one gram-table-wide string join, then ints everywhere
     gi = _scoped_persist(grams.join(vocab, "gram").select("__id", "__gid"))
     # per-doc size via the same window partitioning as the rank — no

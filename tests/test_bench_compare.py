@@ -156,6 +156,24 @@ def test_tail_truncated_at_end_falls_back_to_snapshot(tmp_path):
     assert bc.load(str(p))["queries"] == detail["queries"]
 
 
+def test_truncated_tail_rejects_mismatched_snapshot(tmp_path):
+    """The end-truncation fallback must keep the stale-sidecar guard:
+    the summary's key order puts `value` near the head, so a truncated
+    line usually still carries it — a snapshot whose totals disagree
+    with the surviving fragment is a DIFFERENT run and must be
+    rejected, not silently paired (r10 review finding)."""
+    detail, summary = _worst_case_payloads()
+    stale = dict(detail, value=0.001)
+    truncated = json.dumps(summary)[:-40]
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"tail": "noise\n" + truncated}))
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(stale))
+    import pytest
+
+    with pytest.raises(SystemExit, match="different run"):
+        bc.load(str(p))
+
+
 def test_io_calibration_normalization():
     """r10: both files carrying calibration_io_sec get an I/O-normalized
     view alongside the CPU one (the two calibrations can drift
