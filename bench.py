@@ -37,6 +37,7 @@ import argparse
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -57,22 +58,35 @@ TOP_N = 10
 
 
 def infer_round_stamp(root: Path | None = None) -> str:
-    """Current driver round, inferred from the committed artifacts: the
-    driver writes ``BENCH_r{N}.json`` at the END of round N, so while
-    round N is in flight the newest committed file is r(N-1). Returns
-    e.g. ``"r10"`` — matching the stamp ``bench_compare._resolve_detail``
-    greps out of the driver artifact name. The heuristic's one window:
-    between a round's last code commit and the driver committing
+    """Current driver round, inferred from the COMMITTED artifacts
+    (``git ls-files``, not a working-tree glob — the driver's own
+    in-flight, not-yet-committed ``BENCH_r{N}.json`` must not bump the
+    stamp to r{N+1}; r10 ADVICE): the driver commits
+    ``BENCH_r{N}.json`` at the END of round N, so while round N is in
+    flight the newest committed file is r(N-1). Returns e.g. ``"r10"``
+    — matching the stamp ``bench_compare._resolve_detail`` greps out
+    of the driver artifact name. The heuristic's one window: between a
+    round's last code commit and the driver committing
     BENCH_r{N}.json, any bench run still stamps r{N} — which is
     correct for the driver's own round-closing run (it benches BEFORE
     writing the artifact; that is the point of max+1), and a human
     running in that window IS producing round-N evidence. Override
-    with SPARK_GRAFT_BENCH_DETAIL when that's ever wrong."""
+    with SPARK_GRAFT_BENCH_DETAIL when that's ever wrong. Outside a
+    git checkout the working-tree glob is the fallback."""
     root = root or Path(_REPO_ROOT)
+    try:
+        tracked = subprocess.run(
+            ["git", "-C", str(root), "ls-files", "BENCH_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+            check=True,
+        ).stdout.splitlines()
+        names = [Path(t).name for t in tracked]
+    except Exception:  # not a git checkout / git missing — glob fallback
+        names = [p.name for p in root.glob("BENCH_r[0-9]*.json")]
     rounds = [
-        int(m.group(1))
-        for p in root.glob("BENCH_r[0-9]*.json")
-        if (m := re.match(r"BENCH_r(\d+)\.json$", p.name))
+        int(m.group(1)) for n in names if (m := re.match(r"BENCH_r(\d+)\.json$", n))
     ]
     return f"r{(max(rounds) + 1) if rounds else 1:02d}"
 
@@ -93,7 +107,12 @@ def resolve_detail_name(only: bool, root: Path | None = None) -> str:
     root = root or Path(_REPO_ROOT)
     name = f"BENCH_DETAIL_{infer_round_stamp(root)}.json"
     if (root / name).exists():
-        name = name.replace(".json", f"_{int(time.time())}.json")
+        # counter suffix, not a time stamp: two full runs launched in
+        # the same second must still land in distinct files (r10 ADVICE)
+        k = 2
+        while (root / name.replace(".json", f"_{k}.json")).exists():
+            k += 1
+        name = name.replace(".json", f"_{k}.json")
     return name
 
 

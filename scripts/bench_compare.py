@@ -122,11 +122,17 @@ def load(path: str) -> dict:
                 }
                 for field, cast in (("value", float), ("n_queries", int)):
                     got = re.search(rf'"{field}": ([0-9.]+)', truncated or "")
-                    if got and cast(got.group(1)) != cast(expected[field]):
+                    if not got:
+                        continue
+                    exp = expected[field]
+                    # a snapshot MISSING the field (exp None) cannot
+                    # vouch for the fragment either — same clean
+                    # diagnostic, not a TypeError from cast(None)
+                    if exp is None or cast(got.group(1)) != cast(exp):
                         raise SystemExit(
                             f"{path}: truncated tail line carries "
                             f"{field}={got.group(1)} but snapshot "
-                            f"{snap.name} has {expected[field]} — "
+                            f"{snap.name} has {exp} — "
                             "different run; commit the matching "
                             "round-stamped snapshot"
                         )

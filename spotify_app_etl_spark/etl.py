@@ -289,9 +289,9 @@ def run_pipeline(
     # calling run_pipeline repeatedly doesn't accumulate one cached
     # fan-out table per invocation — release_cached() (called by bench
     # and any long-lived harness) frees it once the sinks materialize.
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
-    playlist_tracks = _scoped_persist(
+    playlist_tracks = scoped_persist(
         extract_playlist_tracks(
             spark,
             playlists,

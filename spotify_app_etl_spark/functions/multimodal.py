@@ -286,13 +286,13 @@ def phash_near_dup_pairs(
             F.lit(mask)
         )
 
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     # Persisted for the same reason simhash_candidates persists its
     # signature: both sides of the self-join (and the exact-distance
     # filter) would otherwise re-execute the payload scan + Python
     # dhash stage — the dominant cost — once per reference.
-    sig = _scoped_persist(perceptual_hashes(mm))
+    sig = scoped_persist(perceptual_hashes(mm))
     chunks = sig.select(
         "doc_id",
         "phash",
@@ -307,9 +307,9 @@ def phash_near_dup_pairs(
             )
         ).alias("bc"),
     ).select("doc_id", "phash", "bc.band", "bc.chunk")
-    from spotify_app_etl_spark.operators.dedup import _cap_buckets
+    from spotify_app_etl_spark.operators.dedup import cap_buckets
 
-    chunks = _cap_buckets(chunks, ["band", "chunk"], max_bucket_size)
+    chunks = cap_buckets(chunks, ["band", "chunk"], max_bucket_size)
     return (
         chunks.alias("a")
         .join(

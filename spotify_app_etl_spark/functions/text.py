@@ -317,7 +317,7 @@ def winnowing_fingerprints(
     import numpy as np
     from numpy.lib.stride_tricks import sliding_window_view
 
-    from spotify_app_etl_spark.operators.dedup import _fan_out
+    from spotify_app_etl_spark.operators.dedup import fan_out
 
     norm = df.select(
         F.col(id_col), normalized(text_col).alias("__norm")
@@ -327,7 +327,7 @@ def winnowing_fingerprints(
     # per-doc kernel (O(len x k) work per doc dominates the narrow
     # (id, norm) shuffle by orders of magnitude). On a real cluster
     # the scan already has >= cores partitions and this no-ops.
-    norm = _fan_out(norm, df.sparkSession.sparkContext.defaultParallelism)
+    norm = fan_out(norm, df.sparkSession.sparkContext.defaultParallelism)
     id_type = df.schema[id_col].dataType.simpleString()
     pw = np.array([pow(31, k - 1 - j, mod) for j in range(k)], dtype=np.int64)
 

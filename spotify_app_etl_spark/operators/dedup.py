@@ -23,89 +23,28 @@ data pipeline needs, each designed for 100 TB:
 
 from __future__ import annotations
 
-import contextlib
-import threading
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from spotify_app_etl_spark.operators.checkpoint import local_checkpoint_ser
 
-# ---------------------------------------------------------------------------
-# Scoped persist: the signature/gram tables below are cached because
-# several consumers in the returned plan re-read them, but a persist
-# with no matching unpersist accumulates storage across invocations in
-# a long-lived session (bench --all, driver loops, foreachBatch reuse).
-# Every internal persist registers here; callers that run many dedup
-# plans call release_cached() after materializing each one.
-# ---------------------------------------------------------------------------
+# Scoped persist moved to operators.persist in round 11 (it is engine
+# infrastructure used by plans, rank, similarity, and the SQL
+# front-end — not a dedup detail). Re-exported here so round-10-era
+# imports keep working; new code should import operators.persist.
+from spotify_app_etl_spark.operators.persist import (  # noqa: F401
+    cache_scope,
+    release_cached,
+    scoped_persist,
+)
 
-_PERSISTED: list[tuple[object, DataFrame]] = []
-_PERSIST_LOCK = threading.Lock()
-_SCOPE_TL = threading.local()
-
-
-def _scoped_persist(df: DataFrame) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
-
-    token = getattr(_SCOPE_TL, "token", None)
-    with _PERSIST_LOCK:
-        # SERIALIZED memory+disk, not the deserialized default: persisted
-        # intermediates here are data-sized (gram/shingle/signature
-        # tables), and deserialized blocks carry ~48 B/row object
-        # overhead that camps in the storage pool's protected fraction —
-        # the same failure class the r08 128x probe found for iterative
-        # loop state (operators/checkpoint.py). The r09 probe reproduced
-        # it for the 64M-row gram table under ns_dedup_source_matrix:
-        # execution tasks were denied their minimum page
-        # (UNABLE_TO_ACQUIRE_MEMORY ... got 0) while the deserialized
-        # cache held the pool. PySpark's MEMORY_AND_DISK constant IS the
-        # serialized level (unlike Scala's).
-        _PERSISTED.append((token, df.persist(StorageLevel.MEMORY_AND_DISK)))
-    return df
+_scoped_persist = scoped_persist
 
 
-@contextlib.contextmanager
-def cache_scope():
-    """Release ONLY the caches registered inside this block at exit.
-
-    For consumers that share the process with other running jobs — a
-    ``foreachBatch`` callback on the streaming thread, a driver loop
-    overlapping an ETL run: the global :func:`release_cached` is a
-    whole-process janitor and would unpersist the OTHER job's pinned
-    tables mid-plan (e.g. ``rank.global_row_number``'s range-partitioned
-    table between its counts collect and the final join, voiding its
-    same-boundaries guarantee). Scope tracking is thread-local, so a
-    concurrent thread's ``_scoped_persist`` calls are never captured by
-    this block."""
-    token = object()
-    prev = getattr(_SCOPE_TL, "token", None)
-    _SCOPE_TL.token = token
-    try:
-        yield
-    finally:
-        _SCOPE_TL.token = prev
-        with _PERSIST_LOCK:
-            mine = [df for t, df in _PERSISTED if t is token]
-            _PERSISTED[:] = [(t, df) for t, df in _PERSISTED if t is not token]
-        for df in mine:
-            df.unpersist()
-
-
-def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
-    """A byte-valued SQLConf as an int ("134217728b", "128m", "4MB")."""
-    raw = str(spark.conf.get(key, str(default))).strip().lower()
-    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    for suffix in ("kb", "mb", "gb", "tb"):
-        if raw.endswith(suffix):
-            return int(float(raw[:-2]) * units[suffix[0]])
-    if raw and raw[-1] in units:
-        return int(float(raw[:-1]) * units[raw[-1]])
-    try:
-        return int(raw)
-    except ValueError:
-        return default
+# moved to operators.conf in round 11 (graph.py needs it too); the
+# private name stays bound for dedup-internal call sites
+from spotify_app_etl_spark.operators.conf import size_conf_bytes as _size_conf_bytes
 
 
 def _fan_out(base: DataFrame, want: int) -> DataFrame:
@@ -163,24 +102,6 @@ def _cap_buckets(
         .filter(F.col("__bsz") <= max_bucket_size)
         .drop("__bsz")
     )
-
-
-def release_cached() -> None:
-    """Unpersist EVERY table cached via ``_scoped_persist``, regardless
-    of scope — the whole-process janitor for single-tenant loops (bench
-    sweeps, test teardown, the explain audit) where nothing else is
-    running. A consumer sharing the process with other live jobs must
-    use :func:`cache_scope` instead: this releases other jobs' pinned
-    tables too.
-
-    Safe at any time for correctness: an unpersisted plan stays correct
-    (it recomputes), so call this once the plans built since the last
-    release have been materialized."""
-    with _PERSIST_LOCK:
-        all_entries = list(_PERSISTED)
-        _PERSISTED.clear()
-    for _, df in all_entries:
-        df.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1171,10 +1092,12 @@ def ngram_jaccard_pairs(
     **Eager materialization (r09 ADVICE, documented contract):** with
     ``prefix_filter=True`` (or ``"auto"`` above the threshold) this is
     NOT a lazy plan builder. It runs Spark jobs at CALL time — the
-    auto-mode ``count()``, the candidate-set ``localCheckpoint`` (the
-    lineage barrier that releases candidate-generation shuffle files
-    mid-plan; SCALING.md eleventh family), and the hash-injectivity
-    certificate aggregate — and the checkpoint FREEZES the input
+    auto-mode sizing aggregate (doc count + text bytes), the dense
+    gram-vocabulary range-rank per-partition counts collect
+    (``operators.rank.global_row_number``), and the candidate-set
+    ``localCheckpoint`` (the lineage barrier that releases
+    candidate-generation shuffle files mid-plan; SCALING.md eleventh
+    family) — and the checkpoint FREEZES the input
     snapshot: the returned DataFrame re-derives verification from the
     checkpointed candidates, not from ``df``'s then-current contents.
     Callers that build but never execute the plan still pay full
@@ -1961,3 +1884,11 @@ def semantic_losers(pairs: DataFrame, id_col: str, keep: str = "least_central") 
     return pairs.select(
         F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias(id_col)
     ).distinct()
+
+
+# Public names for the sizing/fan-out helpers other modules consume
+# (plans.indexing, plans.prep, functions.text, functions.multimodal) —
+# cross-module imports should not touch _-prefixed symbols.
+size_conf_bytes = _size_conf_bytes
+fan_out = _fan_out
+cap_buckets = _cap_buckets

@@ -16,6 +16,22 @@ rank mass at exactly 1, which is also the operator's self-check.
 
 Scale shape (same contract as ``operators/cluster.py``):
 
+* **Static edge layout, GraphX-style.** The edge list, out-degrees,
+  and node set are hash-partitioned on their join key, sorted within
+  partitions, and checkpointed ONCE — with the layout captured into
+  the ``LogicalRDD`` (built under :func:`_adaptive_off`; under AQE the
+  captured partitioning degrades to Unknown and every round re-shuffled
+  the full edge table — measured at sf0.1: 9 exchanges per round-plan,
+  4 of them static-table re-exchanges, vs 3 after, only one of which
+  carries data: the partially-aggregated contributions, rank-vector-
+  sized). At 100 TB the edge table IS the data; per-round cost must
+  track the rank vector, and now does.
+* **Broadcast-vs-co-partitioned round gate.** While the rank vector
+  fits under ``autoBroadcastJoinThreshold``, rounds run under AQE and
+  its runtime broadcast of the rank side wins outright (nothing
+  exchanges). Past the threshold (~300k nodes at the 10 MB default)
+  rounds run non-adaptively as co-partitioned sort-merge joins against
+  the captured layout.
 * Each round is one join (ranks ⋈ edges on the source key) plus one
   map-side-combinable sum — no driver-side graph state. The dangling
   mass rides a 1-row broadcast scalar subquery inside the round's
@@ -35,16 +51,48 @@ below the rounding grain).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spotify_app_etl_spark.operators.checkpoint import (
     local_checkpoint_ser,
     release_local_checkpoint,
 )
+from spotify_app_etl_spark.operators.conf import size_conf_bytes
 
 log = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def _adaptive_off(spark: SparkSession):
+    """Disable AQE for the enclosed plan constructions, restoring the
+    previous value on exit.
+
+    Why an iterative operator wants this: ``localCheckpoint`` records
+    the physical plan's output partitioning/ordering into the resulting
+    ``LogicalRDD`` — that metadata is what lets every later round join
+    against the checkpointed table WITHOUT re-exchanging it. Under AQE
+    the captured partitioning is ``UnknownPartitioning`` (the final
+    stage is a coalesced shuffle-stage whose partitioning is no longer
+    expressible as a HashPartitioning), so each of PageRank's 15 rounds
+    re-shuffled the full edge table — measured here at sf0.1: 9
+    exchanges per round-plan before, 1 after. AQE has nothing to offer
+    inside the loop anyway: the plan is static and co-partitioned by
+    construction, skew is absorbed by map-side partial aggregation, and
+    round output sizes repeat — there is nothing to adapt. The session
+    conf flips are process-wide for their (short) duration; concurrent
+    planners in other threads would plan one query non-adaptively,
+    which affects speed, never values.
+    """
+    key = "spark.sql.adaptive.enabled"
+    prev = str(spark.conf.get(key, "true"))
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def pagerank(
@@ -104,21 +152,86 @@ def pagerank(
     if checkpoint_every <= 0:
         raise ValueError(f"checkpoint_every must be positive, got {checkpoint_every}")
 
-    e = local_checkpoint_ser(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    )
-    nodes = local_checkpoint_ser(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    spark = edges.sparkSession
+
+    # Static tables: hash-partitioned on their join key and sorted
+    # within partitions BEFORE the checkpoint. Built under _adaptive_off
+    # because the LogicalRDD then captures both (HashPartitioning +
+    # ordering) — under AQE the final stage is a coalesced shuffle whose
+    # partitioning records as Unknown, and every round re-exchanged the
+    # full edge table (measured: 9 exchanges per round-plan, 4 of them
+    # static-table re-shuffles). With the layout captured, a round's
+    # sort-merge joins against the static side plan with NO exchange and
+    # NO re-sort — the edge table is laid out once, GraphX-style, and
+    # only the rank vector moves per round.
+    with _adaptive_off(spark):
+        e = local_checkpoint_ser(
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .repartition("src")
+            .sortWithinPartitions("src")
+        )
+        nodes = local_checkpoint_ser(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .sortWithinPartitions("node")
+        )
+        # e is already hash(src)-partitioned, so this groupBy adds no
+        # exchange and its output inherits (and captures) that layout
+        outdeg = local_checkpoint_ser(
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .sortWithinPartitions("src")
+        )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0)), 0
-    outdeg = local_checkpoint_ser(
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    )
 
+    # Round-job mode gate: while the rank vector fits under the
+    # broadcast threshold, AQE's runtime broadcast of the rank side
+    # beats everything (no exchange at all, the static layout streams) —
+    # keep AQE on. Once the vector outgrows broadcast (the 100 TB case:
+    # ~8M nodes at 512x is already ~20x the default 10 MB threshold),
+    # run the rounds under _adaptive_off so they plan co-partitioned
+    # sort-merge joins against the captured static layout: exactly one
+    # rank-vector-sized exchange per round (the partially-aggregated
+    # contributions, keyed by dst), zero edge-table movement. A
+    # disabled threshold (-1) always selects the co-partitioned path.
+    threshold = size_conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
+    co_partitioned = threshold < 0 or n * _RANK_ROW_BYTES >= threshold
+    ctx = _adaptive_off(spark) if co_partitioned else contextlib.nullcontext()
+    with ctx:
+        return _pagerank_loop(
+            e,
+            nodes,
+            outdeg,
+            n,
+            damping=damping,
+            tol=tol,
+            max_iter=max_iter,
+            fixed_rounds=fixed_rounds,
+            checkpoint_every=checkpoint_every,
+        )
+
+
+#: Conservative serialized bytes per (node: long, rank: double) row —
+#: the estimate the broadcast-vs-co-partitioned round-mode gate uses.
+_RANK_ROW_BYTES = 32
+
+
+def _pagerank_loop(
+    e: DataFrame,
+    nodes: DataFrame,
+    outdeg: DataFrame,
+    n: int,
+    *,
+    damping: float,
+    tol: float,
+    max_iter: int,
+    fixed_rounds: int | None,
+    checkpoint_every: int,
+) -> tuple[DataFrame, int]:
     ranks = local_checkpoint_ser(nodes.withColumn("rank", F.lit(1.0 / n)))
     # fixed mode: the newest MATERIALIZED vector — intermediate lazy
     # rounds' lineage hangs off it, so it is released only when the

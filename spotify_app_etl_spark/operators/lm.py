@@ -99,12 +99,12 @@ def train_bigram_lm(
         raise ValueError(f"vocab_size must be positive, got {vocab_size}")
     if bigram_cap <= 0:
         raise ValueError(f"bigram_cap must be positive, got {bigram_cap}")
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     base = df.select(tokens(F.col(text_col)).alias("__tk"))
     toks = base.select(F.explode("__tk").alias("tok"))
-    tots = _scoped_persist(toks.agg(F.count(F.lit(1)).alias("n")))
-    uni = _scoped_persist(
+    tots = scoped_persist(toks.agg(F.count(F.lit(1)).alias("n")))
+    uni = scoped_persist(
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("uc"))
         .orderBy(F.desc("uc"), "tok")
@@ -113,7 +113,7 @@ def train_bigram_lm(
     tr = base.select(F.explode(transitions(F.col("__tk"))).alias("t")).select(
         F.col("t.prev").alias("prev"), F.col("t.cur").alias("cur")
     )
-    bg = _scoped_persist(
+    bg = scoped_persist(
         tr.groupBy("prev", "cur")
         .agg(F.count(F.lit(1)).alias("bc"))
         # broadcast: uni is ≤ vocab_size rows by construction

@@ -102,9 +102,9 @@ def _global_row_number_with_total(
     # fixed seeds, so even a recompute of a lost block re-derives
     # identical boundaries for deterministic input.) Registered with
     # the session-wide scoped-cache list so release_cached() frees it.
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
-    local = _scoped_persist(local)
+    local = scoped_persist(local)
     counts = {r["__pid"]: r["n"] for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

@@ -86,13 +86,13 @@ def importance_score_grams(
         is_target.alias("__t"),
         tokens(F.col(text_col)).alias("__tk"),
     )
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     # per_doc feeds BOTH the corpus-wide gram totals and the final
     # scoring join; persisted so the tokenize+explode pass runs once
     # (AQE exchange reuse would often dedup it, but reuse is plan-shape
     # dependent — a pin beats a hope at corpus scale)
-    per_doc = _scoped_persist(
+    per_doc = scoped_persist(
         base.select("__id", "__t", F.explode(bigrams(F.col("__tk"))).alias("__g"))
         .groupBy("__id", "__t", "__g")
         .agg(F.count(F.lit(1)).alias("__m"))
@@ -106,7 +106,7 @@ def importance_score_grams(
     # what keeps the weight table broadcast-sized at any corpus scale.
     # Persisted (≤ vocab_size rows) — consumed by tots AND the
     # weight projection.
-    vocab = _scoped_persist(
+    vocab = scoped_persist(
         gram_tot.orderBy(F.desc("__c"), "__g").limit(vocab_size)
     )
     tots = vocab.agg(
@@ -230,7 +230,7 @@ def classifier_scores(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
 
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -245,7 +245,7 @@ def classifier_scores(
     # KMeans callers skip this — Spark's clusterer showed no cached-vs-
     # uncached fit difference, so an extra materialization only added
     # cost there).
-    feat = _scoped_persist(
+    feat = scoped_persist(
         tf.transform(base).withColumn("label", F.col("__t").cast("double"))
     )
     model = LogisticRegression(

@@ -249,7 +249,7 @@ GROUP BY bg.doc_id
     tags=("northstar", "quality", "lm"),
 )
 def ns_lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _fan_out
+    from spotify_app_etl_spark.operators.dedup import fan_out
 
     # Fan out the tokenize+explode map stage (single parquet file ->
     # one task otherwise), then pre-aggregate to (doc_id, bigram, m)
@@ -259,7 +259,7 @@ def ns_lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep the math exact: n_bigrams = sum(m), mean = sum(m*c)/sum(m),
     # novel = sum(m where c=1)/sum(m) — all integer sums, one double
     # division, bit-identical to the instance-level oracle.
-    docs = _fan_out(
+    docs = fan_out(
         t(spark, sf_dir, "documents").select("doc_id", "text"),
         spark.sparkContext.defaultParallelism,
     )

@@ -95,7 +95,7 @@ def ns_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_dedup_minhash_pairs(
     spark: SparkSession, sf_dir: str, verify: bool = True
 ) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     docs = t(spark, sf_dir, "documents")
     if not verify:
@@ -105,7 +105,7 @@ def ns_dedup_minhash_pairs(
     # Persisted: the candidate frame feeds both the output and the
     # recall scalar; without the pin, AQE's exchange reuse is
     # nondeterministic and the banded self-join can execute twice.
-    cand = _scoped_persist(
+    cand = scoped_persist(
         DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
     )
     exact = DD.ngram_jaccard_pairs(
@@ -132,12 +132,12 @@ def ns_dedup_minhash_pairs(
     tags=("northstar", "dedup", "lsh"),
 )
 def ns_dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     docs = t(spark, sf_dir, "documents")
     # Persisted: feeds the drop-set anti-join on BOTH the output branch
     # and the rider's kept-window branch.
-    cand = _scoped_persist(
+    cand = scoped_persist(
         DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
     )
     drop = cand.select(F.col("id_b").alias("doc_id")).distinct()
@@ -169,7 +169,7 @@ def ns_dedup_minhash_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_dedup_minhash_verified(
     spark: SparkSession, sf_dir: str, verify: bool = True
 ) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     docs = t(spark, sf_dir, "documents")
     cand = DD.minhash_candidates(docs, "text", "doc_id", threshold=0.5)
@@ -180,7 +180,7 @@ def ns_dedup_minhash_verified(
         return DD.ngram_jaccard_on(cand, docs, "text", "doc_id", n=3, threshold=0.5)
     # Persisted: the verified pairs feed both the output and the recall
     # scalar (same rationale as ns_dedup_minhash_pairs).
-    out = _scoped_persist(
+    out = scoped_persist(
         DD.ngram_jaccard_on(cand, docs, "text", "doc_id", n=3, threshold=0.5)
     )
     exact = DD.ngram_jaccard_pairs(
@@ -211,9 +211,9 @@ def ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted for the same reason as ns_dedup_minhash_pairs: the
     # banded self-join must not execute twice when the frame feeds both
     # the output and the recall scalar.
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
-    cand = _scoped_persist(DD.simhash_candidates(docs, "text", "doc_id"))
+    cand = scoped_persist(DD.simhash_candidates(docs, "text", "doc_id"))
     sig = docs.filter(F.col("doc_id") < 1000).select(
         F.col("doc_id").alias("__id"),
         DD.simhash_signature("text").alias("__sim"),
@@ -881,7 +881,7 @@ def ns_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_dedup_embedding_cosine_lsh(
     spark: SparkSession, sf_dir: str, verify: bool = True
 ) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     emb = _emb_with_planted(spark, sf_dir)
     if not verify:
@@ -892,7 +892,7 @@ def ns_dedup_embedding_cosine_lsh(
         )
     # Persisted: the LSH pair frame feeds both the output and the
     # recall scalar (see ns_dedup_minhash_pairs).
-    lsh = _scoped_persist(
+    lsh = scoped_persist(
         DD.embedding_cosine_pairs_lsh(
             emb, "embedding", "vec_id", threshold=0.9, planes="auto", tables="auto"
         )
@@ -934,10 +934,10 @@ def ns_dedup_embedding_cosine_lsh(
 def ns_dedup_semantic(
     spark: SparkSession, sf_dir: str, verify: bool = True
 ) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     emb = _emb_with_planted(spark, sf_dir)
-    pairs = _scoped_persist(
+    pairs = scoped_persist(
         DD.semantic_dedup_pairs(
             emb, "embedding", "vec_id", threshold=0.9, n_cells="auto"
         )
@@ -1039,10 +1039,10 @@ FROM bytes
     tags=("northstar", "multimodal", "pandas-udf"),
 )
 def ns_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     mm = MM.documents_as_binary(t(spark, sf_dir, "documents"))
-    feats = _scoped_persist(MM.extract_features(mm))
+    feats = scoped_persist(MM.extract_features(mm))
     jvm = mm.filter(F.col("doc_id") < 1000).select(
         "doc_id", F.col("meta.n_bytes").alias("__jvm_bytes")
     )
@@ -1092,10 +1092,10 @@ FROM f
     tags=("northstar", "multimodal", "pandas-udf"),
 )
 def ns_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     mm = MM.documents_as_binary(t(spark, sf_dir, "documents"))
-    frames = _scoped_persist(MM.sample_frames(mm))
+    frames = scoped_persist(MM.sample_frames(mm))
     got = (
         frames.filter(F.col("doc_id") < 1000)
         .groupBy("doc_id")
@@ -1378,7 +1378,7 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
 def ns_mm_phash_pairs(
     spark: SparkSession, sf_dir: str, verify: bool = True
 ) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     docs = t(spark, sf_dir, "documents")
     edited = F.concat_ws(
@@ -1401,7 +1401,7 @@ def ns_mm_phash_pairs(
         )
     # Persisted: the banded self-join feeds both the output and the
     # recall scalar (same rationale as ns_dedup_simhash_pairs).
-    cand = _scoped_persist(
+    cand = scoped_persist(
         MM.phash_near_dup_pairs(MM.documents_as_binary(corpus), max_hamming=3)
     )
     window = corpus.filter(
@@ -1449,12 +1449,12 @@ def ns_streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_ingest_batch,
         cms_state_read,
     )
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
     from spotify_app_etl_spark.streaming import jobs as SJ
 
     depth, width = 4, 2048
     docs = t(spark, sf_dir, "documents")
-    tok = _scoped_persist(
+    tok = scoped_persist(
         docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
     )
     root = _scratch_index_dir(spark, "stream_cms")

@@ -138,7 +138,7 @@ GROUP BY g.doc_id
     tags=("northstar", "quality", "boilerplate"),
 )
 def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import _fan_out
+    from spotify_app_etl_spark.operators.dedup import fan_out
 
     # Grams are DISTINCT per doc (token_ngrams is array_distinct), so
     # (doc_id, gram) is unique and the naive explode → doc-freq → join
@@ -156,7 +156,7 @@ def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_freq < 2 implies exactly one owner. Raising the constant
     # without generalizing this would silently undercount.
     assert _MIN_DOC_FREQ == 2, "unique-gram complement requires _MIN_DOC_FREQ == 2"
-    docs = _fan_out(
+    docs = fan_out(
         t(spark, sf_dir, "documents").select("doc_id", "text"),
         spark.sparkContext.defaultParallelism,
     )
@@ -166,9 +166,9 @@ def ns_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split + distinct 3-gram transform over full text) — doubling the
     # map phase. Same scoped-persist contract as the MinHash signature
     # tables (released by bench/tests via release_cached).
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
-    arrs = _scoped_persist(
+    arrs = scoped_persist(
         docs.select("doc_id", token_ngrams("text", 3).alias("__grams"))
     )
     grams = arrs.select("doc_id", F.explode("__grams").alias("gram"))
@@ -339,10 +339,10 @@ def ns_select_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_select_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_app_etl_spark.operators import selection as SEL
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    scores = _scoped_persist(
+    scores = scoped_persist(
         SEL.classifier_scores(docs, "text", "doc_id", F.col("lang") == "en")
     )
     separation = scores.agg(
@@ -511,7 +511,8 @@ ORDER BY score DESC, doc_id LIMIT 50
 )
 def ns_pipeline_llm_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_app_etl_spark.operators import lm as LM
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist, exact_dedup
+    from spotify_app_etl_spark.operators.dedup import exact_dedup
+    from spotify_app_etl_spark.operators.persist import scoped_persist
     from spotify_app_etl_spark.plans.corpus import gopher_rule_flags
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -531,7 +532,7 @@ def ns_pipeline_llm_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persisted: the deduped survivor set feeds BOTH the LM training
     # slice and the scoring pool
-    surv2 = _scoped_persist(surv.join(reps, "doc_id"))
+    surv2 = scoped_persist(surv.join(reps, "doc_id"))
     model = LM.train_bigram_lm(
         surv2.filter(F.col("lang") == "en"), "text", vocab_size=2000, bigram_cap=8000
     )

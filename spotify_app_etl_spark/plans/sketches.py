@@ -211,11 +211,8 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ns_corpus_overlap_sketch(
     spark: SparkSession, sf_dir: str, verify: bool = True
 ) -> DataFrame:
-    from spotify_app_etl_spark.operators.dedup import (
-        _scoped_persist,
-        char_shingles,
-        normalized,
-    )
+    from spotify_app_etl_spark.operators.dedup import char_shingles, normalized
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     docs = t(spark, sf_dir, "documents")
     if not verify:
@@ -278,7 +275,7 @@ def ns_corpus_overlap_sketch(
     # char_shingles contract; distinct (side, shingle) first so the
     # rider's self-join is over the minimal set (HLL is
     # duplicate-insensitive either way)
-    sh = _scoped_persist(
+    sh = scoped_persist(
         docs.select(
             F.col("lang").alias("side"), normalized(F.col("text")).alias("__norm")
         )
@@ -375,11 +372,11 @@ def ns_corpus_overlap_sketch(
 def ns_vocab_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_app_etl_spark.functions.text import tokens
     from spotify_app_etl_spark.operators.cms import cms_build, cms_estimate
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
     depth, width = 4, 2048
     docs = t(spark, sf_dir, "documents")
-    tok = _scoped_persist(
+    tok = scoped_persist(
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     )
     sketch = cms_build(tok, "tok", depth=depth, width=width)
@@ -423,15 +420,15 @@ def ns_vocab_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ns_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_app_etl_spark.functions.text import tokens
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
     from spotify_app_etl_spark.operators.heavyhitters import mg_summary
 
     k, top = 64, 30
     docs = t(spark, sf_dir, "documents")
-    tok = _scoped_persist(
+    tok = scoped_persist(
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     )
-    cand = _scoped_persist(
+    cand = scoped_persist(
         mg_summary(tok, "tok", k)
         .withColumnRenamed("key", "tok")
         .orderBy(F.desc("est"), "tok")

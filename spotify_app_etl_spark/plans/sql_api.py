@@ -284,9 +284,9 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~4s at sf0.1). The edge list is exactly what a 1000-executor
     # walk would precompute too — recursion then only joins the
     # shrinking frontier against a cached table.
-    from spotify_app_etl_spark.operators.dedup import _scoped_persist
+    from spotify_app_etl_spark.operators.persist import scoped_persist
 
-    nxt = _scoped_persist(
+    nxt = scoped_persist(
         spark.sql(
             """
 SELECT o_custkey, o_orderkey, o_totalprice,

@@ -95,6 +95,84 @@ def query(
 #: everything else follows in registration order and keeps its green
 #: round-1/2 row as evidence.
 _PRIORITY: tuple[str, ...] = (
+    # --- round-11 window (exactly 50 names; 181 registered). Cumulative
+    # state after r10: every registered query carries a driver row, zero
+    # broken, zero mismatches; latest-row histogram r07:41 r08:46 r09:44
+    # r10:50. Rotation policy unchanged: (1) queries whose CODE changed
+    # this round re-prove first regardless of row age; (2) the 41
+    # r07-latest rows (the oldest evidence left) fully clear, making the
+    # post-r11 histogram floor r08; (3) the first 7 of the 46 r08-latest
+    # rows by registration order fill the window — 2 + 41 + 7 = 50. ---
+    # (1) code changed this round — two names. PageRank's static tables
+    # (edges/outdeg/nodes) are now hash-partitioned + sorted + captured
+    # into their checkpoints (built under _adaptive_off; under AQE the
+    # captured partitioning degrades to Unknown), with a broadcast-vs-
+    # co-partitioned round-mode gate on the rank-vector size: per-round
+    # cost now tracks the rank vector, not the edge table (one
+    # rank-vector exchange per round, was 4 static re-shuffles). Values
+    # unchanged (plan-shape only; local oracle re-verified hash-green
+    # both modes):
+    "ns_graph_pagerank",
+    # ...and the recursive-CTE walk's persisted successor-edge table now
+    # routes through operators.persist.scoped_persist (the persist-scope
+    # machinery moved out of operators.dedup — pure module move, plan
+    # unchanged; re-proving because its plan file was touched):
+    "q_sql_recursive_cte",
+    # (2) the 41 r07-latest rows, in registration order
+    "ns_sim_topk_lsh",
+    "ns_sim_topk_pq",
+    "ns_sim_topk_lsh_indexed",
+    "ns_sim_topk_pq_indexed",
+    "ns_streaming_dedup_ingest",
+    "ns_text_stats",
+    "ns_text_language_profile",
+    "ns_token_count_bpe",
+    "ns_mm_metadata",
+    "ns_mm_features",
+    "ns_mm_frame_sample",
+    "ns_doc_fingerprint",
+    "ns_pipeline_training_prep",
+    "ns_sample_hash",
+    "ns_sample_stratified",
+    "ns_split_assign",
+    "ns_text_vocab_topk",
+    "ns_decontaminate_report",
+    "ns_pack_sequences",
+    "q_scan_orc_roundtrip",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q20_dominant_recent_suppliers",
+    "ns_pii_scrub",
+    "ns_select_classifier",
+    "ns_tfidf_topterms",
+    "ns_bm25_search",
+    "ns_url_profile",
+    "q_cdc_scd1_merge",
+    "q_cdc_scd2_history",
+    "q_cdc_incremental_rollup",
+    "q_cdc_point_in_time",
+    "ns_corpus_overlap_sketch",
+    "ns_embed_top_eigvec",
+    "ns_embed_random_projection",
+    "q_scan_partition_pruning",
+    # (3) the first 7 of the 46 r08-latest rows, in registration order
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_filter_predicates",
+    "q_agg_stats",
+    "q_agg_rollup",
+    "q_agg_cube",
+)
+
+#: The round-10 window, kept for the audit trail (every name below was
+#: hash-green or rows-only-by-design in CORRECTNESS_r10.json).
+_PRIORITY_R10: tuple[str, ...] = (
     # --- round-10 window (exactly 50 names; 181 registered). Cumulative
     # state after r09: every registered query carries a driver row, zero
     # broken, zero mismatches; latest-row histogram r05:8 r06:36 r07:41
@@ -173,90 +251,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_fuzzy_match_customers",
     "q_fuzzy_match_part_names",
     "q_graph_triangles",
-)
-
-#: The round-9 window, kept for the audit trail (every name below was
-#: hash-green or rows-only-by-design in CORRECTNESS_r09.json).
-_PRIORITY_R09: tuple[str, ...] = (
-    # --- round-9 window (exactly 50 names; 181 registered). Cumulative
-    # state after r08: every registered query carries a driver row, zero
-    # broken, zero mismatches; latest-row histogram r04:16 r05:36 r06:36
-    # r07:43 r08:50. Rotation policy unchanged: (1) queries whose CODE
-    # changed this round re-prove first regardless of row age; (2) the
-    # 16 r04-latest rows (the oldest evidence left — the r08 verdict's
-    # "proof-freshness tail") are fully cleared; (3) the 36 r05-latest
-    # rows by registration order — the cut falls 28 in, the remaining 8
-    # (q_events_pivot, q_events_gap_stats, ns_dedup_minhash_apply,
-    # ns_dedup_simhash_pairs, ns_sim_topk_bruteforce, etl_playlists,
-    # etl_saved_tracks, q_hll_sketch_merge) roll to r10 and are the r10
-    # window seed.
-    # (1) code changed this round — six names. The sign-LSH embedding
-    # dedup now merges cross-table pair sightings by key (groupBy max)
-    # instead of full-row distinct, and sizes its auto knobs from the
-    # null-filtered frame the kernel runs on (values unchanged at this
-    # SF — local oracle re-verified; the merge change closes a one-ulp
-    # duplicate window the r08 ADVICE flagged).
-    "ns_dedup_embedding_cosine_lsh",
-    # ...and the exact n-gram Jaccard kernel gained the prefix-filtered
-    # AllPairs/PPJoin plan above PREFIX_FILTER_MIN_DOCS (the r09 128x
-    # probe OOM'd the naive gram self-join's (docs-per-gram)² fan-out
-    # under ns_dedup_source_matrix; now 8.94x time for 128x rows) —
-    # value-identical by theorem and by test, but every query running
-    # through ngram_jaccard_pairs re-proves:
-    "ns_dedup_ngram_jaccard",
-    "ns_dedup_minhash_pairs",
-    "ns_dedup_minhash_verified",
-    "ns_dedup_clusters",
-    "ns_split_leakage_safe",
-    # (2) the 16 r04-latest rows, in registration order
-    "ns_dedup_embedding_cosine",
-    "ns_dedup_source_matrix",
-    "q_join_asof",
-    "q_join_asof_forward",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q21_late_sole_supplier",
-    "ns_boilerplate_grams",
-    "ns_curriculum_bins",
-    "ns_corpus_shuffle",
-    "ns_lm_bigram_novelty",
-    "ns_hybrid_rrf_search",
-    "q_join_bloom_prefilter",
-    "ns_embed_semantic_clusters",
-    "ns_dedup_chunk_shared",
-    "ns_quality_bands",
-    # (3) the first 28 of the 36 r05-latest rows, in registration order
-    # (the five kernel-change re-proves in block (1) pushed the cut
-    # from 33 to 28 over the 50-name window; the 8 rolled names are
-    # listed in the header)
-    "q_join_left_agg",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range_nonequi",
-    "q_approx_count_distinct",
-    "q_unpivot_long",
-    "q_string_funcs",
-    "q_regexp_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_conditional_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_json_funcs",
-    "q_hash_funcs",
-    "q_string_distance",
-    "q_window_running",
-    "q_window_rank",
-    "q_topk_per_group",
-    "q_window_moving_avg",
-    "q_window_analytic_extras",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_drop_duplicates",
-    "q_events_tumbling",
-    "q_events_sliding",
-    "q_events_session",
 )
 
 
