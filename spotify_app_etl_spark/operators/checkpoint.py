@@ -29,12 +29,44 @@ siblings still need by accident.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 log = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def adaptive_off(spark: SparkSession):
+    """Disable AQE for the enclosed plan constructions, restoring the
+    previous value on exit.
+
+    Why the iterative operators (PageRank, connected components) want
+    this: ``localCheckpoint`` records the physical plan's output
+    partitioning/ordering into the resulting ``LogicalRDD`` — that
+    metadata is what lets every later round join against the
+    checkpointed table WITHOUT re-exchanging it. Under AQE the captured
+    partitioning is ``UnknownPartitioning`` (the final stage is a
+    coalesced shuffle-stage whose partitioning is no longer expressible
+    as a HashPartitioning), so each of PageRank's 15 rounds re-shuffled
+    the full edge table — measured at sf0.1: 9 exchanges per round-plan
+    before, 3 after (one carrying data). AQE has nothing to offer
+    inside such a loop anyway: the plan is static and co-partitioned by
+    construction, skew is absorbed by map-side partial aggregation, and
+    round output sizes repeat — there is nothing to adapt. The session
+    conf flips are process-wide for their (short) duration; concurrent
+    planners in other threads would plan one query non-adaptively,
+    which affects speed, never values.
+    """
+    key = "spark.sql.adaptive.enabled"
+    prev = str(spark.conf.get(key, "true"))
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def local_checkpoint_ser(df: DataFrame) -> DataFrame:

@@ -15,6 +15,12 @@ blobs, so convergence is a handful of rounds.
 
 Scale shape (the part that matters at 100 TB):
 
+* **Static edge layout (r11, same trick as graph.pagerank):** the edge
+  list and initial labels are hash-partitioned + sorted on their
+  per-round join key and checkpointed with the layout captured
+  (``adaptive_off``), so co-partitioned rounds join the stationary
+  edge table with NO exchange; while the label vector fits under the
+  broadcast threshold, rounds instead run under AQE and broadcast it.
 * Each round is ONE shuffle: labels ⋈ edges on the node key, then a
   map-side-combinable min-aggregate. No driver-side graph state — the
   only thing crossing the driver is the changed-label COUNT.
@@ -31,15 +37,18 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import threading
 
 from pyspark.sql import DataFrame, functions as F
 
 from spotify_app_etl_spark.operators.checkpoint import (
+    adaptive_off,
     local_checkpoint_ser,
     release_local_checkpoint,
 )
+from spotify_app_etl_spark.operators.conf import size_conf_bytes
 
 log = logging.getLogger(__name__)
 
@@ -77,36 +86,65 @@ def connected_components(
     ``component`` is the smallest node id reachable from ``node``
     (deterministic, engine-independent — ideal for oracle checks).
     """
+    spark = pairs.sparkSession
     # Materialize the input ONCE: `edges` and `labels` below both
     # checkpoint a derivation of `pairs`, and a lazily-passed pair
     # pipeline (e.g. the exact n-gram Jaccard self-join feeding
     # ns_dedup_clusters) would otherwise execute its expensive join
     # twice. The checkpointed pair set itself is just ids — tiny.
     pairs = local_checkpoint_ser(pairs)
-    # Undirected edge list, both directions, self-loops dropped.
-    edges = local_checkpoint_ser(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    # Node universe from the UNFILTERED pairs: a node appearing only in
-    # self-loop rows (e.g. an upstream stage emitting reflexive pairs)
-    # has no surviving edge, but the contract promises a row for every
-    # node in `pairs` — it gets a singleton component below because the
-    # neighbor join simply never updates it.
-    labels = local_checkpoint_ser(
-        pairs.select(F.col(id_a).alias("node"))
-        .union(pairs.select(F.col(id_b).alias("node")))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
+    # Static tables hash-partitioned + sorted on their per-round join
+    # key, with the layout CAPTURED into the checkpoint (adaptive_off —
+    # see operators/checkpoint.py; under AQE the captured partitioning
+    # is Unknown and every round re-exchanged the full edge list, the
+    # same defect class the r11 PageRank fix removed from graph.py).
+    with adaptive_off(spark):
+        # Undirected edge list, both directions, self-loops dropped.
+        edges = local_checkpoint_ser(
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .repartition("dst")
+            .sortWithinPartitions("dst")
+        )
+        # Node universe from the UNFILTERED pairs: a node appearing only
+        # in self-loop rows (e.g. an upstream stage emitting reflexive
+        # pairs) has no surviving edge, but the contract promises a row
+        # for every node in `pairs` — it gets a singleton component
+        # below because the neighbor join simply never updates it.
+        labels = local_checkpoint_ser(
+            pairs.select(F.col(id_a).alias("node"))
+            .union(pairs.select(F.col(id_b).alias("node")))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .sortWithinPartitions("node")
+        )
     # edges + labels are eagerly materialized above; the pairs
     # checkpoint they were derived from is now dead weight in the
     # storage pool (it can be the WIDEST state here when the caller
     # passed an expensive pair pipeline).
     release_local_checkpoint(pairs)
 
+    # Same round-mode gate as graph.pagerank: broadcast-mode rounds
+    # (AQE on) while the label vector fits under the broadcast
+    # threshold — AQE broadcasts the label side and nothing exchanges —
+    # co-partitioned rounds (AQE off) past it, where each round is ONE
+    # label-vector-sized exchange (the partial-min aggregate) against
+    # the stationary edge layout.
+    n_nodes = labels.count()
+    threshold = size_conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
+    co_partitioned = threshold < 0 or n_nodes * _LABEL_ROW_BYTES >= threshold
+    ctx = adaptive_off(spark) if co_partitioned else contextlib.nullcontext()
+    with ctx:
+        return _cc_loop(edges, labels, max_iter)
+
+
+#: Conservative serialized bytes per (node: long, component: long) row.
+_LABEL_ROW_BYTES = 32
+
+
+def _cc_loop(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     prev = labels  # superseded label generation, released once replaced
     for rounds in range(1, max_iter + 1):
         # min over {own label} ∪ {neighbors' labels} — one shuffle round.

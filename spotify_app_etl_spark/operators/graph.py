@@ -57,6 +57,7 @@ import logging
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spotify_app_etl_spark.operators.checkpoint import (
+    adaptive_off,
     local_checkpoint_ser,
     release_local_checkpoint,
 )
@@ -65,34 +66,9 @@ from spotify_app_etl_spark.operators.conf import size_conf_bytes
 log = logging.getLogger(__name__)
 
 
-@contextlib.contextmanager
-def _adaptive_off(spark: SparkSession):
-    """Disable AQE for the enclosed plan constructions, restoring the
-    previous value on exit.
-
-    Why an iterative operator wants this: ``localCheckpoint`` records
-    the physical plan's output partitioning/ordering into the resulting
-    ``LogicalRDD`` — that metadata is what lets every later round join
-    against the checkpointed table WITHOUT re-exchanging it. Under AQE
-    the captured partitioning is ``UnknownPartitioning`` (the final
-    stage is a coalesced shuffle-stage whose partitioning is no longer
-    expressible as a HashPartitioning), so each of PageRank's 15 rounds
-    re-shuffled the full edge table — measured here at sf0.1: 9
-    exchanges per round-plan before, 1 after. AQE has nothing to offer
-    inside the loop anyway: the plan is static and co-partitioned by
-    construction, skew is absorbed by map-side partial aggregation, and
-    round output sizes repeat — there is nothing to adapt. The session
-    conf flips are process-wide for their (short) duration; concurrent
-    planners in other threads would plan one query non-adaptively,
-    which affects speed, never values.
-    """
-    key = "spark.sql.adaptive.enabled"
-    prev = str(spark.conf.get(key, "true"))
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+# moved to operators.checkpoint in round 11 — connected components
+# (operators/cluster.py) needs the same captured-layout trick
+_adaptive_off = adaptive_off
 
 
 def pagerank(

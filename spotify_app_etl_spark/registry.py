@@ -101,11 +101,11 @@ _PRIORITY: tuple[str, ...] = (
     # r10:50. Rotation policy unchanged: (1) queries whose CODE changed
     # this round re-prove first regardless of row age; (2) the 41
     # r07-latest rows (the oldest evidence left) fully clear, making the
-    # post-r11 histogram floor r08; (3) the first 7 of the 46 r08-latest
-    # rows by registration order fill the window — 2 + 41 + 7 = 50. ---
-    # (1) code changed this round — two names. PageRank's static tables
+    # post-r11 histogram floor r08; (3) the first 3 of the 46 r08-latest
+    # rows by registration order fill the window — 6 + 41 + 3 = 50. ---
+    # (1) code changed this round — six names. PageRank's static tables
     # (edges/outdeg/nodes) are now hash-partitioned + sorted + captured
-    # into their checkpoints (built under _adaptive_off; under AQE the
+    # into their checkpoints (built under adaptive_off; under AQE the
     # captured partitioning degrades to Unknown), with a broadcast-vs-
     # co-partitioned round-mode gate on the rank-vector size: per-round
     # cost now tracks the rank vector, not the edge table (one
@@ -113,11 +113,20 @@ _PRIORITY: tuple[str, ...] = (
     # unchanged (plan-shape only; local oracle re-verified hash-green
     # both modes):
     "ns_graph_pagerank",
-    # ...and the recursive-CTE walk's persisted successor-edge table now
+    # ...the recursive-CTE walk's persisted successor-edge table now
     # routes through operators.persist.scoped_persist (the persist-scope
     # machinery moved out of operators.dedup — pure module move, plan
-    # unchanged; re-proving because its plan file was touched):
+    # unchanged), and the session now raises Spark's recursive-CTE ROW
+    # limit guardrail to the int32 ceiling (the 1M default aborted the
+    # walk at the 128x replica; level limit still guards termination):
     "q_sql_recursive_cte",
+    # ...and connected components got the same static-edge-layout +
+    # round-mode gate as PageRank (operators/cluster.py) — every query
+    # routing through CL.connected_components/dedup_clusters re-proves:
+    "ns_dedup_clusters",
+    "ns_split_leakage_safe",
+    "ns_embed_semantic_clusters",
+    "q_fuzzy_entity_clusters",
     # (2) the 41 r07-latest rows, in registration order
     "ns_sim_topk_lsh",
     "ns_sim_topk_pq",
@@ -160,14 +169,10 @@ _PRIORITY: tuple[str, ...] = (
     "ns_embed_top_eigvec",
     "ns_embed_random_projection",
     "q_scan_partition_pruning",
-    # (3) the first 7 of the 46 r08-latest rows, in registration order
+    # (3) the first 3 of the 46 r08-latest rows, in registration order
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_revenue",
-    "q_filter_predicates",
-    "q_agg_stats",
-    "q_agg_rollup",
-    "q_agg_cube",
 )
 
 #: The round-10 window, kept for the audit trail (every name below was

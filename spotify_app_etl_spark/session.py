@@ -69,6 +69,17 @@ RUNTIME_CONFS: dict[str, str] = {
     # the same behavior uncached plans already have; consumers that
     # need a different partitioning re-shuffle under AQE either way.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Recursive-CTE guardrail: the 1M-row default aborts any data-sized
+    # walk (RECURSION_ROW_LIMIT_EXCEEDED — measured r11: the order-chain
+    # walk at the 128x replica needs ~19.2M frontier rows, one per
+    # order). Non-termination is still guarded by the LEVEL limit
+    # (cteRecursionLevelLimit=100; our successor edges are acyclic and
+    # end in NULL, and TPC-H chain depth tops out ~41 independent of
+    # SF). The row limit is an int conf, so the int32 ceiling is the
+    # largest raise available; past ~2.1e9 frontier rows a recursive
+    # CTE should become an explicit iterative loop (operators/graph.py
+    # style) anyway.
+    "spark.sql.cteRecursionRowLimit": str(2**31 - 1),
     # Testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
     # nanosecond timestamp type, so scan them as epoch-nanos longs and
     # convert explicitly (io.load_table).

@@ -174,6 +174,65 @@ def test_truncated_tail_rejects_mismatched_snapshot(tmp_path):
         bc.load(str(p))
 
 
+def test_truncated_tail_rejects_snapshot_missing_value(tmp_path):
+    """r10 ADVICE: a snapshot that LACKS the compared field entirely
+    (detail.get returns None) while the truncated fragment carries one
+    must produce the clean SystemExit diagnostic, not a TypeError from
+    float(None)."""
+    detail, summary = _worst_case_payloads()
+    fieldless = {k: v for k, v in detail.items() if k != "value"}
+    truncated = json.dumps(summary)[:-40]
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps({"tail": "noise\n" + truncated}))
+    (tmp_path / "BENCH_DETAIL_r99.json").write_text(json.dumps(fieldless))
+    import pytest
+
+    with pytest.raises(SystemExit, match="different run"):
+        bc.load(str(p))
+
+
+def test_round_stamp_reads_committed_not_working_tree(tmp_path):
+    """r10 ADVICE: in a git checkout the stamp comes from `git
+    ls-files`, so the driver's in-flight, not-yet-committed
+    BENCH_r{N}.json must NOT bump the stamp to r{N+1}."""
+    import subprocess
+
+    subprocess.run(["git", "init", "-q", str(tmp_path)], check=True)
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    subprocess.run(
+        ["git", "-C", str(tmp_path), "add", "BENCH_r09.json"], check=True
+    )
+    subprocess.run(
+        [
+            "git",
+            "-C",
+            str(tmp_path),
+            "-c",
+            "user.email=t@t",
+            "-c",
+            "user.name=t",
+            "commit",
+            "-qm",
+            "r09",
+        ],
+        check=True,
+    )
+    # the driver writes r10 mid-round without committing it
+    (tmp_path / "BENCH_r10.json").write_text("{}")
+    assert bench.infer_round_stamp(tmp_path) == "r10"  # not r11
+
+
+def test_detail_name_counter_suffix_unique_within_second(tmp_path):
+    """r10 ADVICE: two full runs resolving names in the same second must
+    land in distinct files — the suffix is a counter, not a clock."""
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    (tmp_path / "BENCH_DETAIL_r10.json").write_text("{}")
+    first = bench.resolve_detail_name(False, tmp_path)
+    assert first == "BENCH_DETAIL_r10_2.json"
+    (tmp_path / first).write_text("{}")
+    assert bench.resolve_detail_name(False, tmp_path) == "BENCH_DETAIL_r10_3.json"
+
+
 def test_io_calibration_normalization():
     """r10: both files carrying calibration_io_sec get an I/O-normalized
     view alongside the CPU one (the two calibrations can drift
