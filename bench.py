@@ -74,16 +74,34 @@ def infer_round_stamp(root: Path | None = None) -> str:
     with SPARK_GRAFT_BENCH_DETAIL when that's ever wrong. Outside a
     git checkout the working-tree glob is the fallback."""
     root = root or Path(_REPO_ROOT)
+    names = None
     try:
-        tracked = subprocess.run(
-            ["git", "-C", str(root), "ls-files", "BENCH_r*.json"],
+        # Strictly COMMITTED files: ls-tree HEAD, not ls-files (the
+        # index would count a staged-but-uncommitted BENCH_r{N}.json —
+        # the exact defect class this function exists to avoid). Only
+        # trust git when `root` IS the repo toplevel: inside some
+        # UNRELATED enclosing repo (a pytest tmp dir under a checked-out
+        # home, say) ls-tree succeeds with zero matches and would
+        # wrongly report r01 where the glob sees the real files.
+        toplevel = subprocess.run(
+            ["git", "-C", str(root), "rev-parse", "--show-toplevel"],
             capture_output=True,
             text=True,
             timeout=10,
             check=True,
-        ).stdout.splitlines()
-        names = [Path(t).name for t in tracked]
-    except Exception:  # not a git checkout / git missing — glob fallback
+        ).stdout.strip()
+        if Path(toplevel).resolve() == root.resolve():
+            tracked = subprocess.run(
+                ["git", "-C", str(root), "ls-tree", "--name-only", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+                check=True,
+            ).stdout.splitlines()
+            names = [Path(t).name for t in tracked]
+    except Exception:  # not a git checkout / git missing / no HEAD yet
+        pass
+    if names is None:  # glob fallback: working-tree semantics
         names = [p.name for p in root.glob("BENCH_r[0-9]*.json")]
     rounds = [
         int(m.group(1)) for n in names if (m := re.match(r"BENCH_r(\d+)\.json$", n))

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
@@ -59,14 +60,54 @@ def adaptive_off(spark: SparkSession):
     conf flips are process-wide for their (short) duration; concurrent
     planners in other threads would plan one query non-adaptively,
     which affects speed, never values.
+
+    Overlap-safe (r11 review): the flip is reference-counted per
+    session under a lock — two threads' overlapping blocks (e.g. a
+    ``foreachBatch`` CC while the driver thread runs PageRank) restore
+    the ORIGINAL value only when the last block exits, instead of the
+    naive save/restore interleaving that would latch AQE off for the
+    rest of the session (T1 saves 'true', T2 saves 'false', T1
+    restores 'true', T2 restores 'false').
     """
     key = "spark.sql.adaptive.enabled"
-    prev = str(spark.conf.get(key, "true"))
-    spark.conf.set(key, "false")
+    sid = id(spark)
+    with _AQE_LOCK:
+        depth, prev = _AQE_STATE.get(sid, (0, None))
+        if depth == 0:
+            prev = str(spark.conf.get(key, "true"))
+            spark.conf.set(key, "false")
+        _AQE_STATE[sid] = (depth + 1, prev)
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        with _AQE_LOCK:
+            depth, prev = _AQE_STATE[sid]
+            if depth == 1:
+                del _AQE_STATE[sid]
+                spark.conf.set(key, prev)
+            else:
+                _AQE_STATE[sid] = (depth - 1, prev)
+
+
+_AQE_LOCK = threading.Lock()
+#: id(session) -> (nesting depth, conf value to restore at depth 0)
+_AQE_STATE: dict[int, tuple[int, str | None]] = {}
+
+
+def broadcastable_rounds_ctx(spark: SparkSession, n_rows: int, row_bytes: int = 32):
+    """Round-mode gate shared by the iterative operators: returns a
+    no-op context (rounds run under AQE, which will broadcast the
+    n_rows-sized loop vector — strictly best while it fits) when
+    ``n_rows * row_bytes`` is under ``autoBroadcastJoinThreshold``,
+    else :func:`adaptive_off` (co-partitioned sort-merge rounds against
+    the captured static layout). A disabled threshold (-1) always
+    selects the co-partitioned path."""
+    from spotify_app_etl_spark.operators.conf import size_conf_bytes
+
+    threshold = size_conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
+    if threshold < 0 or n_rows * row_bytes >= threshold:
+        return adaptive_off(spark)
+    return contextlib.nullcontext()
 
 
 def local_checkpoint_ser(df: DataFrame) -> DataFrame:

@@ -37,7 +37,6 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-import contextlib
 import logging
 import threading
 
@@ -45,10 +44,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from spotify_app_etl_spark.operators.checkpoint import (
     adaptive_off,
+    broadcastable_rounds_ctx,
     local_checkpoint_ser,
     release_local_checkpoint,
 )
-from spotify_app_etl_spark.operators.conf import size_conf_bytes
 
 log = logging.getLogger(__name__)
 
@@ -126,22 +125,15 @@ def connected_components(
     # passed an expensive pair pipeline).
     release_local_checkpoint(pairs)
 
-    # Same round-mode gate as graph.pagerank: broadcast-mode rounds
-    # (AQE on) while the label vector fits under the broadcast
-    # threshold — AQE broadcasts the label side and nothing exchanges —
-    # co-partitioned rounds (AQE off) past it, where each round is ONE
-    # label-vector-sized exchange (the partial-min aggregate) against
-    # the stationary edge layout.
+    # Same round-mode gate as graph.pagerank (broadcastable_rounds_ctx):
+    # broadcast-mode rounds (AQE on) while the label vector fits under
+    # the broadcast threshold — AQE broadcasts the label side and
+    # nothing exchanges — co-partitioned rounds (AQE off) past it,
+    # where each round is ONE label-vector-sized exchange (the
+    # partial-min aggregate) against the stationary edge layout.
     n_nodes = labels.count()
-    threshold = size_conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
-    co_partitioned = threshold < 0 or n_nodes * _LABEL_ROW_BYTES >= threshold
-    ctx = adaptive_off(spark) if co_partitioned else contextlib.nullcontext()
-    with ctx:
+    with broadcastable_rounds_ctx(spark, n_nodes):
         return _cc_loop(edges, labels, max_iter)
-
-
-#: Conservative serialized bytes per (node: long, component: long) row.
-_LABEL_ROW_BYTES = 32
 
 
 def _cc_loop(edges: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:

@@ -19,7 +19,7 @@ Scale shape (same contract as ``operators/cluster.py``):
 * **Static edge layout, GraphX-style.** The edge list, out-degrees,
   and node set are hash-partitioned on their join key, sorted within
   partitions, and checkpointed ONCE — with the layout captured into
-  the ``LogicalRDD`` (built under :func:`_adaptive_off`; under AQE the
+  the ``LogicalRDD`` (built under ``adaptive_off``; under AQE the
   captured partitioning degrades to Unknown and every round re-shuffled
   the full edge table — measured at sf0.1: 9 exchanges per round-plan,
   4 of them static-table re-exchanges, vs 3 after, only one of which
@@ -51,24 +51,18 @@ below the rounding grain).
 
 from __future__ import annotations
 
-import contextlib
 import logging
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from spotify_app_etl_spark.operators.checkpoint import (
     adaptive_off,
+    broadcastable_rounds_ctx,
     local_checkpoint_ser,
     release_local_checkpoint,
 )
-from spotify_app_etl_spark.operators.conf import size_conf_bytes
 
 log = logging.getLogger(__name__)
-
-
-# moved to operators.checkpoint in round 11 — connected components
-# (operators/cluster.py) needs the same captured-layout trick
-_adaptive_off = adaptive_off
 
 
 def pagerank(
@@ -131,7 +125,7 @@ def pagerank(
     spark = edges.sparkSession
 
     # Static tables: hash-partitioned on their join key and sorted
-    # within partitions BEFORE the checkpoint. Built under _adaptive_off
+    # within partitions BEFORE the checkpoint. Built under adaptive_off
     # because the LogicalRDD then captures both (HashPartitioning +
     # ordering) — under AQE the final stage is a coalesced shuffle whose
     # partitioning records as Unknown, and every round re-exchanged the
@@ -140,7 +134,7 @@ def pagerank(
     # sort-merge joins against the static side plan with NO exchange and
     # NO re-sort — the edge table is laid out once, GraphX-style, and
     # only the rank vector moves per round.
-    with _adaptive_off(spark):
+    with adaptive_off(spark):
         e = local_checkpoint_ser(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .distinct()
@@ -153,6 +147,13 @@ def pagerank(
             .distinct()
             .sortWithinPartitions("node")
         )
+    n = nodes.count()
+    if n == 0:
+        # the empty result plan only references `nodes` — release the
+        # edge checkpoint rather than leaking it in a long-lived session
+        release_local_checkpoint(e)
+        return nodes.withColumn("rank", F.lit(0.0)), 0
+    with adaptive_off(spark):
         # e is already hash(src)-partitioned, so this groupBy adds no
         # exchange and its output inherits (and captures) that layout
         outdeg = local_checkpoint_ser(
@@ -160,24 +161,18 @@ def pagerank(
             .agg(F.count(F.lit(1)).alias("outdeg"))
             .sortWithinPartitions("src")
         )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0)), 0
 
-    # Round-job mode gate: while the rank vector fits under the
-    # broadcast threshold, AQE's runtime broadcast of the rank side
-    # beats everything (no exchange at all, the static layout streams) —
-    # keep AQE on. Once the vector outgrows broadcast (the 100 TB case:
-    # ~8M nodes at 512x is already ~20x the default 10 MB threshold),
-    # run the rounds under _adaptive_off so they plan co-partitioned
-    # sort-merge joins against the captured static layout: exactly one
-    # rank-vector-sized exchange per round (the partially-aggregated
-    # contributions, keyed by dst), zero edge-table movement. A
-    # disabled threshold (-1) always selects the co-partitioned path.
-    threshold = size_conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
-    co_partitioned = threshold < 0 or n * _RANK_ROW_BYTES >= threshold
-    ctx = _adaptive_off(spark) if co_partitioned else contextlib.nullcontext()
-    with ctx:
+    # Round-job mode gate (broadcastable_rounds_ctx): while the rank
+    # vector fits under the broadcast threshold, AQE's runtime
+    # broadcast of the rank side beats everything (no exchange at all,
+    # the static layout streams) — keep AQE on. Once the vector
+    # outgrows broadcast (the 100 TB case: ~8M nodes at 512x is
+    # already ~20x the default 10 MB threshold), run the rounds under
+    # adaptive_off so they plan co-partitioned sort-merge joins against
+    # the captured static layout: exactly one rank-vector-sized
+    # exchange per round (the partially-aggregated contributions,
+    # keyed by dst), zero edge-table movement.
+    with broadcastable_rounds_ctx(spark, n):
         return _pagerank_loop(
             e,
             nodes,
@@ -189,11 +184,6 @@ def pagerank(
             fixed_rounds=fixed_rounds,
             checkpoint_every=checkpoint_every,
         )
-
-
-#: Conservative serialized bytes per (node: long, rank: double) row —
-#: the estimate the broadcast-vs-co-partitioned round-mode gate uses.
-_RANK_ROW_BYTES = 32
 
 
 def _pagerank_loop(

@@ -220,6 +220,17 @@ def test_round_stamp_reads_committed_not_working_tree(tmp_path):
     # the driver writes r10 mid-round without committing it
     (tmp_path / "BENCH_r10.json").write_text("{}")
     assert bench.infer_round_stamp(tmp_path) == "r10"  # not r11
+    # ...even STAGED (the index is not a commit; r11 review)
+    subprocess.run(
+        ["git", "-C", str(tmp_path), "add", "BENCH_r10.json"], check=True
+    )
+    assert bench.infer_round_stamp(tmp_path) == "r10"  # still not r11
+    # a root that merely sits INSIDE a repo (not its toplevel) must use
+    # the working-tree glob, not the enclosing repo's empty listing
+    sub = tmp_path / "scratch"
+    sub.mkdir()
+    (sub / "BENCH_r05.json").write_text("{}")
+    assert bench.infer_round_stamp(sub) == "r06"
 
 
 def test_detail_name_counter_suffix_unique_within_second(tmp_path):

@@ -12,6 +12,55 @@ def _cc(spark, edges):
     return {r.node: r.component for r in CL.connected_components(df).collect()}
 
 
+def test_co_partitioned_rounds_match_broadcast_rounds(spark):
+    """r11: force the co-partitioned (adaptive-off, captured-layout)
+    round mode via autoBroadcastJoinThreshold=-1 — test-sized graphs
+    otherwise always take the AQE/broadcast path — and pin
+    value-identity plus conf restoration."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 7), (7, 12), (9, 9)]
+    base = _cc(spark, edges)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr = spark.conf.get(key)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set(key, "-1")
+    try:
+        forced = _cc(spark, edges)
+    finally:
+        spark.conf.set(key, old_thr)
+    assert forced == base
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+
+
+def test_adaptive_off_overlapping_blocks_restore_original():
+    """r11 review: two overlapping adaptive_off blocks (foreachBatch
+    thread + driver thread) must restore the ORIGINAL conf value when
+    the LAST one exits — naive save/restore would latch 'false'."""
+    from spotify_app_etl_spark.operators.checkpoint import adaptive_off
+
+    class FakeConf:
+        def __init__(self):
+            self.vals = {"spark.sql.adaptive.enabled": "true"}
+
+        def get(self, k, default=None):
+            return self.vals.get(k, default)
+
+        def set(self, k, v):
+            self.vals[k] = v
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    s = FakeSpark()
+    a, b = adaptive_off(s), adaptive_off(s)
+    a.__enter__()
+    assert s.conf.get("spark.sql.adaptive.enabled") == "false"
+    b.__enter__()  # overlapping: must NOT snapshot 'false' as prev
+    a.__exit__(None, None, None)
+    assert s.conf.get("spark.sql.adaptive.enabled") == "false"  # b active
+    b.__exit__(None, None, None)
+    assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_chain_merges_transitively(spark):
     # A~B, B~C, C~D: greedy pairwise dedup would keep A and C; CC must
     # put all four in one component labeled by the min id.

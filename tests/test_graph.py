@@ -42,6 +42,30 @@ def test_two_node_cycle_is_uniform(spark):
     assert got[2] == pytest.approx(0.5, abs=1e-9)
 
 
+def test_co_partitioned_rounds_match_broadcast_rounds(spark):
+    """r11: the round-mode gate (broadcastable_rounds_ctx) normally
+    keeps test-sized graphs on the AQE/broadcast path, so the
+    co-partitioned (adaptive-off, captured-layout) path would ship
+    untested. Force it with autoBroadcastJoinThreshold=-1 and pin
+    value-identity against the default path, plus conf restoration."""
+    edges = [(1, 2), (2, 3), (4, 2), (4, 1), (1, 3), (5, 99)]
+    base, _ = _spark_pr(spark, edges, fixed_rounds=12)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr = spark.conf.get(key)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set(key, "-1")
+    try:
+        forced, rounds = _spark_pr(spark, edges, fixed_rounds=12)
+    finally:
+        spark.conf.set(key, old_thr)
+    assert rounds == 12
+    assert set(forced) == set(base)
+    for v in base:
+        assert forced[v] == pytest.approx(base[v], abs=1e-12)
+    # adaptive_off restored the session conf on exit
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+
+
 def test_matches_local_reference_with_dangling(spark):
     # chain + sink: 3 is dangling; 4 feeds the chain from outside
     edges = [(1, 2), (2, 3), (4, 2), (4, 1), (1, 3)]
