@@ -31,9 +31,23 @@ import threading
 
 from pyspark.sql import DataFrame
 
-_PERSISTED: list[tuple[object, DataFrame]] = []
+#: (scope token, df, is_checkpoint). Checkpoints release through
+#: release_local_checkpoint (DataFrame.unpersist is a CacheManager
+#: no-op for them); persisted frames through unpersist.
+_PERSISTED: list[tuple[object, DataFrame, bool]] = []
 _PERSIST_LOCK = threading.Lock()
 _SCOPE_TL = threading.local()
+
+
+def _release_entry(df: DataFrame, is_checkpoint: bool) -> None:
+    if is_checkpoint:
+        from spotify_app_etl_spark.operators.checkpoint import (
+            release_local_checkpoint,
+        )
+
+        release_local_checkpoint(df)
+    else:
+        df.unpersist()
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
@@ -54,8 +68,37 @@ def scoped_persist(df: DataFrame) -> DataFrame:
         # (UNABLE_TO_ACQUIRE_MEMORY ... got 0) while the deserialized
         # cache held the pool. PySpark's MEMORY_AND_DISK constant IS the
         # serialized level (unlike Scala's).
-        _PERSISTED.append((token, df.persist(StorageLevel.MEMORY_AND_DISK)))
+        _PERSISTED.append((token, df.persist(StorageLevel.MEMORY_AND_DISK), False))
     return df
+
+
+def scoped_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager serialized ``localCheckpoint`` registered for the same
+    scoped release as :func:`scoped_persist`.
+
+    For plan-shared tables whose PARTITIONING must survive re-reads: a
+    persisted frame's output partitioning is not something consumers
+    can rely on under ``canChangeCachedPlanOutputPartitioning=true``
+    (AQE may re-coalesce it), while a checkpoint built under
+    ``checkpoint.adaptive_off`` captures HashPartitioning + ordering
+    into its LogicalRDD — e.g. the recursive-CTE successor-edge table,
+    where the captured layout removes the per-recursion-level edge
+    re-shuffle (measured at the 128x replica: walk 57 s → 34 s).
+
+    Caveat vs :func:`scoped_persist`: a released checkpoint is
+    UNRECOMPUTABLE (its lineage was cut), so after
+    :func:`release_cached` / scope exit the plans built on it must not
+    execute again. Every registry consumer (bench, explain audit,
+    correctness harness, cache_scope blocks) already releases only
+    after materializing — same contract the iterative operators'
+    generation release relies on."""
+    from spotify_app_etl_spark.operators.checkpoint import local_checkpoint_ser
+
+    token = getattr(_SCOPE_TL, "token", None)
+    ck = local_checkpoint_ser(df)
+    with _PERSIST_LOCK:
+        _PERSISTED.append((token, ck, True))
+    return ck
 
 
 @contextlib.contextmanager
@@ -79,10 +122,10 @@ def cache_scope():
     finally:
         _SCOPE_TL.token = prev
         with _PERSIST_LOCK:
-            mine = [df for t, df in _PERSISTED if t is token]
-            _PERSISTED[:] = [(t, df) for t, df in _PERSISTED if t is not token]
-        for df in mine:
-            df.unpersist()
+            mine = [(df, ck) for t, df, ck in _PERSISTED if t is token]
+            _PERSISTED[:] = [e for e in _PERSISTED if e[0] is not token]
+        for df, ck in mine:
+            _release_entry(df, ck)
 
 
 def release_cached() -> None:
@@ -99,5 +142,5 @@ def release_cached() -> None:
     with _PERSIST_LOCK:
         all_entries = list(_PERSISTED)
         _PERSISTED.clear()
-    for _, df in all_entries:
-        df.unpersist()
+    for _, df, ck in all_entries:
+        _release_entry(df, ck)

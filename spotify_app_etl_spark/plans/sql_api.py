@@ -283,20 +283,32 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-run the window over all of orders (measured 12.9s ->
     # ~4s at sf0.1). The edge list is exactly what a 1000-executor
     # walk would precompute too — recursion then only joins the
-    # shrinking frontier against a cached table.
-    from spotify_app_etl_spark.operators.persist import scoped_persist
+    # shrinking frontier against a stationary table. Since r11 the
+    # materialization is a CAPTURED-LAYOUT checkpoint, not a persist:
+    # built under adaptive_off and hash-partitioned + sorted on the
+    # per-level join keys (o_custkey, o_orderkey), the LogicalRDD
+    # carries the partitioning into Spark's UnionLoop recursion, so
+    # each level exchanges only the shrinking frontier instead of
+    # re-shuffling the full edge table (interleaved A/B at the 128x
+    # replica: walk 57 s -> 34 s; a persisted table cannot promise its
+    # layout to consumers under canChangeCachedPlanOutputPartitioning).
+    from spotify_app_etl_spark.operators.checkpoint import adaptive_off
+    from spotify_app_etl_spark.operators.persist import scoped_checkpoint
 
-    nxt = scoped_persist(
-        spark.sql(
-            """
+    with adaptive_off(spark):
+        nxt = scoped_checkpoint(
+            spark.sql(
+                """
 SELECT o_custkey, o_orderkey, o_totalprice,
        lead(o_orderkey) OVER w AS next_key,
        row_number() OVER w AS rn
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+            )
+            .repartition("o_custkey", "o_orderkey")
+            .sortWithinPartitions("o_custkey", "o_orderkey")
         )
-    )
     nxt.createOrReplaceTempView("nxt_edges")
     # The frontier CARRIES next_key (r08): the original recursive step
     # joined nxt_edges twice per iteration — once to re-find the

@@ -924,6 +924,24 @@ def test_cache_scope_releases_only_own_entries(spark):
     assert not concurrent["df"].storageLevel.useMemory
 
 
+def test_scoped_checkpoint_registers_and_releases(spark):
+    """r11: scoped_checkpoint routes through the same registry as
+    scoped_persist, but release must go through the LogicalRDD
+    (DataFrame.unpersist is a CacheManager no-op for checkpoints)."""
+    from spotify_app_etl_spark.operators.persist import (
+        release_cached,
+        scoped_checkpoint,
+    )
+
+    ck = scoped_checkpoint(spark.range(9))
+    assert ck.count() == 9
+    rdd = ck._jdf.queryExecution().analyzed().rdd()
+    assert rdd.getStorageLevel().useMemory() or rdd.getStorageLevel().useDisk()
+    release_cached()
+    lvl = rdd.getStorageLevel()
+    assert not (lvl.useMemory() or lvl.useDisk())  # storage actually freed
+
+
 def test_fan_out_sees_through_bin_packing(spark, tmp_path):
     """inputFiles() >= want is NOT sufficient: with openCostInBytes
     tuned to ~0, Spark bin-packs many tiny files into few scan tasks
