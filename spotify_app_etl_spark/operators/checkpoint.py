@@ -94,18 +94,26 @@ _AQE_LOCK = threading.Lock()
 _AQE_STATE: dict[int, tuple[int, str | None]] = {}
 
 
+def co_partitioned_rounds(spark: SparkSession, n_rows: int, row_bytes: int = 32) -> bool:
+    """True when the iterative loop vector (``n_rows * row_bytes``
+    estimated bytes) no longer fits under ``autoBroadcastJoinThreshold``
+    — i.e. rounds should run non-adaptively co-partitioned against the
+    captured static layout instead of letting AQE broadcast the vector.
+    A disabled threshold (-1) always selects the co-partitioned path."""
+    from spotify_app_etl_spark.operators.conf import size_conf_bytes
+
+    threshold = size_conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
+    return threshold < 0 or n_rows * row_bytes >= threshold
+
+
 def broadcastable_rounds_ctx(spark: SparkSession, n_rows: int, row_bytes: int = 32):
     """Round-mode gate shared by the iterative operators: returns a
     no-op context (rounds run under AQE, which will broadcast the
     n_rows-sized loop vector — strictly best while it fits) when
-    ``n_rows * row_bytes`` is under ``autoBroadcastJoinThreshold``,
-    else :func:`adaptive_off` (co-partitioned sort-merge rounds against
-    the captured static layout). A disabled threshold (-1) always
-    selects the co-partitioned path."""
-    from spotify_app_etl_spark.operators.conf import size_conf_bytes
-
-    threshold = size_conf_bytes(spark, "spark.sql.autoBroadcastJoinThreshold", 10 << 20)
-    if threshold < 0 or n_rows * row_bytes >= threshold:
+    :func:`co_partitioned_rounds` is False, else :func:`adaptive_off`
+    (co-partitioned sort-merge rounds against the captured static
+    layout)."""
+    if co_partitioned_rounds(spark, n_rows, row_bytes):
         return adaptive_off(spark)
     return contextlib.nullcontext()
 

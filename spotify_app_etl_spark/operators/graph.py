@@ -51,13 +51,14 @@ below the rounding grain).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 
 from pyspark.sql import DataFrame, functions as F
 
 from spotify_app_etl_spark.operators.checkpoint import (
     adaptive_off,
-    broadcastable_rounds_ctx,
+    co_partitioned_rounds,
     local_checkpoint_ser,
     release_local_checkpoint,
 )
@@ -92,23 +93,32 @@ def pagerank(
       delta action (one driver scalar per round instead of two) — the
       GraphX/Pregel convention, and the right mode for production runs
       where the iteration budget is part of the recipe. In this mode
-      nothing forces per-round evaluation, so the lineage barrier is
-      BATCHED: the rank vector is checkpointed every
-      ``checkpoint_every`` rounds (and on the last round) instead of
-      every round. The batch window is deliberately SMALL: each round
-      references the live rank vector twice (the contribution join and
-      the dangling-mass scalar), so an unbarriered chain duplicates
-      every prior round's subtree 2× per round — plan text grows
-      2^window even though runtime exchange-reuse dedupes the actual
-      shuffles, and past ~4 rounds the analysis/planning cost eats the
-      saved job barriers. Measured cadence sweep on the registered
-      15-round query at sf0.1 (best-of-3): window 1 → 10.0 s, 2 →
-      9.4 s, 5 → 12.1 s; the default is the measured optimum, and the
-      per-round floor that remains is per-job machinery over tiny
-      exchanges, which amortizes away at real scale. Tolerance mode
-      keeps the per-round checkpoint: its delta action evaluates every
-      round anyway, and a non-checkpointed chain would recompute prior
-      rounds' shuffles once per delta action across jobs.
+      nothing forces per-round evaluation, so the lineage barrier can
+      be BATCHED: the rank vector is checkpointed every
+      ``checkpoint_every`` rounds (and on the last round). The default
+      of 2 is a THROUGHPUT-vs-HEADROOM compromise, measured both ways:
+      in broadcast mode window 2 wins outright (sf0.1 sweep best-of-3:
+      window 1 → 10.0 s, 2 → 9.4 s, 5 → 12.1 s — runtime
+      exchange-reuse dedupes the batched rounds' shuffles, so the
+      second round in a batch is nearly free); in co-partitioned mode
+      the batched rounds' subtrees have NO exchange above them, so
+      ``ReusedExchange`` dedupes nothing and each lazily-stacked round
+      recomputes the previous round's joins ~2× — the 128× interleaved
+      sweep reads window 1 → 71-72 s, 2 → 95-108 s, 4 → 197 s, i.e.
+      ``checkpoint_every=1`` is ~25-35% faster WHEN THE HEAP HAS
+      HEADROOM. At 512× (~157M edges on an 8 GiB single-JVM heap)
+      window 1 OOM'd twice (non-blocking and blocking release), and a
+      window-2 re-run on the same degraded host phase later OOM'd
+      too, while the committed 512× row (439.3 s, full width) ran
+      window 2 on a quieter phase — so the 512× cadence adjudication
+      is confounded by host state and carries to the next round; the
+      default stays at the value behind the only full-width 512×
+      completion. Executors with real memory headroom should pass
+      ``checkpoint_every=1`` explicitly for co-partitioned runs.
+      Tolerance mode always checkpoints per round: its delta action
+      evaluates every round anyway, and a non-checkpointed chain
+      would recompute prior rounds' shuffles once per delta action
+      across jobs.
 
     Duplicate edges are collapsed (an edge list, not a multigraph);
     self-loops count like any other edge.
@@ -162,17 +172,21 @@ def pagerank(
             .sortWithinPartitions("src")
         )
 
-    # Round-job mode gate (broadcastable_rounds_ctx): while the rank
-    # vector fits under the broadcast threshold, AQE's runtime
-    # broadcast of the rank side beats everything (no exchange at all,
-    # the static layout streams) — keep AQE on. Once the vector
-    # outgrows broadcast (the 100 TB case: ~8M nodes at 512x is
-    # already ~20x the default 10 MB threshold), run the rounds under
-    # adaptive_off so they plan co-partitioned sort-merge joins against
-    # the captured static layout: exactly one rank-vector-sized
-    # exchange per round (the partially-aggregated contributions,
-    # keyed by dst), zero edge-table movement.
-    with broadcastable_rounds_ctx(spark, n):
+    # Round-job mode gate: while the rank vector fits under the
+    # broadcast threshold, AQE's runtime broadcast of the rank side
+    # beats everything (no exchange at all, the static layout streams)
+    # — keep AQE on. Once the vector outgrows broadcast (the 100 TB
+    # case: ~8M nodes at 512x is already ~20x the default 10 MB
+    # threshold), run the rounds under adaptive_off so they plan
+    # co-partitioned sort-merge joins against the captured static
+    # layout: exactly one rank-vector-sized exchange per round (the
+    # partially-aggregated contributions, keyed by dst), zero
+    # edge-table movement. (The lineage-barrier cadence trade per
+    # mode is in the docstring — the default stays at the value proven
+    # memory-safe at 512x.)
+    co_part = co_partitioned_rounds(spark, n)
+    ctx = adaptive_off(spark) if co_part else contextlib.nullcontext()
+    with ctx:
         return _pagerank_loop(
             e,
             nodes,
@@ -249,7 +263,12 @@ def _pagerank_loop(
             if rounds % checkpoint_every == 0 or rounds == n_rounds:
                 updated = local_checkpoint_ser(updated_plan)
                 # the superseded checkpoint is only now unreachable
-                release_local_checkpoint(last_ck)
+                # BLOCKING: with per-round checkpointing (the
+                # co-partitioned default) an async release lets
+                # superseded generations linger while the next round's
+                # 32 SMJ tasks allocate — the 512x probe OOM'd exactly
+                # there; synchronous free bounds live generations at 2
+                release_local_checkpoint(last_ck, blocking=True)
                 last_ck = updated
             else:
                 updated = updated_plan
