@@ -99,12 +99,18 @@ def connected_components(
     # same defect class the r11 PageRank fix removed from graph.py).
     with adaptive_off(spark):
         # Undirected edge list, both directions, self-loops dropped.
+        # Dedup AFTER the repartition (r11, guide §2.4): hash(dst)
+        # co-locates equal (src, dst) pairs (partitioning on a subset
+        # of the grouping keys satisfies the dedup aggregate's
+        # clustering requirement), so dropDuplicates runs exchange-free
+        # on the captured layout — one full-data shuffle instead of the
+        # two the previous distinct-then-repartition shape paid.
         edges = local_checkpoint_ser(
             pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
             .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
             .repartition("dst")
+            .dropDuplicates(["src", "dst"])
             .sortWithinPartitions("dst")
         )
         # Node universe from the UNFILTERED pairs: a node appearing only

@@ -32,12 +32,16 @@ Scale shape (same contract as ``operators/cluster.py``):
   exchanges). Past the threshold (~300k nodes at the 10 MB default)
   rounds run non-adaptively as co-partitioned sort-merge joins against
   the captured layout.
-* Each round is one join (ranks ⋈ edges on the source key) plus one
-  map-side-combinable sum — no driver-side graph state. The dangling
-  mass rides a 1-row broadcast scalar subquery inside the round's
-  single checkpoint job; the driver sees at most one scalar per round
-  (the max-delta, tolerance mode only — CC's budget is one scalar,
-  the changed count).
+* **Out-degrees ride the rank vector** (r11): the loop state is
+  (node, rank, outdeg), so no round joins a separate degree table —
+  the dangling-mass branch and the share projection are bare filters
+  on the checkpointed vector. Each round is then one data join
+  (shares ⋈ edges on the source key) plus one map-side-combinable sum
+  plus the co-partitioned attach join — no driver-side graph state.
+  The dangling mass rides a 1-row broadcast scalar subquery inside
+  the round's single checkpoint job; the driver sees at most one
+  scalar per round (the max-delta, tolerance mode only — CC's budget
+  is one scalar, the changed count).
 * ``localCheckpoint`` per round truncates lineage (the iterative-
   DataFrame failure mode).
 * Convergence is ``max |rank' - rank| < tol`` and non-convergence
@@ -144,11 +148,20 @@ def pagerank(
     # sort-merge joins against the static side plan with NO exchange and
     # NO re-sort — the edge table is laid out once, GraphX-style, and
     # only the rank vector moves per round.
+    #
+    # Dedup ORDER (r11, guide §2.4): repartition("src") first, THEN
+    # dropDuplicates — hash(src) already co-locates equal (src, dst)
+    # pairs (HashPartitioning on a subset of the grouping keys satisfies
+    # the aggregate's ClusteredDistribution), so the dedup aggregate
+    # runs exchange-free on the captured layout. The previous
+    # distinct-then-repartition shape shuffled every edge TWICE (once
+    # on hash(src, dst), once on hash(src)); at 100 TB the edge table
+    # is the data and the second full-data exchange was pure waste.
     with adaptive_off(spark):
         e = local_checkpoint_ser(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .distinct()
             .repartition("src")
+            .dropDuplicates(["src", "dst"])
             .sortWithinPartitions("src")
         )
         nodes = local_checkpoint_ser(
@@ -164,13 +177,27 @@ def pagerank(
         release_local_checkpoint(e)
         return nodes.withColumn("rank", F.lit(0.0)), 0
     with adaptive_off(spark):
-        # e is already hash(src)-partitioned, so this groupBy adds no
-        # exchange and its output inherits (and captures) that layout
-        outdeg = local_checkpoint_ser(
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("outdeg"))
-            .sortWithinPartitions("src")
+        # outdeg FUSED into the rank vector (r11, guide §2.4): the loop
+        # previously joined ranks ⋈ outdeg every round — and evaluated
+        # that join twice (the dangling-mass branch and the contribution
+        # branch are separate subtrees with no exchange to reuse in
+        # broadcast mode). Carrying outdeg as a third column of the
+        # checkpointed vector makes both branches bare filters on the
+        # checkpoint: one whole join (×2 evaluations) removed per round
+        # at the cost of 8 bytes/row of loop state. Measured sf0.1
+        # (interleaved A/B, same session): 15.1 → 11.6 s best-of-3,
+        # identical output hash. `e` is hash(src)-partitioned, so the
+        # groupBy adds no exchange; the nodes ⋈ outdeg init join is
+        # co-partitioned SMJ (hash(node) vs hash(src), same width).
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        ranks0 = local_checkpoint_ser(
+            nodes.join(outdeg, nodes.node == outdeg.src, "left")
+            .select("node", F.lit(1.0 / n).alias("rank"), "outdeg")
+            .sortWithinPartitions("node")
         )
+    # ranks0 is eagerly materialized and self-contained; the node list
+    # lives on inside it, so the nodes checkpoint is now dead weight
+    release_local_checkpoint(nodes)
 
     # Round-job mode gate: while the rank vector fits under the
     # broadcast threshold, AQE's runtime broadcast of the rank side
@@ -189,8 +216,7 @@ def pagerank(
     with ctx:
         return _pagerank_loop(
             e,
-            nodes,
-            outdeg,
+            ranks0,
             n,
             damping=damping,
             tol=tol,
@@ -202,8 +228,7 @@ def pagerank(
 
 def _pagerank_loop(
     e: DataFrame,
-    nodes: DataFrame,
-    outdeg: DataFrame,
+    ranks0: DataFrame,
     n: int,
     *,
     damping: float,
@@ -212,7 +237,11 @@ def _pagerank_loop(
     fixed_rounds: int | None,
     checkpoint_every: int,
 ) -> tuple[DataFrame, int]:
-    ranks = local_checkpoint_ser(nodes.withColumn("rank", F.lit(1.0 / n)))
+    # loop state: (node, rank, outdeg) — outdeg rides the vector so no
+    # round ever joins a separate degree table (see pagerank: the fused
+    # init). The returned frame projects back to the (node, rank)
+    # contract at the end.
+    ranks = ranks0
     # fixed mode: the newest MATERIALIZED vector — intermediate lazy
     # rounds' lineage hangs off it, so it is released only when the
     # next checkpoint lands, never while a lazy `ranks` depends on it
@@ -221,17 +250,18 @@ def _pagerank_loop(
 
     n_rounds = fixed_rounds if fixed_rounds is not None else max_iter
     for rounds in range(1, n_rounds + 1):
-        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
         # rank mass parked on dangling nodes this round — a 1-row
         # broadcast scalar subquery, NOT a driver collect: folding it
         # into the round's one checkpoint job halves the jobs per
-        # round (measured 2x end-to-end on the purchase graph)
-        dangling_agg = with_deg.filter(F.col("outdeg").isNull()).agg(
+        # round (measured 2x end-to-end on the purchase graph). With
+        # outdeg fused into the vector this branch is a bare filter on
+        # the checkpoint — no join to re-evaluate.
+        dangling_agg = ranks.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
         contrib = (
             e.join(
-                with_deg.filter(F.col("outdeg").isNotNull()).select(
+                ranks.filter(F.col("outdeg").isNotNull()).select(
                     "node", (F.col("rank") / F.col("outdeg")).alias("share")
                 ),
                 e.src == F.col("node"),
@@ -240,7 +270,8 @@ def _pagerank_loop(
             .agg(F.sum("share").alias("in_share"))
         )
         updated_plan = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            ranks.select("node", "outdeg")
+            .join(contrib, F.col("node") == contrib.dst, "left")
             .crossJoin(F.broadcast(dangling_agg))
             .select(
                 "node",
@@ -252,6 +283,7 @@ def _pagerank_loop(
                         + F.col("__dm") / F.lit(float(n))
                     )
                 ).alias("rank"),
+                "outdeg",
             )
         )
         if fixed_rounds is not None:
@@ -286,13 +318,11 @@ def _pagerank_loop(
         ranks = updated
         if delta < tol:
             log.info("pagerank: converged in %d rounds (delta %.2e)", rounds, delta)
-            for ck in (e, nodes, outdeg):  # result only needs `ranks`
-                release_local_checkpoint(ck)
-            return ranks, rounds
+            release_local_checkpoint(e)  # result only needs `ranks`
+            return ranks.select("node", "rank"), rounds
     if fixed_rounds is not None:
-        for ck in (e, nodes, outdeg):
-            release_local_checkpoint(ck)
-        return ranks, fixed_rounds
+        release_local_checkpoint(e)
+        return ranks.select("node", "rank"), fixed_rounds
     raise RuntimeError(
         f"pagerank: no convergence after {max_iter} rounds (tol {tol}) — "
         "raise max_iter or loosen tol"
