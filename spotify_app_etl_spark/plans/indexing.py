@@ -182,17 +182,32 @@ def _bm25_scores(docs: DataFrame) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+    # One shuffle of the (filtered, tiny) matching-token rows, keyed by
+    # doc_id (r11, guide §2.4/§3.1). dl RIDES the exploded rows instead
+    # of being joined back afterwards, killing the tf ⋈ dl exchange+join;
+    # hash(doc_id) is a subset of the (doc_id, term) grouping keys, so
+    # the tf aggregate runs exchange-free on it, and the final per-doc
+    # sum below reuses the SAME partitioning — zero further data
+    # exchanges. df is bounded by the fixed query-term list at any
+    # corpus size, so it broadcasts (BHJ) instead of re-exchanging tf
+    # on term. Values are unchanged: dl is constant within a doc, and
+    # every aggregate is the same arithmetic. Plan: 5 exchanges + 2
+    # sort-merge joins -> 2 exchanges (one data-bearing) + broadcasts.
+    tok = docs.select("doc_id", tokens("text").alias("__tk")).select(
+        "doc_id",
+        F.size("__tk").cast("double").alias("dl"),
+        F.explode("__tk").alias("term"),
+    )
     tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .repartition("doc_id")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tfd = F.col("tf").cast("double")
     contrib = (
-        tf.join(df, "term")
-        .join(dl, "doc_id")
+        tf.join(F.broadcast(df), "term")
         .join(F.broadcast(stats))
         .select(
             "doc_id",

@@ -449,7 +449,8 @@ from spotify_app_etl_spark.plans.corpus import (  # noqa: E402
     "ns_pipeline_llm_recipe",
     note="the operators COMPOSED as a real data recipe — Gopher rule "
     "gate (plans/corpus.gopher_rule_flags) → exact sha256 dedup keeping "
-    "min-id representatives (operators/dedup.exact_dedup) → "
+    "min-id representatives (one row_number window on the "
+    "content hash — same dedup shape as ns_pipeline_training_prep) → "
     "Stupid-Backoff LM trained on the surviving en docs scoring the "
     "surviving non-en docs, top-50 kept (operators/lm.py). Every stage "
     "is individually oracle-checked elsewhere; THIS query hash-checks "
@@ -511,28 +512,44 @@ ORDER BY score DESC, doc_id LIMIT 50
 )
 def ns_pipeline_llm_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_app_etl_spark.operators import lm as LM
-    from spotify_app_etl_spark.operators.dedup import exact_dedup
     from spotify_app_etl_spark.operators.persist import scoped_persist
     from spotify_app_etl_spark.plans.corpus import gopher_rule_flags
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    passed = (
-        gopher_rule_flags(docs)
+    # The flags are map-computed, so carry the payload THROUGH the flag
+    # frame and filter in place (r11, guide §2.4) — the previous shape
+    # joined the flag table back to the corpus on doc_id, which
+    # re-scanned the corpus and exchanged both sides for a predicate
+    # that never needed to leave the row: 2 exchanges + 1 scan removed.
+    surv = (
+        gopher_rule_flags(docs, keep=("text", "lang"))
         .filter(
             F.col("word_count_ok")
             & F.col("word_len_ok")
             & F.col("alpha_ok")
             & F.col("symbol_ok")
         )
-        .select("doc_id")
+        .select("doc_id", "text", "lang")
     )
-    surv = docs.join(passed, "doc_id")
-    reps = exact_dedup(surv, "text", "doc_id").select(
-        F.col("representative_id").alias("doc_id")
-    )
+    # Exact dedup as ONE window over the content hash (r11, guide
+    # §2.4; the same shape ns_pipeline_training_prep already uses):
+    # keep each sha256 group's min-id row directly. The previous
+    # exact_dedup + join-back evaluated the gated survivor pipeline
+    # TWICE (the rep-id aggregate and the join's probe side) and paid
+    # three exchanges (groupBy sha256, then both join sides on doc_id,
+    # the probe side carrying the text payload); the window is one
+    # exchange, one evaluation, row-identical output (A/B: identical
+    # hash, 2.0 -> 1.7 s best-of-4 interleaved at sf0.1).
+    from pyspark.sql import Window as W
+
+    w_sha = W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     # persisted: the deduped survivor set feeds BOTH the LM training
     # slice and the scoring pool
-    surv2 = scoped_persist(surv.join(reps, "doc_id"))
+    surv2 = scoped_persist(
+        surv.withColumn("__rn", F.row_number().over(w_sha))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
     model = LM.train_bigram_lm(
         surv2.filter(F.col("lang") == "en"), "text", vocab_size=2000, bigram_cap=8000
     )
