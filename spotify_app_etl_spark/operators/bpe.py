@@ -189,10 +189,36 @@ def bpe_save(spark, merges: list[tuple[str, str]], path: str) -> None:
     torn listing is unreadable, not silently reordered)."""
     if not merges:
         raise ValueError("bpe_save: empty merge list")
-    spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "rank int, left string, right string",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    # JVM-side literal rows below the budget (r11, guide §4):
+    # createDataFrame from local data routes through Python-worker
+    # serialization at a measured ~0.5 s-per-call warm in this
+    # environment (same finding as similarity._meta_row); the merge
+    # list is vocab-capped, so the literal path is the common case.
+    if 3 * len(merges) <= 100_000:
+        df = (
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).cast("int").alias("rank"),
+                                F.lit(a).alias("left"),
+                                F.lit(b).alias("right"),
+                            )
+                            for i, (a, b) in enumerate(merges)
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select("s.rank", "s.left", "s.right")
+        )
+    else:
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, left string, right string",
+        )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def bpe_load(spark, path: str) -> list[tuple[str, str]]:
